@@ -1,0 +1,55 @@
+"""Parquet lake registry.
+
+The reference's storage layer is a MySQL schema of ~75 InnoDB tables
+(`SQL/create-TCRDv7.sql`); ours is a directory of parquet tables read
+straight into DataFrames so Catalyst gets column pruning + predicate
+pushdown at the scan (check `.explain`: PushedFilters/ReadSchema).
+
+The driver testdata is a TPC-H-ish star schema (TESTDATA.md); the same
+registry pattern serves the TCRD domain tables in tests/fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough that joins against them must be broadcast
+# hash joins, never shuffles. At reference scale this is the type-dictionary
+# pattern (`loaders/TCRD.py:3373-3443` caches info_type/xref_type maps per
+# connection; Spark's equivalent is an auto-broadcast dim join).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as long
+    # (nanosAsLong, session.py); truncate to micros — same thing DuckDB's
+    # micro-resolution timestamps do, so both engines see identical values.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every lake table as a temp view for the SQL surface."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
