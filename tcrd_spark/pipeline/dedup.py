@@ -1,0 +1,332 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Reference has only `dropDuplicates`-style dedup (`R/exp-atlas_process.
+R:47` unique-by-key; `loaders/TCRD.py:2338-2342` set() dedup); the
+near-dup family here is the LLM-pipeline extension (SURVEY.md §7 step 7).
+
+Scale design notes (100 TB documents):
+- Exact dedup keys on hash60(text), not text — the shuffle moves 8-byte
+  keys, not document bodies; representative = min(doc_id) per group
+  (deterministic, unlike dropDuplicates' partition-order "first").
+- The shingle inverted index (ngram_jaccard) explodes to one row per
+  (doc, distinct shingle). Ultra-common shingles create k² candidate
+  blowup; `max_df` drops shingles whose document frequency exceeds it
+  (the standard stop-shingle mitigation) — at SF-test scale we keep all.
+- MinHash+LSH replaces the all-pairs O(n²) verify with per-band bucket
+  joins: only same-bucket docs meet, and the final Jaccard verify runs
+  on the candidate set alone. Bands/rows tune the S-curve.
+- All hashing is the portable md5-based scheme (functions/hashing.py)
+  so the DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tcrd_spark.functions.hashing import (
+    band_hash,
+    hash60,
+    minhash_signature,
+)
+from tcrd_spark.pipeline.text import ws_tokens
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document (empty when the doc
+    has fewer than n tokens — sequence() would otherwise descend)."""
+    toks = ws_tokens(text)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min-id representative.
+
+    Returns (text_hash, keep_id, dup_ct). Deterministic representative —
+    `dropDuplicates` picks an arbitrary row per partition order, which
+    breaks reproducible 100 TB pipelines.
+    """
+    return (
+        df.select(F.col(id_col), hash60(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_ct"),
+        )
+    )
+
+
+def _pair_jaccard(
+    sh: DataFrame, id_col: str, min_shared: int = 1
+) -> DataFrame:
+    """Shared-shingle inverted-index join → exact Jaccard per doc pair.
+
+    sh: (id, shingle array) → returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    sizes = sh.select(F.col(id_col).alias("sid"), F.size("sh").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    if max_df is not None:
+        inv = sh.select(id_col, F.explode("sh").alias("g"))
+        common = (
+            inv.groupBy("g").count().filter(F.col("count") > max_df).select("g")
+        )
+        inv = inv.join(F.broadcast(common), "g", "left_anti")
+        sh = inv.groupBy(id_col).agg(F.collect_set("g").alias("sh"))
+    return _pair_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_perms: int = 32,
+    bands: int = 16,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    shingle → minhash signature → band buckets → bucket self-join for
+    candidates → exact Jaccard verify ≥ threshold. Candidate recall
+    follows the (1-(1-s^r)^b) S-curve; the verify step removes false
+    positives entirely, so output ⊆ ngram_jaccard_pairs output.
+    """
+    assert n_perms % bands == 0
+    r = n_perms // bands
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    sig = sh.select(
+        id_col, "sh", minhash_signature(F.col("sh"), n_perms).alias("sig")
+    )
+    buckets = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[band_hash(F.col("sig"), i, r) for i in range(bands)])
+        ).alias("bucket"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    exact = _pair_jaccard(sh, id_col)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document (Charikar '02): for each bit, sum
+    token-frequency-weighted ±1 by that bit of hash60(token); bit set
+    iff sum ≥ 0.
+
+    Implemented as explode(token)×explode(bit) → two aggregations —
+    all built-in, identically expressible in the oracle SQL. At scale
+    the 32× bit fan-out stays map-local until the (id, bit) partial agg.
+    """
+    tok_ct = (
+        df.select(F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("ct"))
+        .withColumn("h", hash60(F.col("t")))
+    )
+    bits = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("bit"), F.lit(1 << i).alias("mask"))
+                for i in range(SIMHASH_BITS)
+            ]
+        )
+    ).alias("bm")
+    per_bit = (
+        tok_ct.select(id_col, "ct", "h", bits)
+        .select(
+            id_col,
+            F.col("bm.bit").alias("bit"),
+            F.col("bm.mask").alias("mask"),
+            (
+                F.col("ct")
+                * F.when((F.col("h").bitwiseAND(F.col("bm.mask"))) != 0, 1).otherwise(-1)
+            ).alias("signed"),
+        )
+        .groupBy(id_col, "bit", "mask")
+        .agg(F.sum("signed").alias("s"))
+    )
+    return per_bit.groupBy(id_col).agg(
+        F.sum(F.when(F.col("s") >= 0, F.col("mask")).otherwise(0)).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the 32-bit signature into 4 8-bit
+    chunks; any pair within Hamming ≤ 3 must agree on ≥1 chunk
+    (pigeonhole), so a per-chunk equality join finds all of them
+    without the O(n²) scan. Verify with bit_count(xor).
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(j)),
+                        F.shiftright(F.col("simhash"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .cast("string"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), "chunk")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# --- Embedding near-dup ------------------------------------------------------
+
+
+def dot(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled left-associative dot product of two double arrays.
+
+    Unrolling (vs F.aggregate over a sequence) keeps the expression in
+    whole-stage codegen — interpreted higher-order-function folds were
+    ~10× slower and paid a large, variable Janino cost. Left-assoc sum
+    matches the oracle SQL's explicit (t1 + t2 + ...) exactly, so the
+    double result is bit-identical.
+    """
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def l2_normalize(v: Column, dim: int) -> Column:
+    """v / ||v|| as a double array (zero vectors → nulls)."""
+    nrm = F.sqrt(dot(v, v, dim))
+    return F.transform(v, lambda x: x / nrm)
+
+
+def cosine(a: Column, b: Column, dim: int) -> Column:
+    """Cosine similarity of two equal-length double arrays.
+
+    Prefer normalizing each side ONCE (l2_normalize) and taking dot():
+    at n² pair scale that's 3× fewer flops and one map pass per row.
+    This convenience form computes norms inline.
+    """
+    return dot(a, b, dim) / (
+        F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim))
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold (brute-force).
+
+    O(n²) — correct baseline at test SF. The 100 TB path is the LSH /
+    IVF bucketing in pipeline/similarity.py, which cuts the self-join
+    to per-bucket blocks.
+    """
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"), dim)))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"), dim)
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
