@@ -37,6 +37,23 @@ HEADLINE = [
     "string_funcs",
     "json_extract",
     "date_funcs",
+    # derived analytics (SURVEY §2.10)
+    "tdl_classification",
+    "tau_continuous",
+    "consensus_expression",
+    "hgram_cdf",
+    "tinx_novelty",
+    "tinx_importance",
+    "tinx_pmid_rankings",
+    # LLM-pipeline extensions
+    "text_quality",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "ann_bruteforce",
+    "ann_ivf",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Target Development Level (TDL) classification.
+
+Reference semantics (`loaders/load-TDLs.py:77-129`):
+- any MoA drug activity           → Tclin
+- else any drug activity          → Tchem
+- else any cmpd activity          → Tchem
+- else score "dark points": pubmed score < 5 (+1), generif count <= 3
+  (+1), antibody count <= 50 (+1); >= 2 points → Tdark, UNLESS an
+  'Experimental MF/BP Leaf Term GOA' exists → Tbio with bump_flag;
+  else Tbio.
+
+The reference runs an N+1 per-target fan-out (~20,412 get_target
+calls, 10m06s, `doc/README_v6.txt:430-436`); here it is a single
+when-chain over a pre-joined feature DataFrame — no UDF, pure
+whole-stage codegen, one pass at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PMS_THRESHOLD = 5.0
+GENERIF_THRESHOLD = 3
+AB_THRESHOLD = 50
+
+
+def dark_points(pms: Column, rif_ct: Column, ab_ct: Column) -> Column:
+    return (
+        F.when(pms < PMS_THRESHOLD, 1).otherwise(0)
+        + F.when(rif_ct <= GENERIF_THRESHOLD, 1).otherwise(0)
+        + F.when(ab_ct <= AB_THRESHOLD, 1).otherwise(0)
+    )
+
+
+def compute_tdl(features: DataFrame) -> DataFrame:
+    """features columns: moa_drug_ct, drug_ct, cmpd_ct, pms, rif_ct,
+    ab_ct, efl_goa (boolean). Adds (tdl, bump_flag)."""
+    pts = dark_points(F.col("pms"), F.col("rif_ct"), F.col("ab_ct"))
+    is_dark = pts >= 2
+    tdl = (
+        F.when(F.col("moa_drug_ct") > 0, "Tclin")
+        .when(F.col("drug_ct") > 0, "Tchem")
+        .when(F.col("cmpd_ct") > 0, "Tchem")
+        .when(is_dark & ~F.col("efl_goa"), "Tdark")
+        .otherwise("Tbio")
+    )
+    bump = (
+        (F.col("moa_drug_ct") == 0)
+        & (F.col("drug_ct") == 0)
+        & (F.col("cmpd_ct") == 0)
+        & is_dark
+        & F.col("efl_goa")
+    )
+    return features.withColumn("tdl", tdl).withColumn("bump_flag", bump)
+
+
+def sql_tdl_case(moa="moa_drug_ct", drug="drug_ct", cmpd="cmpd_ct",
+                 pms="pms", rif="rif_ct", ab="ab_ct", efl="efl_goa") -> str:
+    """The identical rule chain as oracle SQL (CASE expression)."""
+    pts = (
+        f"(CASE WHEN {pms} < {PMS_THRESHOLD} THEN 1 ELSE 0 END"
+        f" + CASE WHEN {rif} <= {GENERIF_THRESHOLD} THEN 1 ELSE 0 END"
+        f" + CASE WHEN {ab} <= {AB_THRESHOLD} THEN 1 ELSE 0 END)"
+    )
+    tdl = (
+        f"CASE WHEN {moa} > 0 THEN 'Tclin' "
+        f"WHEN {drug} > 0 THEN 'Tchem' "
+        f"WHEN {cmpd} > 0 THEN 'Tchem' "
+        f"WHEN {pts} >= 2 AND NOT {efl} THEN 'Tdark' "
+        f"ELSE 'Tbio' END"
+    )
+    bump = (
+        f"({moa} = 0 AND {drug} = 0 AND {cmpd} = 0 AND {pts} >= 2 AND {efl})"
+    )
+    return tdl, bump

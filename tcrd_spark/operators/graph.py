@@ -1,0 +1,346 @@
+"""Graph / recursive operators (SURVEY.md §2.8).
+
+Reference shapes re-expressed Spark-first:
+- KEGG all-pairs shortest path (`loaders/load-KEGGDistances.py:96`,
+  networkx per pathway, then min-merge `:98-108`): many SMALL graphs →
+  `apsp_local` runs BFS per graph inside applyInPandas (one shuffle to
+  co-locate each graph's edges); `apsp_iterative` is the DataFrame
+  BFS-to-fixpoint for graphs too large for one task. The oracle-checked
+  query uses apsp_local (the right plan at this shape); pytest asserts
+  both implementations agree.
+- Clique expansion of KEGG "group" entries (`loaders/KEGG_Graph.py:
+  20-60`): membership self-join.
+- Nearest-Tclin directional reachability (`loaders/load-
+  KEGGNearestTclins.py:83-110`; SQL `loaders/TCRD.py:2800-2869`):
+  the reference issues 2 MIN-queries per non-Tclin target; here one
+  join + rank-window keeps ties in a single pass.
+- Recursive ontology path (`loaders/TCRD.py:2127-2137`,
+  `get_protein_dto` self-recursion): iterate parent joins to fixpoint
+  (DAG depth is small and bounded).
+
+Scale notes: apsp_local shuffles each graph's edge list once and runs
+O(V·E) BFS in-task — right when graphs are thousands-of-nodes max
+(KEGG pathways are). The iterative BFS shuffles per hop — right when
+a single graph exceeds task memory. Depth caps bound both.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut the logical plan at this point (RDD round-trip, cached).
+
+    Iterative algorithms build self-referential union/join chains whose
+    Catalyst analysis cost grows EXPONENTIALLY with depth — by hop 5 the
+    driver spends minutes analyzing, not computing. An opaque RDD scan
+    resets analysis to O(1) per hop. (localCheckpoint would be the
+    native way, but Spark 4.1 hits a rewriteStatsAndConstraints bug on
+    window-derived plans.)"""
+    rdd = df.rdd.cache()
+    return df.sparkSession.createDataFrame(rdd, df.schema)
+
+
+def apsp_iterative(
+    edges: DataFrame, graph: str, src: str, dst: str, max_hops: int = 10
+) -> DataFrame:
+    """All-pairs shortest path lengths per graph via BFS-to-fixpoint.
+
+    edges: directed (graph, src, dst). Returns (graph, src, dst, dist).
+    Each hop is one join + min-merge; loop runs on the driver but all
+    data stays distributed. Frontier dedup keeps the work linear in
+    the true distance closure, not in path multiplicity.
+    """
+    e = _truncate(edges.select(graph, src, dst).distinct())
+    paths = _truncate(e.withColumn("dist", F.lit(1)))
+    frontier = paths
+    for _ in range(max_hops - 1):
+        grown = (
+            frontier.alias("p")
+            .join(
+                e.alias("e"),
+                (F.col(f"p.{graph}") == F.col(f"e.{graph}"))
+                & (F.col(f"p.{dst}") == F.col(f"e.{src}")),
+            )
+            .select(
+                F.col(f"p.{graph}").alias(graph),
+                F.col(f"p.{src}").alias(src),
+                F.col(f"e.{dst}").alias(dst),
+                (F.col("p.dist") + 1).alias("dist"),
+            )
+            .filter(F.col(src) != F.col(dst))  # reference keeps no self-loops
+        )
+        # keep only pairs not already reached (shorter-first BFS order)
+        frontier = _truncate(
+            grown.join(
+                paths.select(graph, src, dst), [graph, src, dst], "left_anti"
+            ).distinct()
+        )
+        if frontier.isEmpty():
+            break
+        paths = _truncate(paths.unionByName(frontier))
+    return paths.groupBy(graph, src, dst).agg(F.min("dist").alias("dist"))
+
+
+def apsp_local(
+    edges: DataFrame, graph: str, src: str, dst: str, max_hops: int = 10
+) -> DataFrame:
+    """Same result as apsp_iterative, computed as per-graph BFS inside
+    applyInPandas — the KEGG shape: thousands of small graphs, one
+    shuffle total."""
+    out_schema = f"{graph} long, {src} long, {dst} long, dist int"
+
+    def bfs(pdf: pd.DataFrame) -> pd.DataFrame:
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(pdf[src], pdf[dst]):
+            adj.setdefault(int(s), []).append(int(d))
+        g = pdf[graph].iloc[0]
+        rows = []
+        for start in sorted(adj):
+            seen = {start: 0}
+            q = deque([start])
+            while q:
+                u = q.popleft()
+                if seen[u] >= max_hops:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen[v] = seen[u] + 1
+                        q.append(v)
+            rows += [
+                (g, start, node, d) for node, d in seen.items() if d > 0
+            ]
+        return pd.DataFrame(rows, columns=[graph, src, dst, "dist"])
+
+    return (
+        edges.select(graph, src, dst)
+        .distinct()
+        .groupBy(graph)
+        .applyInPandas(bfs, out_schema)
+    )
+
+
+def min_distance_merge(
+    apsp: DataFrame, graph: str, src: str, dst: str
+) -> DataFrame:
+    """KEGG min-merge: min distance per (src, dst) across all graphs
+    (`loaders/load-KEGGDistances.py:98-108`)."""
+    return apsp.groupBy(src, dst).agg(F.min("dist").alias("distance"))
+
+
+def clique_edges(members: DataFrame, group: str, member: str) -> DataFrame:
+    """Expand each group's member set to bidirectional clique edges,
+    deduped across groups (`loaders/KEGG_Graph.py:20-60`)."""
+    a = members.select(F.col(group), F.col(member).alias("m1"))
+    b = members.select(F.col(group), F.col(member).alias("m2"))
+    return (
+        a.join(b, group)
+        .filter(F.col("m1") != F.col("m2"))
+        .select("m1", "m2")
+        .distinct()
+    )
+
+
+def nearest_flagged(
+    dist: DataFrame,
+    flagged: DataFrame,
+    src: str,
+    dst: str,
+    flag_key: str,
+) -> DataFrame:
+    """Nearest-Tclin: per src, min distance into the flagged set with
+    ties kept — rank()==1 over (distance, dst) replaces the
+    reference's 2×N MIN-then-requery pattern
+    (`loaders/TCRD.py:2800-2869`)."""
+    hits = dist.join(
+        flagged.select(F.col(flag_key).alias(dst)), dst
+    )
+    w = Window.partitionBy(src).orderBy("distance")
+    return (
+        hits.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") == 1)
+        .select(src, dst, "distance")
+    )
+
+
+def ancestor_paths(
+    nodes: DataFrame, node: str, parent_fn, max_depth: int = 40
+) -> DataFrame:
+    """Walk a parent function to the root, emitting (node, ancestor,
+    depth≥1) — the get_protein_dto recursive classification path as an
+    iterate-to-fixpoint loop. parent_fn: Column -> Column (parent key
+    or NULL at the root)."""
+    base = nodes.select(
+        F.col(node),
+        parent_fn(F.col(node)).alias("ancestor"),
+        F.lit(1).alias("depth"),
+    ).filter(F.col("ancestor").isNotNull())
+    out = base
+    frontier = _truncate(base)
+    for _ in range(max_depth):
+        frontier = _truncate(
+            frontier.select(
+                F.col(node),
+                parent_fn(F.col("ancestor")).alias("ancestor"),
+                (F.col("depth") + 1).alias("depth"),
+            ).filter(F.col("ancestor").isNotNull())
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out
+
+
+# ------------------------------------------------- testdata bindings
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from tcrd_spark.sources.lake import load_table  # noqa: E402
+
+
+def _order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order directed chains: lineitems sorted by linenumber form
+    edges part[i] → part[i+1] — thousands of small DAGs, the KEGG
+    pathway shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.select(
+            F.col("l_orderkey").alias("g"),
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+
+
+def q_apsp_min_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEGG-distances analogue: APSP per order chain, min across
+    graphs. Restricted to 2% of orders to bound the compare set."""
+    edges = _order_chain_edges(spark, sf_dir).filter(F.col("g") % 50 == 0)
+    apsp = apsp_local(edges, "g", "src", "dst", max_hops=8)
+    return min_distance_merge(apsp, "g", "src", "dst")
+
+
+def q_nearest_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-Tclin analogue over the merged distances: flagged set =
+    parts with partkey % 10 == 0; ties kept."""
+    edges = _order_chain_edges(spark, sf_dir).filter(F.col("g") % 50 == 0)
+    apsp = apsp_local(edges, "g", "src", "dst", max_hops=8)
+    dist = min_distance_merge(apsp, "g", "src", "dst")
+    part = load_table(spark, sf_dir, "part")
+    flagged = part.filter(F.col("p_partkey") % 10 == 0).select("p_partkey")
+    return nearest_flagged(dist, flagged, "src", "dst", "p_partkey")
+
+
+def q_clique_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEGG group→clique: parts of each small order pairwise connected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    small = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n").between(2, 4)) & (F.col("l_orderkey") % 20 == 0))
+        .select("l_orderkey")
+    )
+    members = li.join(small, "l_orderkey").select(
+        F.col("l_orderkey").alias("grp"), F.col("l_partkey").alias("m")
+    )
+    return clique_edges(members, "grp", "m")
+
+
+def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTO/ontology parent-walk analogue: synthetic tree parent(k) =
+    k/2 (root 1) over a 1% part sample — (node, ancestor, depth)."""
+    part = load_table(spark, sf_dir, "part")
+    nodes = part.filter(F.col("p_partkey") % 100 == 0).select(
+        F.col("p_partkey").alias("node")
+    )
+
+    def parent(c):
+        return F.when(c > 1, F.floor(c / 2)).otherwise(F.lit(None))
+
+    return ancestor_paths(nodes, "node", parent, max_depth=40)
+
+
+QUERIES = {
+    "apsp_min_merge": q_apsp_min_merge,
+    "nearest_flagged": q_nearest_flagged,
+    "clique_expansion": q_clique_expansion,
+    "ancestor_closure": q_ancestor_closure,
+}
+
+_EDGES_SQL = """
+    SELECT g, src, dst FROM (
+      SELECT l_orderkey AS g, l_partkey AS src,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber) AS dst
+      FROM lineitem
+    ) WHERE dst IS NOT NULL AND src != dst AND g % 50 = 0
+"""
+
+_APSP_SQL = f"""
+    WITH RECURSIVE e AS (SELECT DISTINCT g, src, dst FROM ({_EDGES_SQL})),
+    sp AS (
+      SELECT g, src, dst, 1 AS d FROM e
+      UNION
+      SELECT sp.g, sp.src, e.dst, sp.d + 1
+      FROM sp JOIN e ON sp.g = e.g AND sp.dst = e.src
+      WHERE sp.d < 8 AND sp.src != e.dst
+    ),
+    per_graph AS (
+      SELECT g, src, dst, min(d) AS dist FROM sp GROUP BY 1, 2, 3
+    )
+    SELECT src, dst, min(dist) AS distance
+    FROM per_graph GROUP BY src, dst
+"""
+
+ORACLE = {
+    "apsp_min_merge": _APSP_SQL,
+    "nearest_flagged": f"""
+        WITH dist AS ({_APSP_SQL}),
+        hits AS (
+          SELECT d.src, d.dst, d.distance
+          FROM dist d JOIN part p ON p.p_partkey = d.dst
+          WHERE p.p_partkey % 10 = 0
+        )
+        SELECT src, dst, distance FROM (
+          SELECT src, dst, distance,
+                 rank() OVER (PARTITION BY src ORDER BY distance) AS rk
+          FROM hits
+        ) WHERE rk = 1
+    """,
+    "clique_expansion": """
+        WITH small AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY 1
+          HAVING count(*) BETWEEN 2 AND 4 AND l_orderkey % 20 = 0
+        ),
+        members AS (
+          SELECT l.l_orderkey AS grp, l.l_partkey AS m
+          FROM lineitem l JOIN small USING (l_orderkey)
+        )
+        SELECT DISTINCT a.m AS m1, b.m AS m2
+        FROM members a JOIN members b
+          ON a.grp = b.grp AND a.m != b.m
+    """,
+    "ancestor_closure": """
+        WITH RECURSIVE nodes AS (
+          SELECT p_partkey AS node FROM part WHERE p_partkey % 100 = 0
+        ),
+        walk AS (
+          SELECT node, CAST(floor(node / 2) AS BIGINT) AS ancestor, 1 AS depth
+          FROM nodes WHERE node > 1
+          UNION ALL
+          SELECT node, CAST(floor(ancestor / 2) AS BIGINT), depth + 1
+          FROM walk WHERE ancestor > 1
+        )
+        SELECT node, ancestor, depth FROM walk
+    """,
+}

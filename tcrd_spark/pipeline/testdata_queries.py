@@ -150,24 +150,27 @@ QUERIES = {
 _TOKS = "string_split_regex(text, '\\s+')"
 _H60_MOD = f"({sql_hash60('t')} % {FP_MOD})"
 
-# shingles: distinct word 3-grams (empty when < 3 tokens)
+# hashed shingles: distinct 60-bit hashes of the word 3-grams
+# (empty when < 3 tokens) — mirrors dedup.hashed_shingles
 _SHINGLES = f"""
   SELECT doc_id,
-         list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
-             i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))) AS sh
+         list_distinct(list_transform(
+             list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                 i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))),
+             s -> {sql_hash60('s')})) AS hs
   FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
 """
 
 # exact pairwise jaccard over shingle sets (id_a < id_b)
 _JACCARD_PAIRS = f"""
   WITH sh AS ({_SHINGLES}),
-  inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+  inv AS (SELECT doc_id, unnest(hs) AS g FROM sh),
   pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
     FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   ),
-  sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+  sizes AS (SELECT doc_id, len(hs) AS n_sh FROM sh)
   SELECT id_a, id_b,
          round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
   FROM pairs
@@ -177,11 +180,12 @@ _JACCARD_PAIRS = f"""
 
 
 def _sql_minhash_sig_expr() -> str:
-    """Minhash signature (32 perms) over the shingle list column `sh`,
-    identical constants to minhash_signature(n_perms=32, seed=7)."""
+    """Minhash signature (32 perms) over the hashed-shingle column `hs`
+    — pure arithmetic per perm, identical constants to
+    minhash_params(32, seed=7)."""
     parts = [
-        f"list_min(list_transform(sh, t -> "
-        f"({a} * ({sql_hash60('t')} % {MERSENNE_P}) + {b}) % {MERSENNE_P}))"
+        f"list_min(list_transform(hs, h -> "
+        f"({a} * (h % {MERSENNE_P}) + {b}) % {MERSENNE_P}))"
         for a, b in minhash_params(32, seed=7)
     ]
     return "[" + ", ".join(parts) + "]"
