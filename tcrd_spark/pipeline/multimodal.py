@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed by Arrow-batched mapInPandas.
+
+The Spark-side mechanics here are real and tested — schema, batch
+shape, partition sizing, UDF signatures; only the media decode itself
+is stubbed (no image/audio libraries in this container): with
+`real_decode=True` the decoder raises NotImplementedError at the first
+batch; the default deterministic fake derives features from the bytes
+(length, 60-bit content hash, fake dimensions) so the pipeline is
+end-to-end checkable against an oracle.
+
+Scale notes: binary payloads ride the normal columnar path (parquet
+binary + Arrow batches into pandas). Keep payload columns OUT of
+shuffles: extract features first (map-side), shuffle only the small
+feature columns. `spark.sql.files.maxPartitionBytes` governs scan
+parallelism when payloads are MBs each; for 100 TB of media, store
+payloads in their own table keyed by content hash and join features.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, content_hash long, width int, height int"
+)
+
+
+def attach_fake_payload(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Make an (id, payload binary, media_type, meta struct) table from
+    the documents table — the shape a real ingest would produce."""
+    return docs.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.struct(
+            F.length(F.col(text_col)).alias("n_bytes"),
+            F.lit("synthetic").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decode: derive WxH from the
+    first bytes. Replace with PIL/libvips in a real deployment."""
+    w = 16 + (payload[0] % 64) if payload else 16
+    h = 16 + (payload[-1] % 64) if payload else 16
+    return w, h
+
+
+def extract_features(
+    media: DataFrame, id_col: str = "doc_id", real_decode: bool = False
+) -> DataFrame:
+    """mapInPandas feature extraction over the binary payload column.
+
+    Arrow delivers each partition as an iterator of pandas batches —
+    the UDF never materializes a whole partition, so payload-heavy
+    partitions stream through in bounded memory.
+    """
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real media decode requires an image library; "
+                    "install one and replace _fake_decode"
+                )
+            dims = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "content_hash": [
+                        int(hashlib.md5(p).hexdigest()[:15], 16)
+                        for p in pdf["payload"]
+                    ],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# ------------------------------------------------- testdata binding
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from tcrd_spark.sources.lake import load_table  # noqa: E402
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction; the oracle reproduces the
+    fake decode arithmetically (payload = utf-8 of text, ASCII here, so
+    first/last byte = first/last char code)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_payload(docs, "doc_id", "text")
+    return extract_features(media, "doc_id")
+
+
+QUERIES = {"multimodal_features": q_multimodal_features}
+
+ORACLE = {
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                   AS content_hash,
+               CAST(16 + ord(substr(text, 1, 1)) % 64 AS INTEGER) AS width,
+               CAST(16 + ord(substr(text, -1, 1)) % 64 AS INTEGER) AS height
+        FROM documents
+    """,
+}

@@ -27,7 +27,7 @@ def _collect():
         except ImportError:
             pass
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
-                    "streaming.testdata_queries"):
+                    "pipeline.multimodal", "streaming.testdata_queries"):
         try:
             import importlib
 

@@ -1,0 +1,128 @@
+"""Streaming pipelines: file-source readStream → windowed aggregation
+with watermark → sink; plus a custom stateful operator.
+
+Design for scale: the file source is the stand-in for Kafka/queue
+sources (same DataFrame surface); watermarks bound state so a
+1000-executor cluster never accumulates unbounded window state; the
+stateful sessionizer uses applyInPandasWithState — Arrow-batched
+per-group state, the Spark-native replacement for the reference's
+shelve checkpoint/restart pattern (`loaders/load-PubMed.py:83`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """JSON file-source stream with an explicit schema (streaming
+    sources must never infer schemas — a schema change mid-stream is a
+    pipeline bug, not a discovery)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+
+
+def windowed_counts_with_watermark(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Tumbling counts with late-data handling: rows later than the
+    watermark are dropped; in append mode a window is emitted exactly
+    once, when the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+# ------------------------------------------------ stateful sessionizer
+
+SESSION_STATE_SCHEMA = "n_events long, total_value double"
+SESSION_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, batch_rows long"
+)
+
+
+def _sessionize(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Running per-user aggregate with explicit GroupState — the
+    minimal custom stateful operator: merge each micro-batch into
+    (n_events, total_value) and emit the updated running totals."""
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    batch_rows = 0
+    for pdf in pdfs:
+        batch_rows += len(pdf)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n,
+                "total_value": round(total, 4),
+                "batch_rows": batch_rows,
+            }
+        ]
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """groupBy(user).applyInPandasWithState running totals (update
+    mode). State lives per group in the state store — bounded by the
+    user-key cardinality, shuffle-partitioned like any agg."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, mode: str, checkpoint_dir: str
+):
+    """Start the query into an in-memory table (tests/debug)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

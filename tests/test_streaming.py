@@ -1,0 +1,164 @@
+"""Real Structured Streaming tests: file-source micro-batches into
+memory sinks — watermark late-data dropping (append mode) and the
+applyInPandasWithState running-totals operator."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pytest
+
+
+def _write_batch(src_dir: str, rows: list[dict], name: str) -> None:
+    path = os.path.join(src_dir, f"{name}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, path)
+
+
+def _ev(eid: int, ts: str, user: int = 1, etype: str = "click", value: float = 1.0):
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+    }
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return str(src), str(ckpt)
+
+
+def test_watermark_drops_late_rows(spark, stream_dirs):
+    """Append-mode tumbling window with a 30-minute watermark: the
+    10:00 window is emitted once the watermark passes 11:00, and a
+    late 10:40 row arriving afterwards is dropped."""
+    from tcrd_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory_sink,
+        windowed_counts_with_watermark,
+    )
+
+    src, ckpt = stream_dirs
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    events = read_event_stream(spark, src)
+    agg = windowed_counts_with_watermark(events, watermark="30 minutes")
+    q = run_to_memory_sink(agg, name, "append", ckpt)
+    try:
+        _write_batch(
+            src,
+            [
+                _ev(1, "2024-01-01T10:05:00.000Z"),
+                _ev(2, "2024-01-01T10:20:00.000Z"),
+            ],
+            "b1",
+        )
+        q.processAllAvailable()
+        # watermark advances on the NEXT batch after max_event - 30m
+        _write_batch(src, [_ev(3, "2024-01-01T12:00:00.000Z")], "b2")
+        q.processAllAvailable()
+        # one more batch so the engine re-evaluates emission
+        _write_batch(src, [_ev(4, "2024-01-01T12:10:00.000Z")], "b3")
+        q.processAllAvailable()
+        emitted = {
+            (str(r.window_start), r.n_events)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert ("2024-01-01 10:00:00", 2) in emitted, emitted
+
+        # a too-late row (10:40 << watermark 11:40) must be dropped:
+        # the 10:00 window was already finalized with n_events=2
+        _write_batch(src, [_ev(5, "2024-01-01T10:40:00.000Z")], "b4")
+        q.processAllAvailable()
+        _write_batch(src, [_ev(6, "2024-01-01T13:00:00.000Z")], "b5")
+        q.processAllAvailable()
+        final = {
+            (str(r.window_start), r.n_events)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert ("2024-01-01 10:00:00", 2) in final
+        assert ("2024-01-01 10:00:00", 3) not in final, final
+    finally:
+        q.stop()
+
+
+def test_stateful_running_totals(spark, stream_dirs):
+    """applyInPandasWithState keeps per-user running totals across
+    micro-batches (state survives between triggers)."""
+    from tcrd_spark.streaming.jobs import (
+        read_event_stream,
+        run_to_memory_sink,
+        running_user_totals,
+    )
+
+    src, ckpt = stream_dirs
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    events = read_event_stream(spark, src)
+    q = run_to_memory_sink(running_user_totals(events), name, "update", ckpt)
+    try:
+        _write_batch(
+            src,
+            [
+                _ev(1, "2024-01-01T10:00:00.000Z", user=1, value=2.0),
+                _ev(2, "2024-01-01T10:01:00.000Z", user=1, value=3.0),
+                _ev(3, "2024-01-01T10:02:00.000Z", user=2, value=10.0),
+            ],
+            "b1",
+        )
+        q.processAllAvailable()
+        _write_batch(
+            src,
+            [_ev(4, "2024-01-01T11:00:00.000Z", user=1, value=5.0)],
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT * FROM {name} ORDER BY user_id, n_events"
+        ).collect()
+        # last update per user carries the running totals
+        latest = {r.user_id: (r.n_events, r.total_value) for r in rows}
+        assert latest[1] == (3, 10.0), rows
+        assert latest[2] == (1, 10.0), rows
+    finally:
+        q.stop()
+
+
+def test_batch_and_stream_same_builder(spark, stream_dirs):
+    """The tumbling builder gives identical results run as a batch
+    query and as a stream over the same rows (one-definition)."""
+    from tcrd_spark.streaming.jobs import EVENT_SCHEMA, read_event_stream, run_to_memory_sink
+    from tcrd_spark.streaming.windows import tumbling_counts
+
+    src, ckpt = stream_dirs
+    name = f"tb_{uuid.uuid4().hex[:8]}"
+    rows = [
+        _ev(1, "2024-01-01T10:05:00.000Z", etype="a", value=1.5),
+        _ev(2, "2024-01-01T10:55:00.000Z", etype="a", value=2.5),
+        _ev(3, "2024-01-01T11:05:00.000Z", etype="b", value=4.0),
+    ]
+    _write_batch(src, rows, "b1")
+
+    q = run_to_memory_sink(
+        tumbling_counts(read_event_stream(spark, src)), name, "complete", ckpt
+    )
+    try:
+        q.processAllAvailable()
+        stream_rows = sorted(
+            tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        batch_df = spark.read.schema(EVENT_SCHEMA).json(src)
+        batch_rows = sorted(tuple(r) for r in tumbling_counts(batch_df).collect())
+        # 10:05 + 10:55 share the 10:00 window; 11:05 gets its own
+        assert stream_rows == batch_rows and len(stream_rows) == 2
+    finally:
+        q.stop()
