@@ -33,6 +33,60 @@ def dark_points(pms: Column, rif_ct: Column, ab_ct: Column) -> Column:
     )
 
 
+def features_from_lake(lake: dict[str, DataFrame]) -> DataFrame:
+    """Build the TDL feature row per target from the domain tables —
+    the whole-lake replacement for get_target4tdlcalc's N+1 fan-out:
+    drug/cmpd counts from the activity tables, pms / ab_ct / efl_goa
+    from the EAV tdl_info rows, rif_ct from generif.
+    """
+    from tcrd_spark.api.adaptor import entity
+
+    ent = entity(lake).select("target_id", "protein_id")
+    drug = lake["drug_activity"].groupBy("target_id").agg(
+        F.sum(F.when(F.col("has_moa"), 1).otherwise(0)).alias("moa_drug_ct"),
+        F.count("*").alias("drug_ct"),
+    )
+    cmpd = lake["cmpd_activity"].groupBy("target_id").agg(
+        F.count("*").alias("cmpd_ct")
+    )
+    info = lake["tdl_info"]
+    pms = (
+        info.filter(F.col("itype") == "JensenLab PubMed Score")
+        .select("protein_id", F.col("number_value").alias("pms"))
+    )
+    ab = (
+        info.filter(F.col("itype") == "Ab Count")
+        .select("protein_id", F.col("integer_value").alias("ab_ct"))
+    )
+    efl = (
+        info.filter(F.col("itype") == "Experimental MF/BP Leaf Term GOA")
+        .select("protein_id", F.lit(True).alias("efl_goa"))
+        .distinct()
+    )
+    rif = lake["generif"].groupBy("protein_id").agg(
+        F.count("*").alias("rif_ct")
+    )
+    return (
+        ent.join(drug, "target_id", "left")
+        .join(cmpd, "target_id", "left")
+        .join(pms, "protein_id", "left")
+        .join(ab, "protein_id", "left")
+        .join(efl, "protein_id", "left")
+        .join(rif, "protein_id", "left")
+        .select(
+            "target_id",
+            "protein_id",
+            F.coalesce("moa_drug_ct", F.lit(0)).alias("moa_drug_ct"),
+            F.coalesce("drug_ct", F.lit(0)).alias("drug_ct"),
+            F.coalesce("cmpd_ct", F.lit(0)).alias("cmpd_ct"),
+            F.coalesce("pms", F.lit(0.0)).alias("pms"),
+            F.coalesce("rif_ct", F.lit(0)).alias("rif_ct"),
+            F.coalesce("ab_ct", F.lit(0)).alias("ab_ct"),
+            F.coalesce("efl_goa", F.lit(False)).alias("efl_goa"),
+        )
+    )
+
+
 def compute_tdl(features: DataFrame) -> DataFrame:
     """features columns: moa_drug_ct, drug_ct, cmpd_ct, pms, rif_ct,
     ab_ct, efl_goa (boolean). Adds (tdl, bump_flag)."""

@@ -1,0 +1,255 @@
+"""The DBAdaptor read surface, Spark-first.
+
+The reference's central execution pattern is an N+1 fan-out: ~40 point
+queries per target × 20,412 targets (`loaders/TCRD.py:1857-2125`,
+SURVEY §3-A). Every method here is the whole-table formulation: one
+plan, grouped joins, `collect_list(struct(...))` for the nested parts.
+`get_targets(ids)` is a filter on the same plan — the per-entity API
+falls out of the set-based one, never the other way around.
+
+All lake tables arrive as a dict[str, DataFrame] (`lake` argument) so
+the adaptor is storage-agnostic (parquet, Delta, temp views alike).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tcrd_spark.functions.eav import dereference
+
+
+def entity(lake: dict[str, DataFrame]) -> DataFrame:
+    """The universal 3-way access path target⋈t2tc⋈protein
+    (`SQL/create-TCRDv7.sql:2352` view; `loaders/TCRD.py:2267-2269`).
+    target is ~20k rows — both joins broadcast."""
+    t = lake["target"].select(
+        F.col("id").alias("target_id"),
+        F.col("name").alias("target_name"),
+        "ttype", "tdl", "idg", "fam", "famext",
+    )
+    bridge = lake["t2tc"]
+    p = lake["protein"]
+    return (
+        F.broadcast(t)
+        .join(bridge, "target_id")
+        .join(p, bridge.protein_id == p.id)
+        .drop("id")
+    )
+
+
+def find_targets(lake: dict[str, DataFrame], **criteria) -> DataFrame:
+    """find_targets(sym=..., uniprot=..., geneid=..., stringid=...,
+    name=..., tdl=..., fam=...) — conjunctive equality like the
+    reference's appended `AND p.<col> = %s` (`loaders/TCRD.py:
+    2266-2289`). Returns distinct target_ids."""
+    df = entity(lake)
+    colmap = {
+        "sym": "sym", "uniprot": "uniprot", "geneid": "geneid",
+        "stringid": "stringid", "name": "target_name",
+        "tdl": "tdl", "fam": "fam",
+    }
+    for k, v in criteria.items():
+        if k not in colmap:
+            raise KeyError(f"unsupported find_targets key: {k}")
+        df = df.filter(F.col(colmap[k]) == v)
+    return df.select("target_id").distinct()
+
+
+def find_targets_by_xref(
+    lake: dict[str, DataFrame], xtype: str, value: str
+) -> DataFrame:
+    """Two-branch xref lookup: target-attached ∪ protein-attached,
+    deduped (`loaders/TCRD.py:2300-2353`, union+set() at :2338-2342)."""
+    x = lake["xref"].filter(
+        (F.col("xtype") == xtype) & (F.col("value") == value)
+    )
+    direct = x.filter(F.col("target_id").isNotNull()).select("target_id")
+    via_protein = (
+        x.filter(F.col("protein_id").isNotNull())
+        .select("protein_id")
+        .join(lake["t2tc"], "protein_id")
+        .select("target_id")
+    )
+    return direct.unionByName(via_protein).distinct()
+
+
+def find_targets_by_alias(
+    lake: dict[str, DataFrame], atype: str, value: str
+) -> DataFrame:
+    """4-way alias join (`loaders/TCRD.py:2355-2392`)."""
+    a = lake["alias"].filter(
+        (F.col("type") == atype) & (F.col("value") == value)
+    )
+    return (
+        a.select("protein_id")
+        .join(lake["t2tc"], "protein_id")
+        .select("target_id")
+        .distinct()
+    )
+
+
+def get_beans(lake: dict[str, DataFrame]) -> DataFrame:
+    """Count dashboard (`loaders/TCRD.py:1711-1811` get_beans +
+    get_count_typecount): one row per (table, type) with row count —
+    all tables in one unioned aggregation pass."""
+    parts = []
+    typed = {
+        "tdl_info": "itype", "xref": "xtype", "expression": "etype",
+        "disease": "dtype", "pathway": "pwtype", "ppi": "ppitype",
+    }
+    for tbl, tcol in typed.items():
+        if tbl in lake:
+            parts.append(
+                lake[tbl]
+                .groupBy(F.lit(tbl).alias("table_name"), F.col(tcol).alias("type"))
+                .agg(F.count("*").alias("ct"))
+            )
+    for tbl in ("target", "protein", "alias", "goa", "generif"):
+        if tbl in lake:
+            parts.append(
+                lake[tbl].agg(
+                    F.lit(tbl).alias("table_name"),
+                    F.lit(None).cast("string").alias("type"),
+                    F.count("*").alias("ct"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _grouped_list(df: DataFrame, key: str, struct_cols: list[str], alias: str):
+    return df.groupBy(key).agg(
+        F.collect_list(F.struct(*struct_cols)).alias(alias)
+    )
+
+
+def target_documents(
+    lake: dict[str, DataFrame], target_ids: list[int] | None = None
+) -> DataFrame:
+    """The nested 'target document' — get_target(include_annotations=
+    True) for EVERY target in one plan (`loaders/TCRD.py:1857-1951` +
+    get_protein `:1953-2125`). ~20 point-queries per entity become ~8
+    grouped joins; xrefs arrive as a map type→list like the adaptor's
+    dict-of-lists (`:1988-1998`)."""
+    ent = entity(lake).withColumnRenamed("protein_id", "pid")
+    base = ent.select(
+        "target_id", "target_name", "ttype", "tdl", "idg", "fam",
+        F.col("pid").alias("protein_id"), "uniprot", "sym", "geneid",
+        "stringid",
+    )
+    if target_ids is not None:
+        base = base.filter(F.col("target_id").isin(target_ids))
+
+    # per-protein nested annotation arrays
+    infos = dereference(lake["tdl_info"], lake["info_type"]).select(
+        "protein_id", "itype", "value"
+    )
+    tdl_infos = infos.groupBy("protein_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("itype", "value")))
+        ).alias("tdl_infos")
+    )
+    aliases = _grouped_list(
+        lake["alias"].select("protein_id", "type", "value"),
+        "protein_id", ["type", "value"], "aliases",
+    )
+    # xrefs grouped by type into a map of value-lists (TCRD.py:1988-1998)
+    xrefs = (
+        lake["xref"]
+        .filter(F.col("protein_id").isNotNull())
+        .groupBy("protein_id", "xtype")
+        .agg(F.array_sort(F.collect_list("value")).alias("vals"))
+        .groupBy("protein_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("xtype", "vals")))
+            ).alias("xrefs")
+        )
+    )
+    goas = _grouped_list(
+        lake["goa"].select("protein_id", "go_id", "go_term", "evidence"),
+        "protein_id", ["go_id", "go_term", "evidence"], "goas",
+    )
+    exprs = _grouped_list(
+        lake["expression"].select(
+            "protein_id", "etype", "tissue", "qual_value", "number_value"
+        ),
+        "protein_id", ["etype", "tissue", "qual_value", "number_value"],
+        "expressions",
+    )
+    # target-attached annotations
+    diseases = (
+        lake["disease"]
+        .filter(F.col("target_id").isNotNull())
+        .select("target_id", "dtype", "name", "did", "zscore")
+        .groupBy("target_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("zscore", "dtype", "name", "did"))
+            ).alias("_d")
+        )
+        # ordered by zscore DESC like `loaders/TCRD.py:1905`
+        .select("target_id", F.reverse("_d").alias("diseases"))
+    )
+    drugs = _grouped_list(
+        lake["drug_activity"].select(
+            "target_id", "drug", "has_moa", "act_value", "act_type"
+        ),
+        "target_id", ["drug", "has_moa", "act_value", "act_type"],
+        "drug_activities",
+    )
+
+    out = (
+        base.join(tdl_infos, "protein_id", "left")
+        .join(aliases, "protein_id", "left")
+        .join(xrefs, "protein_id", "left")
+        .join(goas, "protein_id", "left")
+        .join(exprs, "protein_id", "left")
+        .join(diseases, "target_id", "left")
+        .join(drugs, "target_id", "left")
+    )
+    return out
+
+
+def export_wide_csv_df(lake: dict[str, DataFrame]) -> DataFrame:
+    """tcrd2csv-style flat export (`python/tcrd2csv.py:45-47,79-270`):
+    scalar columns + counts + pipe-joined lists + top-5 disease slice —
+    one wide SELECT instead of per-target flattening."""
+    doc = target_documents(lake)
+    return doc.select(
+        "target_id",
+        F.col("target_name").alias("name"),
+        "ttype",
+        "tdl",
+        "uniprot",
+        "sym",
+        "geneid",
+        F.size(F.coalesce(F.col("aliases"), F.array())).alias("alias_count"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.coalesce(F.col("aliases"), F.array()), lambda a: a["value"]
+                )
+            ),
+            "|",
+        ).alias("aliases_pipe"),
+        F.size(F.coalesce(F.col("goas"), F.array())).alias("goa_count"),
+        F.size(F.coalesce(F.col("expressions"), F.array())).alias(
+            "expression_count"
+        ),
+        # top-5 diseases by zscore desc (tcrd2csv.py:216 `[:5]`)
+        F.array_join(
+            F.transform(
+                F.slice(F.coalesce(F.col("diseases"), F.array()), 1, 5),
+                lambda d: d["name"],
+            ),
+            "|",
+        ).alias("top5_diseases"),
+        F.element_at(F.col("tdl_infos"), "JensenLab PubMed Score").alias(
+            "pubmed_score"
+        ),
+        F.element_at(F.col("tdl_infos"), "Ab Count").alias("ab_count"),
+    )
