@@ -95,12 +95,16 @@ def apsp_local(
     """Same result as apsp_iterative, computed as per-graph BFS inside
     applyInPandas — the KEGG shape: thousands of small graphs, one
     shuffle total."""
-    out_schema = f"{graph} long, {src} long, {dst} long, dist int"
+    dtypes = dict(edges.select(graph, src, dst).dtypes)
+    out_schema = (
+        f"{graph} {dtypes[graph]}, {src} {dtypes[src]}, "
+        f"{dst} {dtypes[dst]}, dist int"
+    )
 
     def bfs(pdf: pd.DataFrame) -> pd.DataFrame:
-        adj: dict[int, list[int]] = {}
+        adj: dict = {}
         for s, d in zip(pdf[src], pdf[dst]):
-            adj.setdefault(int(s), []).append(int(d))
+            adj.setdefault(s, []).append(d)
         g = pdf[graph].iloc[0]
         rows = []
         for start in sorted(adj):

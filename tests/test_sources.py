@@ -1,0 +1,167 @@
+"""Source-parser tests: OBO stanzas, GCT unpivot, UniProt XML entries,
+KGML graphs — synthetic minimal files exercising the reference's
+parse semantics."""
+
+from __future__ import annotations
+
+OBO_DOC = """format-version: 1.2
+ontology: doid
+
+[Term]
+id: DOID:1
+name: disease
+def: "A disposition." [url:x]
+xref: MESH:D004194
+xref: UMLS_CUI:C0012634
+
+[Term]
+id: DOID:2
+name: disease of anatomical entity
+is_a: DOID:1 ! disease
+synonym: "anatomical disease" EXACT []
+alt_id: DOID:3
+
+[Term]
+id: DOID:4
+name: gone
+is_obsolete: true
+is_a: DOID:2
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+GCT_DOC = """#1.2
+2\t3
+Name\tDescription\tGTEX-A-0001\tGTEX-A-0002\tGTEX-B-0001
+ENSG1\tgene one\t1.0\t2.0\t0.0
+ENSG2\tgene two\t5.5\t0.5\t4.5
+"""
+
+UNIPROT_ENTRY = """<entry xmlns="http://uniprot.org/uniprot" dataset="Swiss-Prot">
+  <accession>P12345</accession>
+  <accession>Q99999</accession>
+  <name>TEST_HUMAN</name>
+  <protein>
+    <recommendedName><fullName>Test protein</fullName></recommendedName>
+  </protein>
+  <gene>
+    <name type="primary">TST1</name>
+    <name type="synonym">TST1B</name>
+  </gene>
+  <dbReference type="GO" id="GO:0005524">
+    <property type="term" value="F:ATP binding"/>
+    <property type="evidence" value="ECO:0000255"/>
+  </dbReference>
+  <dbReference type="Ensembl" id="ENSG00000001"/>
+  <dbReference type="HGNC" id="HGNC:111"/>
+  <comment type="tissue specificity">
+    <text>Expressed in liver.</text>
+  </comment>
+  <feature type="active site" description="Proton acceptor">
+    <location><position position="41"/></location>
+  </feature>
+  <feature type="chain" description="Full chain">
+    <location><begin position="1"/><end position="300"/></location>
+  </feature>
+</entry>"""
+
+KGML_DOC = """<pathway name="path:hsa00001" org="hsa" number="00001">
+  <entry id="1" name="hsa:10" type="gene"/>
+  <entry id="2" name="hsa:20 hsa:21" type="gene"/>
+  <entry id="3" name="undefined" type="group">
+    <component id="1"/>
+    <component id="2"/>
+  </entry>
+  <entry id="4" name="hsa:30" type="gene"/>
+  <relation entry1="3" entry2="4" type="PPrel"/>
+</pathway>"""
+
+
+def test_obo_parser(spark, tmp_path):
+    from tcrd_spark.sources.obo import parent_edges, read_obo
+
+    p = tmp_path / "doid.obo"
+    p.write_text(OBO_DOC)
+    terms = {r.term_id: r for r in read_obo(spark, str(p)).collect()}
+    assert len(terms) == 3  # Typedef stanza ignored
+    assert terms["DOID:1"].name == "disease"
+    assert terms["DOID:1"].definition == "A disposition."
+    assert terms["DOID:1"].xrefs == ["MESH:D004194", "UMLS_CUI:C0012634"]
+    assert terms["DOID:2"].is_a == ["DOID:1"]
+    assert terms["DOID:2"].alt_ids == ["DOID:3"]
+    assert terms["DOID:2"].synonyms == ["anatomical disease"]
+    assert terms["DOID:4"].is_obsolete is True
+    edges = {(r.term_id, r.parent_id) for r in parent_edges(
+        read_obo(spark, str(p))).collect()}
+    assert edges == {("DOID:2", "DOID:1"), ("DOID:4", "DOID:2")}
+
+
+def test_gct_unpivot(spark, tmp_path):
+    from tcrd_spark.sources.gct import read_gct, sample_to_subject
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "x.gct"
+    p.write_text(GCT_DOC)
+    long = read_gct(spark, str(p), value_name="rpkm")
+    rows = {(r.gene, r.sample_id): r.rpkm for r in long.collect()}
+    assert len(rows) == 6
+    assert rows[("ENSG1", "GTEX-A-0002")] == 2.0
+    assert rows[("ENSG2", "GTEX-B-0001")] == 4.5
+    subj = {
+        r.sample_id: r.subj
+        for r in long.select(
+            "sample_id", sample_to_subject(F.col("sample_id")).alias("subj")
+        ).collect()
+    }
+    assert subj["GTEX-A-0001"] == "GTEX-A"
+
+
+def test_uniprot_entry_parser(spark):
+    from tcrd_spark.sources.uniprot_xml import entries_df
+
+    out = entries_df(spark, [UNIPROT_ENTRY]).collect()
+    assert len(out) == 1
+    e = out[0]
+    assert e.uniprot == "P12345"
+    assert e.name == "TEST_HUMAN"
+    assert e.description == "Test protein"
+    assert e.sym == "TST1"
+    assert ("uniprot", "Q99999") in [tuple(a) for a in e.aliases]
+    assert ("symbol", "TST1B") in [tuple(a) for a in e.aliases]
+    assert ("Ensembl", "ENSG00000001") in [tuple(x) for x in e.xrefs]
+    assert [tuple(g) for g in e.goas] == [
+        ("GO:0005524", "F:ATP binding", "ECO:0000255")
+    ]
+    feats = {f.ftype: (f.begin, f.end) for f in e.features}
+    assert feats["active site"] == (41, 41)
+    assert feats["chain"] == (1, 300)
+    assert [tuple(x) for x in e.expressions] == [
+        ("UniProt Tissue", "Expressed in liver.")
+    ]
+
+
+def test_kgml_graph_and_apsp(spark):
+    from tcrd_spark.operators.graph import apsp_local
+    from tcrd_spark.sources.kgml import kgml_edges
+
+    edges = kgml_edges(spark, [KGML_DOC])
+    got = {(r.src, r.dst) for r in edges.collect()}
+    # group {hsa:10, hsa:20, hsa:21} clique + group -> hsa:30 relation
+    assert ("hsa:10", "hsa:20") in got and ("hsa:20", "hsa:10") in got
+    assert ("hsa:10", "hsa:30") in got and ("hsa:21", "hsa:30") in got
+    assert ("hsa:30", "hsa:10") not in got  # relation is directed
+    sp = apsp_local(
+        edges.withColumnRenamed("pathway", "g")
+        .withColumn("src", spark_hash("src"))
+        .withColumn("dst", spark_hash("dst")),
+        "g", "src", "dst",
+    )
+    assert sp.count() > 0
+
+
+def spark_hash(col):
+    from pyspark.sql import functions as F
+
+    return F.xxhash64(col)
