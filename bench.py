@@ -54,6 +54,14 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_bruteforce",
     "ann_ivf",
+    # graph / streaming / multimodal
+    "apsp_min_merge",
+    "nearest_flagged",
+    "ancestor_closure",
+    "window_tumbling",
+    "window_session",
+    "multimodal_features",
+    "entity_tagging",
 ]
 
 

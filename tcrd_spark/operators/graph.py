@@ -214,7 +214,9 @@ def _order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges part[i] → part[i+1] — thousands of small DAGs, the KEGG
     pathway shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # (orderkey, linenumber) is NOT unique in the testdata — order by
+    # partkey too so lead() is deterministic across engines
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     return (
         li.select(
             F.col("l_orderkey").alias("g"),
@@ -284,7 +286,7 @@ _EDGES_SQL = """
     SELECT g, src, dst FROM (
       SELECT l_orderkey AS g, l_partkey AS src,
              lead(l_partkey) OVER (PARTITION BY l_orderkey
-                                   ORDER BY l_linenumber) AS dst
+                                   ORDER BY l_linenumber, l_partkey) AS dst
       FROM lineitem
     ) WHERE dst IS NOT NULL AND src != dst AND g % 50 = 0
 """

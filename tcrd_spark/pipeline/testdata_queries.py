@@ -50,6 +50,21 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TAG_DICT = ["spark", "query", "table", "stream", "window", "join"]
+
+
+def q_entity_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based entity tagging (`python/grant_tagger.py:1-30`
+    pattern): distinct dictionary terms mentioned per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            text.tag_dictionary_terms(F.col("text"), TAG_DICT), "|"
+        ).alias("mentions"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language-ID heuristic vs the labeled lang."""
     docs = load_table(spark, sf_dir, "documents")
@@ -133,6 +148,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "entity_tagging": q_entity_tagging,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -272,6 +288,14 @@ ORACLE = {
                      + (CASE WHEN np * 1.0 / nc < 0.1 THEN 0.25 ELSE 0 END)
                      + (ns * 1.0 / 6) * 0.25, 6) AS quality
         FROM f
+    """,
+    "entity_tagging": f"""
+        SELECT doc_id,
+               coalesce(array_to_string(list_sort(list_intersect(
+                   list_distinct({_TOKS}),
+                   ['spark', 'query', 'table', 'stream', 'window', 'join'])),
+                   '|'), '') AS mentions
+        FROM documents
     """,
     "lang_id": f"""
         SELECT doc_id, lang AS labeled_lang,

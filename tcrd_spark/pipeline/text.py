@@ -109,3 +109,18 @@ def lang_id(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: polynomial rolling hash over ws tokens."""
     return rolling_fingerprint(ws_tokens(text))
+
+
+def tag_dictionary_terms(text: Column | str, terms: list[str]) -> Column:
+    """Dictionary-based entity tagging: the distinct dictionary terms
+    mentioned in the document, sorted.
+
+    The reference shells out to the JensenLab C++ `tagger` over grant
+    text (`python/grant_tagger.py:1-30`); the engine-side pattern is a
+    broadcast dictionary matched per document — here the dictionary is
+    a literal array (small dictionaries); for megaword dictionaries,
+    explode tokens and semi-join a dictionary DataFrame instead."""
+    dict_arr = F.array(*[F.lit(t) for t in terms])
+    return F.array_sort(
+        F.array_intersect(F.array_distinct(ws_tokens(text)), dict_arr)
+    )
