@@ -90,44 +90,57 @@ def apsp_iterative(
 
 
 def apsp_local(
-    edges: DataFrame, graph: str, src: str, dst: str, max_hops: int = 10
+    edges: DataFrame,
+    graph: str,
+    src: str,
+    dst: str,
+    max_hops: int = 10,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """Same result as apsp_iterative, computed as per-graph BFS inside
     applyInPandas — the KEGG shape: thousands of small graphs, one
-    shuffle total."""
+    shuffle total.
+
+    Graphs are hashed into n_buckets and each task BFSes every graph
+    in its bucket: grouping by the raw graph key costs one Arrow
+    round-trip per GRAPH (~ms each — dominates wall at 10³-10⁶ tiny
+    graphs), grouping by bucket costs one per TASK. n_buckets bounds
+    task memory (bucket ≈ |edges|/n_buckets) and sets max parallelism."""
     dtypes = dict(edges.select(graph, src, dst).dtypes)
     out_schema = (
         f"{graph} {dtypes[graph]}, {src} {dtypes[src]}, "
         f"{dst} {dtypes[dst]}, dist int"
     )
 
-    def bfs(pdf: pd.DataFrame) -> pd.DataFrame:
-        adj: dict = {}
-        for s, d in zip(pdf[src], pdf[dst]):
-            adj.setdefault(s, []).append(d)
-        g = pdf[graph].iloc[0]
+    def bfs_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for start in sorted(adj):
-            seen = {start: 0}
-            q = deque([start])
-            while q:
-                u = q.popleft()
-                if seen[u] >= max_hops:
-                    continue
-                for v in adj.get(u, ()):
-                    if v not in seen:
-                        seen[v] = seen[u] + 1
-                        q.append(v)
-            rows += [
-                (g, start, node, d) for node, d in seen.items() if d > 0
-            ]
+        for g, sub in pdf.groupby(graph, sort=False):
+            adj: dict = {}
+            for s, d in zip(sub[src], sub[dst]):
+                adj.setdefault(s, []).append(d)
+            for start in sorted(adj):
+                seen = {start: 0}
+                q = deque([start])
+                while q:
+                    u = q.popleft()
+                    if seen[u] >= max_hops:
+                        continue
+                    for v in adj.get(u, ()):
+                        if v not in seen:
+                            seen[v] = seen[u] + 1
+                            q.append(v)
+                rows += [
+                    (g, start, node, d) for node, d in seen.items() if d > 0
+                ]
         return pd.DataFrame(rows, columns=[graph, src, dst, "dist"])
 
+    bucket = F.pmod(F.hash(F.col(graph)), F.lit(n_buckets))
     return (
         edges.select(graph, src, dst)
         .distinct()
-        .groupBy(graph)
-        .applyInPandas(bfs, out_schema)
+        .withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .applyInPandas(bfs_bucket, out_schema)
     )
 
 
@@ -178,28 +191,62 @@ def ancestor_paths(
     nodes: DataFrame, node: str, parent_fn, max_depth: int = 40
 ) -> DataFrame:
     """Walk a parent function to the root, emitting (node, ancestor,
-    depth≥1) — the get_protein_dto recursive classification path as an
-    iterate-to-fixpoint loop. parent_fn: Column -> Column (parent key
-    or NULL at the root)."""
-    base = nodes.select(
-        F.col(node),
-        parent_fn(F.col(node)).alias("ancestor"),
-        F.lit(1).alias("depth"),
-    ).filter(F.col("ancestor").isNotNull())
-    out = base
-    frontier = _truncate(base)
-    for _ in range(max_depth):
-        frontier = _truncate(
-            frontier.select(
-                F.col(node),
-                parent_fn(F.col("ancestor")).alias("ancestor"),
-                (F.col("depth") + 1).alias("depth"),
-            ).filter(F.col("ancestor").isNotNull())
+    depth≥1) — the get_protein_dto recursive classification path
+    (`loaders/TCRD.py:2127-2137`). parent_fn: Column -> Column (parent
+    key or NULL at the root).
+
+    Because the parent is a pure column FUNCTION (not a lookup table),
+    the whole walk is row-local: F.aggregate over sequence(2..max_depth)
+    appends parent(last) to an accumulator array, then explode — one
+    job and zero shuffles versus max_depth driver-loop jobs with an
+    isEmpty() action each. (Symbolic unrolling `p(p(…p(x)))` is NOT an
+    option: a parent body referencing its argument k times grows the
+    expression k^depth — the aggregate lambda is one expression
+    evaluated iteratively at runtime.) Table-driven parents
+    (do_parent/uberon_parent edges) use ancestor_closure_edges."""
+    first = parent_fn(F.col(node))
+    init = F.filter(
+        F.array(F.struct(first.alias("ancestor"), F.lit(1).alias("depth"))),
+        lambda s: s["ancestor"].isNotNull(),
+    )
+
+    def step(acc, d):
+        nxt = parent_fn(F.element_at(acc, -1)["ancestor"])
+        grown = F.concat(
+            acc, F.array(F.struct(nxt.alias("ancestor"), d.alias("depth")))
         )
-        if frontier.isEmpty():
-            break
-        out = out.unionByName(frontier)
-    return out
+        # append only while the walk is still alive: exactly d-1 entries
+        # so far (no earlier termination) and the next parent exists
+        return F.when(
+            (F.size(acc) == d - 1) & nxt.isNotNull(), grown
+        ).otherwise(acc)
+
+    walk = F.aggregate(
+        F.sequence(F.lit(2), F.lit(max_depth)), init, step
+    )
+    return nodes.select(F.col(node), F.explode(walk).alias("_s")).select(
+        node,
+        F.col("_s.ancestor").alias("ancestor"),
+        F.col("_s.depth").alias("depth"),
+    )
+
+
+def ancestor_closure_edges(
+    parents: DataFrame, child: str, parent: str, max_depth: int = 40
+) -> DataFrame:
+    """Transitive ancestor closure of a parent-EDGE table — the
+    do_parent / uberon_parent / mpo.parent_id ontology DAGs
+    (`SQL/create-TCRDv7.sql:446,2229,1165`). Returns (node, ancestor,
+    depth) with depth = min hop count. Iterative join-to-fixpoint
+    (apsp_iterative) since the parent relation is data, not a
+    function; ontology DAG depth is small and bounded."""
+    e = parents.select(
+        F.lit(1).alias("_g"),
+        F.col(child).alias("node"),
+        F.col(parent).alias("ancestor"),
+    )
+    out = apsp_iterative(e, "_g", "node", "ancestor", max_hops=max_depth)
+    return out.select("node", "ancestor", F.col("dist").alias("depth"))
 
 
 # ------------------------------------------------- testdata bindings
