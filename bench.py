@@ -37,6 +37,9 @@ HEADLINE = [
     "string_funcs",
     "json_extract",
     "date_funcs",
+    # API lifecycles (SURVEY §3-A/§3-B)
+    "nested_document",
+    "wide_export",
     # derived analytics (SURVEY §2.10)
     "tdl_classification",
     "tau_continuous",

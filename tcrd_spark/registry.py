@@ -27,7 +27,8 @@ def _collect():
         except ImportError:
             pass
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
-                    "pipeline.multimodal", "streaming.testdata_queries"):
+                    "pipeline.multimodal", "streaming.testdata_queries",
+                    "api.testdata_queries"):
         try:
             import importlib
 
