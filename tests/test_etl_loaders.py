@@ -1,0 +1,121 @@
+"""End-to-end loader pipelines (FIXTURES.md §B2/B3/B8, hand-computed
+expectations per §C conventions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.tcrd_fixtures import build_lake
+
+
+@pytest.fixture(scope="module")
+def lake(spark):
+    return build_lake(spark)
+
+
+def test_stringdb_loader(spark, lake, tmp_path):
+    # B8: header + links; one non-9606 row (skipped), one unknown ENSP
+    # (notfnd). Fixture stringids are 9606.ENSP0000000{1..6} → P11..P16.
+    links = tmp_path / "links.txt"
+    links.write_text(
+        "protein1 protein2 combined_score\n"
+        "9606.ENSP00000001 9606.ENSP00000002 900\n"
+        "9606.ENSP00000002 9606.ENSP00000003 150\n"
+        "9606.ENSP00000001 9606.ENSP99999999 400\n"   # unknown endpoint 2
+        "10090.ENSMUSP0001 9606.ENSP00000002 500\n"   # non-human: skipped
+    )
+    from tcrd_spark.etl.loaders import load_stringdb_ppi
+
+    out = load_stringdb_ppi(spark, str(links), lake["protein"])
+    edges = {
+        (r.protein1_id, r.protein2_id, r.score)
+        for r in out.ppi.collect()
+    }
+    assert edges == {(11, 12, 900.0), (12, 13, 150.0)}
+    assert out.notfnd.count() == 1  # the unknown-endpoint row only
+    assert out.ppi.schema["ppitype"].dataType.simpleString() == "string"
+
+
+def test_pmscores_loader(spark, lake, tmp_path):
+    # B2: ENSP<TAB>year<TAB>score over 2 proteins; P13..P16 get no rows
+    # → zero-filled sums (InsZeroJLPMSs). One unknown ENSP → notfnd.
+    tsv = tmp_path / "protein_counts.tsv"
+    tsv.write_text(
+        "ENSP00000001\t2019\t1.5\n"
+        "ENSP00000001\t2020\t2.25\n"
+        "ENSP00000002\t2020\t4.0\n"
+        "ENSP99999999\t2020\t9.9\n"
+    )
+    from tcrd_spark.etl.loaders import PMSCORE_ITYPE, load_jensenlab_pmscores
+
+    out = load_jensenlab_pmscores(spark, str(tsv), lake["protein"])
+    assert out.pmscore.count() == 3
+    assert out.notfnd.count() == 1
+    sums = {
+        r.protein_id: r.number_value
+        for r in out.tdl_info.filter(F.col("itype") == PMSCORE_ITYPE).collect()
+    }
+    # running sum per protein (load-JensenLabPubMedScores.py:104-131)
+    assert sums[11] == pytest.approx(3.75)
+    assert sums[12] == pytest.approx(4.0)
+    # zero-fill covers EVERY protein in the dimension
+    assert set(sums) == {r.id for r in lake["protein"].select("id").collect()}
+    assert sums[13] == 0.0
+
+
+def test_gtex_loader(spark, lake, tmp_path):
+    # B3: GCT with 2 skip lines; 2 genes × 4 samples = 2 tissues × 2
+    # subjects (one M, one F); one ENSGR row (dropped) and versioned
+    # ENSG names (suffix stripped). Medians are over a single value per
+    # (gene, tissue, sex) here, so levels are hand-derivable.
+    gct = tmp_path / "expr.gct"
+    gct.write_text(
+        "#1.2\n"
+        "3\t4\n"
+        "Name\tDescription\tGT-AAA-0001\tGT-AAA-0002\tGT-BBB-0001\tGT-BBB-0002\n"
+        "ENSG000001.5\tgeneA\t0.0\t2.0\t4.0\t8.0\n"
+        "ENSG000002.1\tgeneB\t1.0\t1.0\t1.0\t1.0\n"
+        "ENSGR0000999.1\tpar\t5.0\t5.0\t5.0\t5.0\n"
+    )
+    attrs = spark.createDataFrame(
+        [
+            ("GT-AAA-0001", "Liver"),
+            ("GT-AAA-0002", "Brain"),
+            ("GT-BBB-0001", "Liver"),
+            ("GT-BBB-0002", "Brain"),
+        ],
+        "SAMPID string, SMTSD string",
+    )
+    phenos = spark.createDataFrame(
+        [("GT-AAA", 1), ("GT-BBB", 2)], "SUBJID string, GENDER int"
+    )
+    # fixture xref: ENSG000001→P11, ENSG000002→P12 (Ensembl rows)
+    xref = (
+        lake["xref"]
+        .filter((F.col("xtype") == "Ensembl") & F.col("protein_id").isNotNull())
+        .select("protein_id", "value")
+        .dropDuplicates(["value"])
+    )
+    from tcrd_spark.etl.loaders import load_gtex
+
+    out = load_gtex(spark, str(gct), attrs, phenos, xref)
+    rows = {
+        (r.protein_id, r.tissue, r.sex): (r.qual_value, r.number_value)
+        for r in out.expression.collect()
+    }
+    # ENSGR dropped; 2 genes × 2 tissues × 2 sexes, both ENSGs resolve
+    assert len(rows) == 8
+    # geneA M: Liver 0.0 → rank 0 → Not detected; Brain 2.0 → top rank
+    assert rows[(11, "Liver", "M")] == ("Not detected", 0.0)
+    assert rows[(11, "Brain", "M")][0] == "High"
+    # geneB: all-equal nonzero values → average frac rank 0.75 → High
+    assert rows[(12, "Liver", "F")][0] == "High"
+    taus = {(r.protein_id, r.sex): r.tau for r in out.tau.collect()}
+    assert len(taus) == 4
+    # 2 tissues → bins 1,2 → tau = (1−1/2 + 1−2/2)/(2−1) = 0.5; ties
+    # split across ntile bins per the documented cut2 deviation
+    # (analytics/tau.py module docstring), so geneB's equal values give
+    # the same 0.5, not 0
+    assert taus[(11, "F")] == pytest.approx(0.5)
+    assert taus[(12, "M")] == pytest.approx(0.5)
