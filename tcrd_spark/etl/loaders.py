@@ -134,6 +134,50 @@ def load_jensenlab_pmscores(
     return PmScoreLoad(pmscore=pmscore, tdl_info=tdl_info, notfnd=res.unresolved)
 
 
+CONSENSUS_ETYPES = ("HPA", "HPM Gene", "HPM Protein")
+ORDINAL_LEVELS = {"Not detected": 0, "Low": 1, "Medium": 2, "High": 3}
+
+
+def load_consensus_expressions(
+    spark: SparkSession,
+    expression: DataFrame,
+    tissue_map_csv: str,
+    etypes: tuple[str, ...] = CONSENSUS_ETYPES,
+) -> DataFrame:
+    """Consensus expression lifecycle (`loaders/load-
+    ConsensusExpressions.py:68-156`): qualitative expression rows from
+    the contributing etypes, tissues lower-cased and mapped through the
+    Tissues_Typed CSV (cols tissue,_,TissueType — `data/
+    Tissues_Typed_v2.1.csv:1`; unmapped tissues are skipped like the
+    reference's `if tissue not in tmap: continue`), ordinal-encoded,
+    then the mode+confidence decision table per (protein, mapped
+    tissue). Returns (protein_id, tissue, n0..n3, consensus_level,
+    consensus_name, confidence)."""
+    from tcrd_spark.analytics.consensus import consensus
+
+    raw_map = spark.read.csv(tissue_map_csv, header=True)
+    c = raw_map.columns
+    tmap = F.broadcast(
+        raw_map.select(
+            F.lower(F.col(c[0])).alias("tissue_lc"),
+            F.col(c[2]).alias("tissue"),
+        ).dropDuplicates(["tissue_lc"])
+    )
+    lvl = F.col("qual_value")
+    ordinal = F.when(lvl == "Not detected", 0)
+    for name, i in list(ORDINAL_LEVELS.items())[1:]:
+        ordinal = ordinal.when(lvl == name, i)
+    rows = (
+        expression.filter(F.col("etype").isin(*etypes))
+        .withColumn("tissue_lc", F.lower("tissue"))
+        .drop("tissue")
+        .join(tmap, "tissue_lc")
+        .select("protein_id", "tissue", ordinal.alias("lv"))
+        .filter(F.col("lv").isNotNull())
+    )
+    return consensus(rows, ["protein_id", "tissue"], "lv")
+
+
 @dataclass
 class GtexLoad:
     expression: DataFrame    # (etype, protein_id, tissue, sex,

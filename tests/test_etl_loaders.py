@@ -64,6 +64,41 @@ def test_pmscores_loader(spark, lake, tmp_path):
     assert sums[13] == 0.0
 
 
+def test_consensus_loader(spark, lake, tmp_path):
+    # B5: expression rows over 2 proteins; 'Kidney' missing from the
+    # tissue map (skipped); 'liver'/'Liver' merge through lower-casing.
+    tmap = tmp_path / "tissues_typed.csv"
+    tmap.write_text(
+        "tissue,unused,TissueType\n"
+        "liver,x,Liver-Typed\n"
+        "brain,x,Brain-Typed\n"
+    )
+    exp = spark.createDataFrame(
+        [
+            (11, "HPA", "Liver", "High"),
+            (11, "HPM Gene", "liver", "High"),
+            (11, "HPA", "Brain", "Low"),
+            (11, "HPA", "Kidney", "High"),      # unmapped: skipped
+            (11, "GTEx", "Liver", "Low"),       # etype not contributing
+            (12, "HPM Protein", "Brain", "Medium"),
+        ],
+        "protein_id int, etype string, tissue string, qual_value string",
+    )
+    from tcrd_spark.etl.loaders import load_consensus_expressions
+
+    out = load_consensus_expressions(spark, exp, str(tmap))
+    rows = {
+        (r.protein_id, r.tissue): (r.consensus_name, r.confidence)
+        for r in out.collect()
+    }
+    # two High votes agree → mode High; support 2 → confidence 2
+    assert rows[(11, "Liver-Typed")] == ("High", 2)
+    # single votes → depth-0/1 rungs of the ladder
+    assert rows[(11, "Brain-Typed")][0] == "Low"
+    assert rows[(12, "Brain-Typed")][0] == "Medium"
+    assert len(rows) == 3
+
+
 def test_gtex_loader(spark, lake, tmp_path):
     # B3: GCT with 2 skip lines; 2 genes × 4 samples = 2 tissues × 2
     # subjects (one M, one F); one ENSGR row (dropped) and versioned
