@@ -120,6 +120,101 @@ def get_beans(lake: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+DOMAIN_XTYPES = ("Pfam", "InterPro", "PROSITE")
+
+
+def get_target_features(lake: dict[str, DataFrame]) -> DataFrame:
+    """Distinct protein domain features across the three domain xref
+    namespaces, unioned and deduped (`loaders/TCRD.py:2422-2608`
+    get_target_features appends Pfam ∪ InterPro ∪ PROSITE)."""
+    x = lake["xref"].filter(
+        F.col("xtype").isin(*DOMAIN_XTYPES)
+        & F.col("protein_id").isNotNull()
+    )
+    return x.select("protein_id", "xtype", "value").distinct()
+
+
+def get_common_pathway(
+    lake: dict[str, DataFrame], pid1: int, pid2: int, pwtype: str = "KEGG"
+) -> DataFrame:
+    """Pathway names shared by two proteins — the reference's pathway
+    self-join on name (`loaders/TCRD.py:2871-2883`), expressed as the
+    intersect of the two name sets."""
+    pw = lake["pathway"].filter(F.col("pwtype") == pwtype)
+    a = pw.filter(F.col("protein_id") == pid1).select("name")
+    b = pw.filter(F.col("protein_id") == pid2).select("name")
+    return a.intersect(b)
+
+
+def get_nearest_tclin(lake: dict[str, DataFrame]) -> DataFrame:
+    """Nearest-Tclin over kegg_distance, both directions, ties kept
+    (`loaders/TCRD.py:2800-2869`; `loaders/load-KEGGNearestTclins.py:
+    83-110`). The reference runs 2 MIN-then-requery queries per
+    non-Tclin protein; here each direction is one join + rank window
+    for ALL proteins (operators/graph.py nearest_flagged). Returns
+    (protein_id, direction up/downstream, tclin_id, distance)."""
+    from tcrd_spark.operators.graph import nearest_flagged
+
+    tclin_pids = (
+        lake["target"]
+        .filter(F.col("tdl") == "Tclin")
+        .select(F.col("id").alias("target_id"))
+        .join(lake["t2tc"], "target_id")
+        .select(F.col("protein_id").alias("tclin_id"))
+        .distinct()
+    )
+    kd = lake["kegg_distance"].select(
+        F.col("pid1"), F.col("pid2"), F.col("distance")
+    )
+    # downstream: self is pid1, flagged target is pid2
+    down = nearest_flagged(
+        kd.select(F.col("pid1").alias("protein_id"),
+                  F.col("pid2").alias("other"), "distance"),
+        tclin_pids, "protein_id", "other", "tclin_id",
+    ).select("protein_id", F.lit("downstream").alias("direction"),
+             F.col("other").alias("tclin_id"), "distance")
+    # upstream: self is pid2, flagged target is pid1
+    up = nearest_flagged(
+        kd.select(F.col("pid2").alias("protein_id"),
+                  F.col("pid1").alias("other"), "distance"),
+        tclin_pids, "protein_id", "other", "tclin_id",
+    ).select("protein_id", F.lit("upstream").alias("direction"),
+             F.col("other").alias("tclin_id"), "distance")
+    both = down.unionByName(up)
+    # only non-Tclin proteins get rows (load-KEGGNearestTclins.py:83)
+    return both.join(
+        tclin_pids.withColumnRenamed("tclin_id", "protein_id"),
+        "protein_id",
+        "left_anti",
+    )
+
+
+def get_protein_dto(lake: dict[str, DataFrame]) -> DataFrame:
+    """DTO classification path per protein — the reference walks the
+    dto.parent_id chain recursively per protein (`loaders/TCRD.py:
+    2127-2137` get_protein_dto). One ancestor-closure pass over the
+    dto edge table serves every protein at once. Returns
+    (protein_id, dtoid, ancestor, depth); depth 0 is the node itself."""
+    from tcrd_spark.operators.graph import ancestor_closure_edges
+
+    dto = lake["dto"]
+    edges = dto.filter(F.col("parent_id").isNotNull()).select(
+        F.col("id").alias("child"), F.col("parent_id").alias("parent")
+    )
+    closure = ancestor_closure_edges(edges, "child", "parent")
+    p = lake["protein"].filter(F.col("dtoid").isNotNull()).select(
+        F.col("id").alias("protein_id"), F.col("dtoid")
+    )
+    self_rows = p.select(
+        "protein_id", "dtoid",
+        F.col("dtoid").alias("ancestor"), F.lit(0).alias("depth"),
+    )
+    walked = p.join(
+        closure.withColumnRenamed("node", "dtoid"), "dtoid"
+    ).select("protein_id", "dtoid", "ancestor", "depth")
+    return self_rows.unionByName(walked)
+
+
 def _grouped_list(df: DataFrame, key: str, struct_cols: list[str], alias: str):
     return df.groupBy(key).agg(
         F.collect_list(F.struct(*struct_cols)).alias(alias)

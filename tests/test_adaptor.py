@@ -153,3 +153,103 @@ def test_resolve_cascade_and_zero_fill(spark, lake):
         for r in zero_fill(base, scores, "protein_id", "score").collect()
     }
     assert filled[11] == 10.0 and filled[12] == 0.0
+
+
+def test_get_target_features_domain_union(spark, lake):
+    from tcrd_spark.api.adaptor import get_target_features
+
+    extra = spark.createDataFrame(
+        [
+            (50, "Pfam", None, 11, "PF001", 1),
+            (51, "Pfam", None, 11, "PF001", 1),      # duplicate: deduped
+            (52, "InterPro", None, 11, "IPR9", 1),
+            (53, "PROSITE", None, 12, "PS77", 1),
+            (54, "Pfam", None, None, "PF-orphan", 1),  # no protein: dropped
+        ],
+        "id int, xtype string, target_id int, protein_id int, "
+        "value string, dataset_id int",
+    )
+    lake2 = {
+        **lake,
+        "xref": lake["xref"].unionByName(extra, allowMissingColumns=True),
+    }
+    feats = {
+        (r.protein_id, r.xtype, r.value)
+        for r in get_target_features(lake2).collect()
+    }
+    assert feats == {
+        (11, "Pfam", "PF001"),
+        (11, "InterPro", "IPR9"),
+        (12, "PROSITE", "PS77"),
+    }
+
+
+def test_get_common_pathway(spark, lake):
+    from tcrd_spark.api.adaptor import get_common_pathway
+
+    extra = spark.createDataFrame(
+        [
+            (10, 12, "KEGG", "pw1"),        # shared with P11's pw1
+            (11, 12, "KEGG", "pw-only-12"),
+            (12, 11, "Reactome", "pw-react"),
+        ],
+        "id int, protein_id int, pwtype string, name string",
+    )
+    lake2 = {
+        **lake,
+        "pathway": lake["pathway"].unionByName(extra, allowMissingColumns=True),
+    }
+    names = [r.name for r in get_common_pathway(lake2, 11, 12).collect()]
+    assert names == ["pw1"]
+
+
+def test_get_nearest_tclin_directions_and_ties(spark, lake):
+    from tcrd_spark.api.adaptor import get_nearest_tclin
+
+    # fixture TDLs: tdl set per target? force: targets 1,2 -> Tclin via
+    # override; proteins 11,12 are their components.
+    target = lake["target"].withColumn(
+        "tdl",
+        F.when(F.col("id").isin(1, 2), "Tclin").otherwise(F.col("tdl")),
+    )
+    kd = spark.createDataFrame(
+        [
+            (13, 11, 2),   # downstream: 13 -> Tclin 11 at 2
+            (13, 12, 2),   # tie at distance 2, kept
+            (13, 11, 5),   # non-minimal, dropped by rank window
+            (11, 13, 4),   # upstream for 13: Tclin 11 -> 13
+            (11, 12, 1),   # between two Tclins: filtered (12 is Tclin)
+        ],
+        "pid1 int, pid2 int, distance int",
+    )
+    lake2 = {**lake, "target": target, "kegg_distance": kd}
+    rows = {
+        (r.protein_id, r.direction, r.tclin_id): r.distance
+        for r in get_nearest_tclin(lake2).collect()
+    }
+    assert rows == {
+        (13, "downstream", 11): 2,
+        (13, "downstream", 12): 2,   # tie kept like the reference requery
+        (13, "upstream", 11): 4,
+    }
+
+
+def test_get_protein_dto_path(spark, lake):
+    from tcrd_spark.api.adaptor import get_protein_dto
+
+    dto = spark.createDataFrame(
+        [
+            ("DTO:root", "root", None),
+            ("DTO:mid", "mid", "DTO:root"),
+            ("DTO:leaf", "leaf", "DTO:mid"),
+        ],
+        "id string, name string, parent_id string",
+    )
+    protein = lake["protein"].withColumn(
+        "dtoid", F.when(F.col("id") == 11, "DTO:leaf")
+    )
+    lake2 = {**lake, "dto": dto, "protein": protein}
+    path = {
+        (r.ancestor, r.depth) for r in get_protein_dto(lake2).collect()
+    }
+    assert path == {("DTO:leaf", 0), ("DTO:mid", 1), ("DTO:root", 2)}
