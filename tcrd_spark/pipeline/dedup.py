@@ -232,8 +232,15 @@ def minhash_lsh_pairs(
     assert n_perms % bands == 0
     r = n_perms // bands
     # reused by the signature branch and both verify sides — cache so
-    # the tokenize→md5 lineage runs once (one row per doc)
-    sh = hashed_shingles(df, id_col, text_col, n).cache()
+    # the tokenize→md5 lineage runs once (one row per doc). Shingle-less
+    # docs (< n tokens) are excluded: they cannot be near-dups, and
+    # their all-null signatures would otherwise co-bucket every such
+    # doc and divide 0/0 in the Jaccard verify.
+    sh = (
+        hashed_shingles(df, id_col, text_col, n)
+        .filter(F.size("hs") > 0)
+        .cache()
+    )
     # signature from the pre-hashed shingle array: each perm is pure
     # arithmetic over h — the md5 is computed ONCE per shingle, not
     # once per (shingle, permutation)

@@ -1,0 +1,129 @@
+"""Property-based checks (hypothesis) for the dedup family.
+
+The reference has no tests (SURVEY §5); these pin the algebraic
+invariants the oracle can't express per-query:
+- prefix-filtered n-gram Jaccard is EXACT (equals brute force);
+- LSH verify output is a subset of the exact pairs (no false
+  positives survive the verify join);
+- exact_dedup partitions the corpus (group sizes sum to N, min-id
+  representative);
+- simhash pairs respect the Hamming bound.
+
+Few examples, small corpora: every example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+
+
+def _spark_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _brute_force_jaccard(texts, n=2, threshold=0.3):
+    def sh(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 6) >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+@given(texts=docs_strategy)
+@SETTINGS
+def test_ngram_jaccard_matches_brute_force(spark, texts):
+    from tcrd_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _spark_docs(spark, texts), "doc_id", "text", n=2, threshold=0.3
+        ).collect()
+    }
+    assert got == pytest.approx(_brute_force_jaccard(texts))
+
+
+@given(texts=docs_strategy)
+@SETTINGS
+def test_minhash_lsh_subset_of_exact(spark, texts):
+    from tcrd_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = _spark_docs(spark, texts)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.3
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", n=2, n_perms=16, bands=8, threshold=0.3
+        ).collect()
+    }
+    # verify step removes every false positive → subset with equal J
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k])
+
+
+@given(texts=docs_strategy)
+@SETTINGS
+def test_exact_dedup_partitions_corpus(spark, texts):
+    from tcrd_spark.pipeline.dedup import exact_dedup
+
+    df = _spark_docs(spark, texts)
+    groups = exact_dedup(df, "doc_id", "text").collect()
+    assert sum(g.dup_ct for g in groups) == len(texts)
+    # representative is the min doc_id of its content group
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    expected_keeps = {min(v) for v in by_text.values()}
+    assert {g.keep_id for g in groups} == expected_keeps
+
+
+@given(texts=docs_strategy, max_h=st.integers(min_value=0, max_value=4))
+@SETTINGS
+def test_simhash_pairs_respect_hamming_bound(spark, texts, max_h):
+    from tcrd_spark.pipeline.dedup import simhash_pairs
+
+    rows = simhash_pairs(
+        _spark_docs(spark, texts), "doc_id", "text", max_hamming=max_h
+    ).collect()
+    assert all(r.hamming <= max_h for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
