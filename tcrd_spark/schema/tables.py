@@ -7,10 +7,12 @@ decimal(34,16) at :2135, clinvar), AUTO_INCREMENT ids → deterministic
 surrogate ids (see surrogate_id) because child tables FK by id and ids
 must be stable across runs.
 
-Only the core entity slice + the highest-traffic annotation tables are
-declared explicitly; they establish the pattern (name-keyed dimension
-dictionaries, typed-EAV annotation tables, M:N bridges) that the
-remaining ~50 follow.
+65 of the reference's ~75 tables are declared — the core entity
+triple, every type dictionary, the ontology DAGs, graph/pairwise
+relations, year-keyed time series, the text corpus, the big fact
+tables (gene_attribute/lincs), TIN-X + HGram outputs, and the
+annotation tables. Omitted: single-use operational scratch tables
+with no query surface in the adaptor.
 """
 
 from __future__ import annotations
@@ -239,6 +241,367 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("column_name", StringType(), True),
         ("where_clause", StringType(), True),
         ("comment", StringType(), True),
+    ),
+    # --- type dictionaries (create-TCRDv7.sql:188,250,274,398,633,
+    #     725,1446,1515,1606,2320) — name-keyed dims, broadcast-joined
+    "data_type": _s(("name", StringType(), False)),
+    "cmpd_activity_type": _s(
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+    ),
+    "compartment_type": _s(
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+    ),
+    "disease_type": _s(
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+    ),
+    "expression_type": _s(
+        ("name", StringType(), False),
+        ("data_type", StringType(), False),   # enum DATA_TYPES
+        ("description", StringType(), True),
+    ),
+    "pathway_type": _s(
+        ("name", StringType(), False),
+        ("url", StringType(), True),
+    ),
+    "phenotype_type": _s(
+        ("name", StringType(), False),
+        ("ontology", StringType(), True),
+        ("description", StringType(), True),
+    ),
+    "ppi_type": _s(
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+        ("url", StringType(), True),
+    ),
+    "xref_type": _s(
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+        ("url", StringType(), True),
+        ("eg_q_url", StringType(), True),
+    ),
+    "gene_attribute_type": _s(
+        ("id", LongType(), False),
+        ("name", StringType(), False),
+        ("association", StringType(), True),
+        ("description", StringType(), True),
+        ("resource_group", StringType(), True),
+        ("measurement", StringType(), True),
+        ("attribute_group", StringType(), True),
+        ("attribute_type", StringType(), True),
+        ("pubmed_ids", StringType(), True),
+        ("url", StringType(), True),
+    ),
+    # --- ontology DAGs (:422,446,470,560,1162,1841,1865,2204,2229,2253)
+    "do": _s(
+        ("doid", StringType(), False),
+        ("name", StringType(), False),
+        ("def", StringType(), True),
+    ),
+    "do_parent": _s(
+        ("doid", StringType(), False),
+        ("parent_id", StringType(), False),
+    ),
+    "do_xref": _s(
+        ("doid", StringType(), False),
+        ("db", StringType(), False),
+        ("value", StringType(), False),
+    ),
+    "dto": _s(
+        ("dtoid", StringType(), False),
+        ("name", StringType(), False),
+        ("parent_id", StringType(), True),    # self-FK (:563)
+        ("def", StringType(), True),
+    ),
+    "mpo": _s(
+        ("mpid", StringType(), False),
+        ("parent_id", StringType(), True),
+        ("name", StringType(), False),
+        ("def", StringType(), True),
+    ),
+    "rdo": _s(
+        ("doid", StringType(), False),
+        ("name", StringType(), False),
+        ("def", StringType(), True),
+    ),
+    "uberon": _s(
+        ("uid", StringType(), False),
+        ("name", StringType(), False),
+        ("def", StringType(), True),
+        ("comment", StringType(), True),
+    ),
+    "uberon_parent": _s(
+        ("uid", StringType(), False),
+        ("parent_id", StringType(), False),
+    ),
+    "uberon_xref": _s(
+        ("uid", StringType(), False),
+        ("db", StringType(), False),
+        ("value", StringType(), False),
+    ),
+    # --- graphs / pairwise relations (:1014,1043,919,1267)
+    "kegg_distance": _s(
+        ("id", LongType(), False),
+        ("pid1", LongType(), False),
+        ("pid2", LongType(), False),
+        ("distance", IntegerType(), False),
+    ),
+    "kegg_nearest_tclin": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("tclin_id", LongType(), False),
+        ("direction", StringType(), False),   # enum up/downstream (:1047)
+        ("distance", IntegerType(), False),
+    ),
+    "homologene": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), True),
+        ("nhprotein_id", LongType(), True),
+        ("groupid", LongType(), False),
+        ("taxid", LongType(), False),
+    ),
+    "ortholog": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("taxid", LongType(), False),
+        ("species", StringType(), False),
+        ("db_id", StringType(), True),
+        ("geneid", LongType(), True),
+        ("symbol", StringType(), True),
+        ("name", StringType(), True),
+        ("mod_url", StringType(), True),
+        ("sources", StringType(), False),
+    ),
+    # --- time series by year (:1722,1384)
+    "ptscore": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("year", IntegerType(), False),
+        ("score", DecimalType(12, 6), False),
+    ),
+    "patent_count": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("year", IntegerType(), False),
+        ("count", IntegerType(), False),
+    ),
+    # --- text corpus (:1749,1667)
+    "pubmed": _s(
+        ("id", LongType(), False),
+        ("title", StringType(), False),
+        ("journal", StringType(), True),
+        ("date", StringType(), True),         # varchar(10) in the DDL
+        ("authors", StringType(), True),
+        ("abstract", StringType(), True),
+    ),
+    "protein2pubmed": _s(
+        ("protein_id", LongType(), False),
+        ("pubmed_id", LongType(), False),
+    ),
+    # --- big fact tables (:695 65.5M rows; :1073 84M rows)
+    "gene_attribute": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("gat_id", LongType(), False),
+        ("name", StringType(), False),
+        ("value", IntegerType(), False),
+    ),
+    "lincs": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("cellid", StringType(), False),
+        ("zscore", DecimalType(8, 6), False),
+        ("pert_dcid", LongType(), False),
+        ("pert_smiles", StringType(), True),
+    ),
+    # --- TIN-X outputs (:2078,2103,2131,2159 — decimal(34,16) scores)
+    "tinx_novelty": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("score", DecimalType(34, 16), False),
+    ),
+    "tinx_disease": _s(
+        ("id", LongType(), False),
+        ("doid", StringType(), False),
+        ("name", StringType(), False),
+        ("summary", StringType(), True),
+        ("score", DecimalType(34, 16), True),
+    ),
+    "tinx_importance": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("disease_id", LongType(), False),
+        ("score", DecimalType(34, 16), False),
+    ),
+    "tinx_articlerank": _s(
+        ("id", LongType(), False),
+        ("importance_id", LongType(), False),
+        ("pmid", LongType(), False),
+        ("rank", IntegerType(), False),
+    ),
+    # --- derived analytics outputs (:931)
+    "hgram_cdf": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("type", StringType(), False),
+        ("attr_count", IntegerType(), False),
+        ("attr_cdf", DecimalType(17, 16), False),
+    ),
+    # --- remaining annotation tables (:250,:658,:845,:1470,:660,:1432,
+    #     :1363,:1187,:65,:91,:500,:1992)
+    "compartment": _s(
+        ("id", LongType(), False),
+        ("ctype", StringType(), False),
+        ("target_id", LongType(), True),
+        ("protein_id", LongType(), True),
+        ("go_id", StringType(), True),
+        ("go_term", StringType(), True),
+        ("evidence", StringType(), True),
+        ("zscore", DecimalType(4, 3), True),
+        ("conf", DecimalType(2, 1), True),
+        ("url", StringType(), True),
+        ("reliability", StringType(), True),  # enum Supported/Approved/Validated
+    ),
+    "gtex": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("tissue", StringType(), False),
+        ("gender", StringType(), True),       # enum F/M
+        ("tpm", DecimalType(12, 6), False),
+        ("tpm_rank", DecimalType(4, 3), True),
+        ("tpm_rank_bysex", DecimalType(4, 3), True),
+        ("tpm_level", StringType(), False),   # enum QUAL_VALUES
+        ("tpm_level_bysex", StringType(), True),
+        ("tpm_f", DecimalType(12, 6), True),
+        ("tpm_m", DecimalType(12, 6), True),
+        ("log2foldchange", DecimalType(4, 3), True),
+        ("tau", DecimalType(4, 3), True),
+        ("tau_bysex", DecimalType(4, 3), True),
+        ("uberon_id", StringType(), True),
+    ),
+    "gwas": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("disease_trait", StringType(), False),
+        ("snps", StringType(), True),
+        ("pmid", LongType(), True),
+        ("study", StringType(), True),
+        ("context", StringType(), True),
+        ("intergenic", BooleanType(), True),
+        ("p_value", DoubleType(), True),
+        ("or_beta", DoubleType(), True),
+        ("cnv", StringType(), True),
+        ("mapped_trait", StringType(), True),
+        ("mapped_trait_uri", StringType(), True),
+    ),
+    "phenotype": _s(
+        ("id", LongType(), False),
+        ("ptype", StringType(), False),
+        ("protein_id", LongType(), True),
+        ("nhprotein_id", LongType(), True),
+        ("trait", StringType(), True),
+        ("top_level_term_id", StringType(), True),
+        ("top_level_term_name", StringType(), True),
+        ("term_id", StringType(), True),
+        ("term_name", StringType(), True),
+        ("term_description", StringType(), True),
+        ("p_value", DoubleType(), True),
+        ("percentage_change", StringType(), True),
+        ("effect_size", StringType(), True),
+        ("procedure_name", StringType(), True),
+        ("parameter_name", StringType(), True),
+        ("gp_assoc", BooleanType(), True),
+        ("statistical_method", StringType(), True),
+        ("sex", StringType(), True),
+    ),
+    "feature": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("type", StringType(), False),
+        ("description", StringType(), True),
+        ("srcid", StringType(), True),
+        ("evidence", StringType(), True),
+        ("begin", IntegerType(), True),
+        ("end", IntegerType(), True),
+        ("position", IntegerType(), True),
+        ("original", StringType(), True),
+        ("variation", StringType(), True),
+    ),
+    "panther_class": _s(
+        ("id", LongType(), False),
+        ("pcid", StringType(), False),
+        ("parent_pcids", StringType(), True),
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+    ),
+    "p2pc": _s(
+        ("panther_class_id", LongType(), False),
+        ("protein_id", LongType(), False),
+    ),
+    "nhprotein": _s(
+        ("id", LongType(), False),
+        ("uniprot", StringType(), False),
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+        ("sym", StringType(), True),
+        ("species", StringType(), False),
+        ("taxid", LongType(), False),
+        ("geneid", LongType(), True),
+    ),
+    "clinvar_phenotype": _s(
+        ("id", LongType(), False),
+        ("name", StringType(), False),
+    ),
+    "clinvar": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("clinvar_phenotype_id", LongType(), False),
+        ("alleleid", LongType(), False),
+        ("type", StringType(), True),
+        ("name", StringType(), True),
+        ("review_status", StringType(), True),
+        ("clinical_significance", StringType(), True),
+        ("clin_sig_simple", IntegerType(), True),
+        ("last_evaluated", DateType(), True),
+        ("dbsnp_rs", LongType(), True),
+        ("dbvarid", StringType(), True),
+        ("origin", StringType(), True),
+        ("origin_simple", StringType(), True),
+        ("assembly", StringType(), True),
+        ("chr", StringType(), True),
+        ("chr_acc", StringType(), True),
+        ("start", LongType(), True),
+        ("stop", LongType(), True),
+        ("number_submitters", IntegerType(), True),
+        ("tested_in_gtr", BooleanType(), True),
+        ("submitter_categories", IntegerType(), True),
+    ),
+    "drgc_resource": _s(
+        ("id", LongType(), False),
+        ("target_id", LongType(), False),
+        ("resource_type", StringType(), False),
+        ("json", StringType(), False),        # embedded JSON (from_json)
+    ),
+    "tdl_update_log": _s(
+        ("id", LongType(), False),
+        ("target_id", LongType(), False),
+        ("old_tdl", StringType(), True),
+        ("new_tdl", StringType(), False),
+        ("person", StringType(), False),
+        ("datetime", StringType(), True),
+        ("explanation", StringType(), True),
+        ("application", StringType(), True),
+        ("app_version", StringType(), True),
+    ),
+    "techdev_contact": _s(
+        ("id", LongType(), False),
+        ("contact_name", StringType(), False),
+        ("contact_email", StringType(), True),
+        ("date", DateType(), True),
+        ("grant_number", StringType(), True),
+        ("pi", StringType(), True),
     ),
 }
 
