@@ -165,3 +165,35 @@ def spark_hash(col):
     from pyspark.sql import functions as F
 
     return F.xxhash64(col)
+
+
+def test_uniprot_core_slice(spark):
+    """entry rows → normalized core tables with stable surrogate ids
+    and FK integrity (etl/uniprot.py, SURVEY §7 step 2)."""
+    from tcrd_spark.etl.uniprot import core_slice
+    from tcrd_spark.sources.uniprot_xml import entries_df
+
+    entries = entries_df(spark, [UNIPROT_ENTRY])
+    tables = core_slice(entries)
+    prot = tables["protein"].collect()
+    assert len(prot) == 1 and prot[0].uniprot == "P12345"
+    pid = prot[0].id
+    # deterministic id: same input → same id on a fresh run
+    pid2 = core_slice(entries_df(spark, [UNIPROT_ENTRY]))["protein"] \
+        .collect()[0].id
+    assert pid == pid2
+    # bridge joins target to protein 1:1
+    bridge = tables["t2tc"].collect()[0]
+    assert (bridge.target_id, bridge.protein_id) == (pid, pid)
+    # children FK the protein id
+    for t in ("alias", "xref", "goa", "feature", "expression"):
+        rows = tables[t].collect()
+        assert rows, t
+        assert all(r.protein_id == pid for r in rows), t
+    xtypes = {r.xtype for r in tables["xref"].collect()}
+    assert "GO" not in xtypes          # GO split out into goa
+    assert {"Ensembl", "HGNC"} <= xtypes
+    feats = {(r.type, r.begin, r.end) for r in tables["feature"].collect()}
+    assert ("chain", 1, 300) in feats
+    exp = tables["expression"].collect()
+    assert exp[0].tissue and exp[0].etype == "UniProt Tissue"
