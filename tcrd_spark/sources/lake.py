@@ -55,3 +55,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_lake(spark: SparkSession, lake_dir: str) -> dict[str, DataFrame]:
+    """Read every `<table>.parquet` in a TCRD lake directory into the
+    dict[str, DataFrame] shape the api/etl layers take — the Spark
+    counterpart of DBAdaptor.__init__'s connection (`loaders/TCRD.py:
+    32-95`); the reference's cached type dictionaries need no
+    equivalent because dim tables broadcast per-plan."""
+    out: dict[str, DataFrame] = {}
+    for fn in sorted(os.listdir(lake_dir)):
+        if fn.endswith(".parquet"):
+            out[fn[: -len(".parquet")]] = spark.read.parquet(
+                os.path.join(lake_dir, fn)
+            )
+    return out

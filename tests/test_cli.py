@@ -1,0 +1,44 @@
+"""CLI surface (tools/tcrd_query.py) over a parquet lake round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.tcrd_fixtures import build_lake
+
+
+@pytest.fixture(scope="module")
+def lake_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("lake")
+    for name, df in build_lake(spark).items():
+        df.write.mode("overwrite").parquet(str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def test_cli_find_targets_and_beans(spark, lake_dir, capsys):
+    from tools.tcrd_query import main
+
+    assert main(["--lake", lake_dir, "find-targets", "sym=SYM3"]) == 0
+    out1 = capsys.readouterr().out.strip().splitlines()
+    assert out1 == ["3"]
+
+    assert main(["--lake", lake_dir, "beans"]) == 0
+    out2 = capsys.readouterr().out
+    assert "protein\t" in out2 and "xref\t" in out2
+
+
+def test_cli_get_target_and_export(spark, lake_dir, capsys):
+    import json
+
+    from tools.tcrd_query import main
+
+    assert main(["--lake", lake_dir, "get-target", "1"]) == 0
+    doc = json.loads(capsys.readouterr().out.strip())
+    assert doc["target_id"] == 1
+    assert "tdl_infos" in doc
+
+    assert main(["--lake", lake_dir, "export"]) == 0
+    csv_out = capsys.readouterr().out.splitlines()
+    header = csv_out[0].split(",")
+    assert {"target_id", "aliases_pipe", "top5_diseases"} <= set(header)
+    assert len(csv_out) > 1
