@@ -30,16 +30,27 @@ def _erf_udf(z: pd.Series) -> pd.Series:
     return z.map(lambda v: math.erf(v) if pd.notna(v) else None)
 
 
+def _z(x: Column, mu: Column, sigma: Column) -> Column:
+    """Standardized score, division guarded for ANSI mode: when σ=0
+    the divisor must be NULL (a when() guard around the whole
+    expression does NOT stop ANSI from raising DIVIDE_BY_ZERO — both
+    branches evaluate). σ=0 within a stats group implies x=μ, so z:=0
+    there, matching the reference's intent for the fallback."""
+    safe_sigma = F.when(sigma > 0, sigma)
+    return F.when(sigma > 0, (x - mu) / safe_sigma).otherwise(
+        F.when(x == mu, F.lit(0.0))
+    )
+
+
 def gaussian_cdf_col(x: Column, mu: Column, sigma: Column) -> Column:
     """0.5·(1+erf((x−μ)/(σ√2))) via Arrow-batched pandas_udf."""
-    z = (x - mu) / (sigma * F.lit(math.sqrt(2.0)))
+    z = _z(x, mu, sigma) / F.lit(math.sqrt(2.0))
     return 0.5 * (1.0 + _erf_udf(z))
 
 
 def logistic_cdf_col(x: Column, mu: Column, sigma: Column) -> Column:
     """Reference fallback: 1/(1+exp(−1.702·(x−μ)/σ))."""
-    z = (x - mu) / sigma
-    return 1.0 / (1.0 + F.exp(-1.702 * z))
+    return 1.0 / (1.0 + F.exp(-1.702 * _z(x, mu, sigma)))
 
 
 def attr_stats(counts: DataFrame, type_col: str, count_col: str) -> DataFrame:

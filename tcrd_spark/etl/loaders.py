@@ -178,6 +178,76 @@ def load_consensus_expressions(
     return consensus(rows, ["protein_id", "tissue"], "lv")
 
 
+def load_hgram_cdfs(
+    gene_attribute: DataFrame, gene_attribute_type: DataFrame
+) -> DataFrame:
+    """HGram lifecycle (`loaders/load-HGramCDFs.py:75-127`): count
+    gene_attribute rows per (protein, attribute type), then the
+    per-type population stats + Gaussian CDF (logistic fallback at
+    σ=0). The reference's two full N+1 passes (2h13m, `doc/
+    README_v6.txt:2023-2026`) are one aggregation + one broadcast
+    join + one scoring pass. Returns (protein_id, type, attr_count,
+    mu, sigma, attr_cdf)."""
+    from tcrd_spark.analytics.hgram import hgram_cdfs
+
+    counts = (
+        gene_attribute.groupBy("protein_id", "gat_id")
+        .agg(F.count("*").alias("attr_count"))
+        .join(
+            F.broadcast(
+                gene_attribute_type.select(
+                    F.col("id").alias("gat_id"), F.col("name").alias("type")
+                )
+            ),
+            "gat_id",
+        )
+    )
+    return hgram_cdfs(
+        counts, "protein_id", "type", "attr_count"
+    ).select("protein_id", "type", "attr_count", "mu", "sigma", "attr_cdf")
+
+
+def load_expression_atlas(
+    spark: SparkSession,
+    analytics_tsv: str,
+    contrast_diseases: DataFrame,
+    p_max: float = 0.05,
+    min_abs_lfc: float = 1.0,
+) -> DataFrame:
+    """Expression Atlas differential-expression loader
+    (`R/exp-atlas_process.R`): one analytics TSV of (Gene ID, Gene
+    Name, contrast, p-value, log2foldchange); keep p ≤ 0.05 AND
+    |log2fc| > 1 (:26), map contrast → disease (left join; unmatched
+    dropped like the dt merge), dedup by (Gene ID, DOID) (:47).
+    contrast_diseases: (contrast, doid, disease)."""
+    raw = spark.read.csv(
+        analytics_tsv,
+        sep="\t",
+        header=True,
+        schema=(
+            "gene_id string, gene_name string, contrast string, "
+            "p_value double, log2foldchange double"
+        ),
+    )
+    kept = raw.filter(
+        (F.col("p_value") <= p_max)
+        & (F.abs(F.col("log2foldchange")) > min_abs_lfc)
+    )
+    mapped = (
+        kept.join(F.broadcast(contrast_diseases), "contrast", "left")
+        .filter(F.col("doid").isNotNull())
+        .dropDuplicates(["gene_id", "doid"])
+    )
+    return mapped.select(
+        F.lit("Expression Atlas").alias("dtype"),
+        "gene_id",
+        "doid",
+        F.col("disease").alias("name"),
+        "log2foldchange",
+        "p_value",
+    )
+
+
 @dataclass
 class GtexLoad:
     expression: DataFrame    # (etype, protein_id, tissue, sex,

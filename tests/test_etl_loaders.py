@@ -154,3 +154,53 @@ def test_gtex_loader(spark, lake, tmp_path):
     # the same 0.5, not 0
     assert taus[(11, "F")] == pytest.approx(0.5)
     assert taus[(12, "M")] == pytest.approx(0.5)
+
+
+def test_hgram_loader(spark):
+    from tcrd_spark.etl.loaders import load_hgram_cdfs
+
+    ga = spark.createDataFrame(
+        # type 1: counts 1,2,3 over proteins 11-13 → mu=2, sigma_pop≈0.8165
+        [(11, 1)] * 1 + [(12, 1)] * 2 + [(13, 1)] * 3
+        # type 2: all counts equal → sigma=0 → logistic fallback
+        + [(11, 2)] * 2 + [(12, 2)] * 2,
+        "protein_id int, gat_id int",
+    )
+    gat = spark.createDataFrame(
+        [(1, "GO-BP"), (2, "Pathways")], "id int, name string"
+    )
+    out = {
+        (r.protein_id, r.type): r for r in load_hgram_cdfs(ga, gat).collect()
+    }
+    import math
+
+    r = out[(12, "GO-BP")]
+    assert r.attr_count == 2 and r.mu == pytest.approx(2.0)
+    assert r.sigma == pytest.approx(math.sqrt(2 / 3), abs=1e-6)
+    assert r.attr_cdf == pytest.approx(0.5)         # at the mean
+    # σ=0 → logistic 1/(1+e^0) = 0.5 at z=0 (the reference fallback)
+    assert out[(11, "Pathways")].sigma == pytest.approx(0.0)
+    assert out[(11, "Pathways")].attr_cdf == pytest.approx(0.5)
+
+
+def test_expression_atlas_loader(spark, tmp_path):
+    from tcrd_spark.etl.loaders import load_expression_atlas
+
+    tsv = tmp_path / "a-analytics.tsv"
+    tsv.write_text(
+        "gene_id\tgene_name\tcontrast\tp_value\tlog2foldchange\n"
+        "ENSG1\tg1\tc1\t0.01\t2.5\n"      # kept
+        "ENSG1\tg1\tc2\t0.04\t-1.5\n"     # kept, maps to same DOID → dedup
+        "ENSG2\tg2\tc1\t0.2\t3.0\n"       # p too high
+        "ENSG3\tg3\tc1\t0.01\t0.5\n"      # |lfc| too small
+        "ENSG4\tg4\tcX\t0.01\t2.0\n"      # contrast unmapped → dropped
+    )
+    contrasts = spark.createDataFrame(
+        [("c1", "DOID:7", "dz"), ("c2", "DOID:7", "dz")],
+        "contrast string, doid string, disease string",
+    )
+    rows = load_expression_atlas(spark, str(tsv), contrasts).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.gene_id, r.doid, r.dtype) == ("ENSG1", "DOID:7",
+                                            "Expression Atlas")
