@@ -87,6 +87,87 @@ def extract_features(
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, "
+    "src_width int, src_height int"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    real_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas image resize: (id, payload) → (id, resized payload,
+    new dims, source dims). The Spark plumbing — binary in AND binary
+    out through Arrow, bounded-memory batch iteration — is real; the
+    pixel work is the deterministic fake (payload truncated/repeated to
+    the target byte budget) until an image library is installed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = max(1, width * height // 8)
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real resize requires an image library; "
+                    "replace the fake with PIL/libvips"
+                )
+            src = [_fake_decode(p) for p in pdf["payload"]]
+            out = [
+                bytes((p * (budget // max(1, len(p)) + 1))[:budget])
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "src_width": [d[0] for d in src],
+                    "src_height": [d[1] for d in src],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int,
+    id_col: str = "doc_id",
+    real_decode: bool = False,
+) -> DataFrame:
+    """mapInPandas video frame sampling: one input row fans out to
+    n_frames output rows (id, frame_idx, frame payload) — the
+    batch-shape-changing case (1→N inside the UDF, no explode needed).
+    Fake frames are deterministic byte slices; a real build swaps in a
+    video decoder per batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real frame sampling requires a video library"
+                )
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                step = max(1, len(p) // n_frames)
+                for k in range(n_frames):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(bytes(p[k * step : k * step + step]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 # ------------------------------------------------- testdata binding
 
 from pyspark.sql import SparkSession  # noqa: E402

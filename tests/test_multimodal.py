@@ -55,3 +55,43 @@ def test_payload_binary_roundtrip(spark):
         "image/fake",
         12,
     )
+
+
+def test_resize_plumbing(spark, sf_dir):
+    from tcrd_spark.pipeline.multimodal import (
+        attach_fake_payload,
+        resize_images,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_fake_payload(docs, "doc_id", "text")
+    out = resize_images(media, 32, 32).collect()
+    assert len(out) == 20
+    budget = 32 * 32 // 8
+    assert all(len(r.payload) == budget for r in out)
+    assert all((r.width, r.height) == (32, 32) for r in out)
+    assert all(r.src_width >= 16 and r.src_height >= 16 for r in out)
+
+
+def test_frame_sampling_fanout(spark, sf_dir):
+    import pytest as _pytest
+
+    from tcrd_spark.pipeline.multimodal import (
+        attach_fake_payload,
+        sample_frames,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = attach_fake_payload(docs, "doc_id", "text")
+    out = sample_frames(media, 4).collect()
+    assert len(out) == 20                       # 5 docs × 4 frames
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_doc.values())
+
+    # the real-decode gate raises, not silently fakes
+    with _pytest.raises(Exception, match="video library"):
+        sample_frames(media, 4, real_decode=True).collect()
