@@ -197,3 +197,23 @@ def test_uniprot_core_slice(spark):
     assert ("chain", 1, 300) in feats
     exp = tables["expression"].collect()
     assert exp[0].tissue and exp[0].etype == "UniProt Tissue"
+
+
+def test_csv_ddl_codegen(spark, tmp_path):
+    """csv2sql analogue: inferSchema replaces the reference's two-pass
+    type guesser (`python/csv2sql.py:26-120`)."""
+    from tcrd_spark.sources.csv_ddl import csv_to_ddl
+
+    p = tmp_path / "t.csv"
+    p.write_text(
+        "id,name,score,flag,when\n"
+        "1,alpha,1.5,true,2020-01-01\n"
+        "2,beta,2.0,false,2021-06-30\n"
+    )
+    ddl = csv_to_ddl(spark, str(p), "t")
+    assert ddl.startswith("CREATE TABLE t (")
+    assert "id INTEGER" in ddl
+    assert "name VARCHAR" in ddl
+    assert "score DOUBLE" in ddl
+    assert "flag BOOLEAN" in ddl
+    assert "when DATE" in ddl
