@@ -58,6 +58,7 @@ def test_no_python_udf_in_relational_paths(spark, sf_dir, queries):
     python_ok = {
         "apsp_min_merge", "nearest_flagged",      # applyInPandas BFS
         "multimodal_features",                    # mapInPandas decode
+        "dedup_embedding_cosine",                 # mapInPandas block matmul
     }
     for name, q in queries.items():
         if name in python_ok:
@@ -66,6 +67,7 @@ def test_no_python_udf_in_relational_paths(spark, sf_dir, queries):
         assert "BatchEvalPython" not in plan, f"{name} uses Python UDF"
         assert "ArrowEvalPython" not in plan, f"{name} uses pandas UDF"
         assert "FlatMapGroupsInPandas" not in plan, f"{name} uses applyInPandas"
+        assert "MapInPandas" not in plan, f"{name} uses mapInPandas"
 
 
 def test_partial_aggregation(spark, sf_dir, queries):
