@@ -80,6 +80,67 @@ def tau_continuous(
     )
 
 
+def tau_continuous_cut2(
+    df: DataFrame, entity: str, tissue: str, value: str, g: int = 10
+) -> DataFrame:
+    """tau with Hmisc::cut2-style VALUE-quantile bins (SURVEY §7 hard
+    part a): per entity, interior quantile edges at 1/g..(g-1)/g of the
+    log10-medians; bin(x) = 1 + #distinct edges ≤ x. Unlike ntile,
+    EQUAL VALUES ALWAYS SHARE A BIN (an all-equal entity gets tau 0,
+    where ntile's tie-splitting yields 0.5). Edges are rounded to 9 dp
+    before the ≥ comparison so Spark and the DuckDB oracle make
+    identical binary decisions on interpolated edges."""
+    lg = df.select(
+        entity,
+        tissue,
+        F.when(F.col(value) > 0, F.log10(value)).alias("lm"),
+    )
+    probs = [i / g for i in range(1, g)]
+    edges = (
+        lg.filter(F.col("lm").isNotNull())
+        .groupBy(entity)
+        .agg(
+            F.array_distinct(
+                F.transform(
+                    F.percentile("lm", F.array(*[F.lit(p) for p in probs])),
+                    lambda e: F.round(e, 9),
+                )
+            ).alias("edges")
+        )
+    )
+    binned = (
+        lg.join(edges, entity, "left")
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("lm").isNotNull(),
+                1
+                + F.size(
+                    F.filter(
+                        F.col("edges"),
+                        lambda e: F.round(F.col("lm"), 9) >= e,
+                    )
+                ),
+            ).otherwise(0),
+        )
+    )
+    wmax = Window.partitionBy(entity)
+    return (
+        binned.withColumn("mx", F.max("bin").over(wmax))
+        .groupBy(entity)
+        .agg(
+            F.count("*").alias("n_tissues"),
+            F.round(
+                F.sum(
+                    F.when(F.col("mx") > 0, 1 - F.col("bin") / F.col("mx"))
+                )
+                / (F.count("*") - 1),
+                6,
+            ).alias("tau"),
+        )
+    )
+
+
 def qualitative_levels(
     df: DataFrame, entity: str, tissue: str, value: str
 ) -> DataFrame:

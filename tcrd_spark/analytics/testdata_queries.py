@@ -140,6 +140,18 @@ def q_tau_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tau.tau_continuous(med, "p_brand", "p_type", "med_price")
 
 
+def q_tau_cut2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cut2-style value-quantile tau (SURVEY §7 hard part a): ties
+    share bins, unlike the ntile variant."""
+    part = load_table(spark, sf_dir, "part")
+    med = part.groupBy("p_brand", "p_type").agg(
+        F.when(F.min("p_size") % 5 == 0, 0.0)
+        .otherwise(F.median("p_retailprice"))
+        .alias("med_price")
+    )
+    return tau.tau_continuous_cut2(med, "p_brand", "p_type", "med_price")
+
+
 def q_qualitative_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """frank/.N average-rank qualitative buckets
     (`R/gtex_process.R:50,53,57`)."""
@@ -234,6 +246,7 @@ QUERIES = {
     "tdl_classification": q_tdl_classification,
     "tau_ordinal": q_tau_ordinal,
     "tau_continuous": q_tau_continuous,
+    "tau_cut2": q_tau_cut2,
     "qualitative_levels": q_qualitative_levels,
     "consensus_expression": q_consensus_expression,
     "hgram_cdf": q_hgram_cdf,
@@ -296,6 +309,40 @@ ORACLE = {
           FROM lg WHERE lm IS NOT NULL
           UNION ALL
           SELECT p_brand, 0 AS bin FROM lg WHERE lm IS NULL
+        ),
+        mx AS (
+          SELECT *, max(bin) OVER (PARTITION BY p_brand) AS m FROM binned
+        )
+        SELECT p_brand, count(*) AS n_tissues,
+               round(sum(CASE WHEN m > 0 THEN 1 - bin * 1.0 / m END)
+                     / (count(*) - 1), 6) AS tau
+        FROM mx GROUP BY p_brand
+    """,
+    "tau_cut2": """
+        WITH med AS (
+          SELECT p_brand, p_type,
+                 CASE WHEN min(p_size) % 5 = 0 THEN 0.0
+                      ELSE median(p_retailprice) END AS med_price
+          FROM part GROUP BY 1, 2
+        ),
+        lg AS (
+          SELECT p_brand, p_type,
+                 CASE WHEN med_price > 0 THEN log10(med_price) END AS lm
+          FROM med
+        ),
+        edges AS (
+          SELECT p_brand,
+                 list_distinct(list_transform(
+                   quantile_cont(lm, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   e -> round(e, 9))) AS es
+          FROM lg WHERE lm IS NOT NULL GROUP BY 1
+        ),
+        binned AS (
+          SELECT lg.p_brand,
+                 CASE WHEN lm IS NULL THEN 0
+                      ELSE 1 + len(list_filter(es, e -> round(lm, 9) >= e))
+                 END AS bin
+          FROM lg LEFT JOIN edges ON lg.p_brand = edges.p_brand
         ),
         mx AS (
           SELECT *, max(bin) OVER (PARTITION BY p_brand) AS m FROM binned

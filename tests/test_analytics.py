@@ -163,3 +163,24 @@ def test_qualitative_levels_tie_average_rank(spark):
     assert out["t2"].frac_rank == pytest.approx(0.625)
     assert out["t2"].level == "Medium"
     assert out["t4"].level == "High"
+
+
+def test_tau_cut2_ties_share_bins(spark):
+    """cut2-style bins: equal values share a bin (SURVEY §7 hard part
+    a) — an all-equal entity has tau 0, where ntile's tie-splitting
+    gives 0.5; a maximally specific entity stays near 1."""
+    from tcrd_spark.analytics.tau import tau_continuous, tau_continuous_cut2
+
+    rows = (
+        [("flat", f"t{i}", 5.0) for i in range(10)]
+        + [("spec", f"t{i}", 0.0) for i in range(9)]
+        + [("spec", "t9", 1000.0)]
+    )
+    df = spark.createDataFrame(rows, "gene string, tissue string, v double")
+    cut2 = {r.gene: r.tau for r in
+            tau_continuous_cut2(df, "gene", "tissue", "v").collect()}
+    ntile = {r.gene: r.tau for r in
+             tau_continuous(df, "gene", "tissue", "v").collect()}
+    assert cut2["flat"] == 0.0          # ties share the single bin
+    assert ntile["flat"] > 0.4          # the documented ntile deviation
+    assert cut2["spec"] == 1.0          # 9 zero-bins + 1 top bin
