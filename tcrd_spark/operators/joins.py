@@ -14,6 +14,38 @@ from pyspark.sql import functions as F
 from tcrd_spark.sources.lake import load_table
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key equi join: salt the skewed fact side, replicate the dim
+    side n_salts×, join on (key, salt).
+
+    The reference's hub-protein joins (ppi 11.6M and lincs 84M rows
+    skew toward hub proteins, `doc/README_v6.txt:1510,1985`) are the
+    shape this exists for. AQE skew-join splits oversized SHUFFLE
+    partitions, but cannot help when the skew shows up inside a
+    broadcast-probe hot loop or a groupBy on the hot key — salting
+    spreads one hot key over n_salts tasks unconditionally. Result is
+    identical to `skewed.join(dim, key, how)`; the dim side must
+    tolerate n_salts× replication (it is the small side by contract).
+
+    Salt = pmod(hash(whole fact row), n) — deterministic (stable plans
+    across retries, unlike rand()) and uniform even when one key
+    dominates, since the non-key columns vary."""
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    )
+    salted = skewed.withColumn("_salt", salt)
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
 def q_three_way_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The universal access path: customer ⋈ nation ⋈ region.
 

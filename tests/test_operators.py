@@ -25,3 +25,33 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     duck_rows = res.fetchall()
     problems = compare(spark_rows, df.columns, duck_rows, duck_cols)
     assert not problems, f"{name}: {problems}"
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    """salted_join ≡ plain equi join on a skewed fact table (one hot
+    key holding most rows)."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.operators.joins import salted_join
+    from tcrd_spark.sources.lake import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    # skew: collapse 90% of rows onto one hot part key
+    skewed = li.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(
+            F.col("l_partkey")
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    plain = skewed.join(
+        part, skewed.l_partkey == part.p_partkey
+    ).select("l_orderkey", "l_suppkey", "p_partkey", "p_brand")
+    salted = salted_join(
+        skewed.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+    ).select("l_orderkey", "l_suppkey", "p_partkey", "p_brand")
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).isEmpty()
+    assert salted.exceptAll(plain).isEmpty()
