@@ -43,6 +43,7 @@ HEADLINE = [
     # derived analytics (SURVEY §2.10)
     "tdl_classification",
     "tau_continuous",
+    "tau_cut2",
     "consensus_expression",
     "hgram_cdf",
     "tinx_novelty",

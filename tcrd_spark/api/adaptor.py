@@ -215,6 +215,28 @@ def get_protein_dto(lake: dict[str, DataFrame]) -> DataFrame:
     return self_rows.unionByName(walked)
 
 
+def tdl_evolution(versions: dict[str, DataFrame]) -> DataFrame:
+    """TDLevol (`python/mk-TDLevol.py:14-50`): per-uniprot TDL across
+    schema versions as one wide matrix — the reference's nested-dict
+    merge is a union + pivot. versions: {version_label: df(uniprot,
+    tdl)}; output (uniprot, <one col per version>), first() per cell
+    (uniprot is unique per version)."""
+    parts = [
+        df.select(
+            F.col("uniprot"), F.lit(v).alias("version"), F.col("tdl")
+        )
+        for v, df in versions.items()
+    ]
+    allv = parts[0]
+    for p in parts[1:]:
+        allv = allv.unionByName(p)
+    return (
+        allv.groupBy("uniprot")
+        .pivot("version", list(versions))
+        .agg(F.first("tdl"))
+    )
+
+
 def _grouped_list(df: DataFrame, key: str, struct_cols: list[str], alias: str):
     return df.groupBy(key).agg(
         F.collect_list(F.struct(*struct_cols)).alias(alias)

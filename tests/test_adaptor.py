@@ -253,3 +253,23 @@ def test_get_protein_dto_path(spark, lake):
         (r.ancestor, r.depth) for r in get_protein_dto(lake2).collect()
     }
     assert path == {("DTO:leaf", 0), ("DTO:mid", 1), ("DTO:root", 2)}
+
+
+def test_tdl_evolution_pivot(spark):
+    from tcrd_spark.api.adaptor import tdl_evolution
+
+    v5 = spark.createDataFrame(
+        [("P1", "Tdark"), ("P2", "Tbio")], "uniprot string, tdl string"
+    )
+    v6 = spark.createDataFrame(
+        [("P1", "Tbio"), ("P3", "Tclin")], "uniprot string, tdl string"
+    )
+    out = {
+        r.uniprot: (r.v5, r.v6)
+        for r in tdl_evolution({"v5": v5, "v6": v6}).collect()
+    }
+    assert out == {
+        "P1": ("Tdark", "Tbio"),
+        "P2": ("Tbio", None),
+        "P3": (None, "Tclin"),
+    }
