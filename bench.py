@@ -50,6 +50,7 @@ HEADLINE = [
     "tinx_importance",
     "tinx_pmid_rankings",
     # LLM-pipeline extensions
+    "corpus_clean",
     "text_quality",
     "dedup_exact",
     "dedup_ngram_jaccard",

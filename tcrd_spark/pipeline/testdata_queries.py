@@ -115,6 +115,26 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleaning pass a real pipeline runs:
+    exact-dedup representatives only → language gate (en) → quality
+    threshold. One plan: the dedup pass is a semi-join against the
+    min-id representatives; lang/quality are column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    keeps = dedup.exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        docs.join(keeps, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            text.lang_id(F.col("text")).alias("pred_lang"),
+            F.round(text.quality_score(F.col("text")), 6).alias("quality"),
+        )
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.5))
+    )
+
+
 # ---------------------------------------------------------- similarity
 
 def _queries_and_corpus(spark, sf_dir):
@@ -149,6 +169,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "entity_tagging": q_entity_tagging,
+    "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -313,6 +334,33 @@ ORACLE = {
                min(doc_id) AS keep_id,
                count(*) AS dup_ct
         FROM documents GROUP BY 1
+    """,
+    "corpus_clean": f"""
+        WITH keeps AS (
+          SELECT min(doc_id) AS doc_id
+          FROM documents GROUP BY {sql_hash60('text')}
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN {_BEST} > 0 AND {_LANG_SCORE['en']} = {_BEST} THEN 'en'
+                   WHEN {_BEST} > 0 AND {_LANG_SCORE['de']} = {_BEST} THEN 'de'
+                   WHEN {_BEST} > 0 AND {_LANG_SCORE['fr']} = {_BEST} THEN 'fr'
+                   WHEN {_BEST} > 0 AND {_LANG_SCORE['es']} = {_BEST} THEN 'es'
+                   ELSE 'und'
+                 END AS pred_lang,
+                 round((CASE WHEN len({_TOKS}) BETWEEN 20 AND 1000
+                             THEN 0.5 ELSE 0 END)
+                       + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]'))
+                                    * 1.0 / length(text) < 0.1
+                               THEN 0.25 ELSE 0 END)
+                       + (len(list_intersect(list_distinct({_TOKS}),
+                              [{_STOPS}])) * 1.0 / 6) * 0.25, 6) AS quality
+          FROM documents
+        )
+        SELECT s.doc_id, pred_lang, quality
+        FROM scored s JOIN keeps k ON s.doc_id = k.doc_id
+        WHERE pred_lang = 'en' AND quality >= 0.5
     """,
     "dedup_ngram_jaccard": f"""
         SELECT * FROM ({_JACCARD_PAIRS}) WHERE jaccard >= 0.3
