@@ -34,8 +34,8 @@ HEADLINE = [
     "decile_bucketing",
     "union_dedup",
     "dedup_composite_key",
-    "string_funcs",
-    "json_extract",
+    "string_math_funcs",
+    "json_case_funcs",
     "date_funcs",
     # API lifecycles (SURVEY §3-A/§3-B)
     "nested_document",
@@ -43,10 +43,8 @@ HEADLINE = [
     # derived analytics (SURVEY §2.10)
     "tdl_classification",
     "tau_continuous",
-    "tau_cut2",
     "consensus_expression",
     "hgram_cdf",
-    "tinx_novelty",
     "tinx_importance",
     "tinx_pmid_rankings",
     # LLM-pipeline extensions

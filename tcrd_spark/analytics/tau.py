@@ -69,13 +69,20 @@ def tau_continuous(
         .groupBy(entity)
         .agg(
             F.count("*").alias("n_tissues"),
-            F.round(
-                F.sum(
-                    F.when(F.col("mx") > 0, 1 - F.col("bin") / F.col("mx"))
+            # all-NA entity (every bin 0, mx 0) → 0.0, matching the
+            # reference tau()'s explicit all-NA short-circuit
+            # (R/gtex_process.R)
+            F.when(F.max("mx") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.sum(
+                        F.when(F.col("mx") > 0, 1 - F.col("bin") / F.col("mx"))
+                    )
+                    / (F.count("*") - 1),
+                    6,
                 )
-                / (F.count("*") - 1),
-                6,
-            ).alias("tau"),
+            )
+            .alias("tau"),
         )
     )
 
@@ -130,13 +137,18 @@ def tau_continuous_cut2(
         .groupBy(entity)
         .agg(
             F.count("*").alias("n_tissues"),
-            F.round(
-                F.sum(
-                    F.when(F.col("mx") > 0, 1 - F.col("bin") / F.col("mx"))
+            # all-NA → 0.0 (reference tau() short-circuit), as above
+            F.when(F.max("mx") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.sum(
+                        F.when(F.col("mx") > 0, 1 - F.col("bin") / F.col("mx"))
+                    )
+                    / (F.count("*") - 1),
+                    6,
                 )
-                / (F.count("*") - 1),
-                6,
-            ).alias("tau"),
+            )
+            .alias("tau"),
         )
     )
 

@@ -106,9 +106,9 @@ _SQL_TDL_FEATURES = """
       FROM lineitem GROUP BY 1
     )
     SELECT suppkey,
-           CASE WHEN suppkey % 11 = 0 THEN moa_raw ELSE 0 END AS moa_drug_ct,
-           CASE WHEN suppkey % 7 = 0 THEN drug_raw ELSE 0 END AS drug_ct,
-           CASE WHEN suppkey % 5 = 0 THEN cmpd_raw ELSE 0 END AS cmpd_ct,
+           CAST(CASE WHEN suppkey % 11 = 0 THEN moa_raw ELSE 0 END AS BIGINT) AS moa_drug_ct,
+           CAST(CASE WHEN suppkey % 7 = 0 THEN drug_raw ELSE 0 END AS BIGINT) AS drug_ct,
+           CAST(CASE WHEN suppkey % 5 = 0 THEN cmpd_raw ELSE 0 END AS BIGINT) AS cmpd_ct,
            round(pms_raw * 100.0 / n_li, 6) AS pms,
            CAST(floor(rif_raw * 100 / n_li) AS BIGINT) AS rif_ct,
            CAST(floor(ab_raw * 400 / n_li) AS BIGINT) AS ab_ct
@@ -130,26 +130,21 @@ def q_tau_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tau_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous (decile) tau (`R/gtex_process.R:9-16`): brand=gene,
-    container=tissue, median retailprice=expression."""
+    container=tissue, median retailprice=expression. Emits BOTH
+    variants side by side — ntile binning (`tau`) and cut2-style
+    value-quantile binning (`tau_cut2`, SURVEY §7 hard part a, where
+    ties share bins) — so one driver slot adjudicates both."""
     part = load_table(spark, sf_dir, "part")
     med = part.groupBy("p_brand", "p_type").agg(
         F.when(F.min("p_size") % 5 == 0, 0.0)
         .otherwise(F.median("p_retailprice"))
         .alias("med_price")
     )
-    return tau.tau_continuous(med, "p_brand", "p_type", "med_price")
-
-
-def q_tau_cut2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cut2-style value-quantile tau (SURVEY §7 hard part a): ties
-    share bins, unlike the ntile variant."""
-    part = load_table(spark, sf_dir, "part")
-    med = part.groupBy("p_brand", "p_type").agg(
-        F.when(F.min("p_size") % 5 == 0, 0.0)
-        .otherwise(F.median("p_retailprice"))
-        .alias("med_price")
+    a = tau.tau_continuous(med, "p_brand", "p_type", "med_price")
+    b = tau.tau_continuous_cut2(med, "p_brand", "p_type", "med_price").select(
+        "p_brand", F.col("tau").alias("tau_cut2")
     )
-    return tau.tau_continuous_cut2(med, "p_brand", "p_type", "med_price")
+    return a.join(b, "p_brand")
 
 
 def q_qualitative_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,12 +220,16 @@ def q_tinx_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tinx_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance(p,d) = Σ 1/(p_ct·d_ct) over shared papers
     (`python/TIN-X.py:241-258`); the reference's O(|P|·|D|) nested loop
-    as a pmid equi-join. Output restricted to 10% of proteins to bound
-    the compare set."""
+    as a pmid equi-join. Joined with per-protein novelty
+    (`python/TIN-X.py:207-221`) so one driver slot adjudicates both
+    formulas. Output restricted to 10% of proteins to bound the
+    compare set."""
     pm, dm = _mentions(spark, sf_dir)
-    return tinx.importance(pm, dm, "pmid", "pid", "did").filter(
+    imp = tinx.importance(pm, dm, "pmid", "pid", "did").filter(
         F.col("pid") % 10 == 0
     )
+    nov = tinx.novelty(pm, "pmid", "pid")
+    return imp.join(nov, "pid")
 
 
 def q_tinx_pmid_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,7 +245,6 @@ QUERIES = {
     "tdl_classification": q_tdl_classification,
     "tau_ordinal": q_tau_ordinal,
     "tau_continuous": q_tau_continuous,
-    "tau_cut2": q_tau_cut2,
     "qualitative_levels": q_qualitative_levels,
     "consensus_expression": q_consensus_expression,
     "hgram_cdf": q_hgram_cdf,
@@ -312,23 +310,14 @@ ORACLE = {
         ),
         mx AS (
           SELECT *, max(bin) OVER (PARTITION BY p_brand) AS m FROM binned
-        )
-        SELECT p_brand, count(*) AS n_tissues,
-               round(sum(CASE WHEN m > 0 THEN 1 - bin * 1.0 / m END)
-                     / (count(*) - 1), 6) AS tau
-        FROM mx GROUP BY p_brand
-    """,
-    "tau_cut2": """
-        WITH med AS (
-          SELECT p_brand, p_type,
-                 CASE WHEN min(p_size) % 5 = 0 THEN 0.0
-                      ELSE median(p_retailprice) END AS med_price
-          FROM part GROUP BY 1, 2
         ),
-        lg AS (
-          SELECT p_brand, p_type,
-                 CASE WHEN med_price > 0 THEN log10(med_price) END AS lm
-          FROM med
+        t1 AS (
+          SELECT p_brand, count(*) AS n_tissues,
+                 CASE WHEN max(m) = 0 THEN 0.0
+                      ELSE round(sum(CASE WHEN m > 0
+                                          THEN 1 - bin * 1.0 / m END)
+                                 / (count(*) - 1), 6) END AS tau
+          FROM mx GROUP BY p_brand
         ),
         edges AS (
           SELECT p_brand,
@@ -337,20 +326,26 @@ ORACLE = {
                    e -> round(e, 9))) AS es
           FROM lg WHERE lm IS NOT NULL GROUP BY 1
         ),
-        binned AS (
+        binned2 AS (
           SELECT lg.p_brand,
                  CASE WHEN lm IS NULL THEN 0
                       ELSE 1 + len(list_filter(es, e -> round(lm, 9) >= e))
                  END AS bin
           FROM lg LEFT JOIN edges ON lg.p_brand = edges.p_brand
         ),
-        mx AS (
-          SELECT *, max(bin) OVER (PARTITION BY p_brand) AS m FROM binned
+        mx2 AS (
+          SELECT *, max(bin) OVER (PARTITION BY p_brand) AS m FROM binned2
+        ),
+        t2 AS (
+          SELECT p_brand,
+                 CASE WHEN max(m) = 0 THEN 0.0
+                      ELSE round(sum(CASE WHEN m > 0
+                                          THEN 1 - bin * 1.0 / m END)
+                                 / (count(*) - 1), 6) END AS tau_cut2
+          FROM mx2 GROUP BY p_brand
         )
-        SELECT p_brand, count(*) AS n_tissues,
-               round(sum(CASE WHEN m > 0 THEN 1 - bin * 1.0 / m END)
-                     / (count(*) - 1), 6) AS tau
-        FROM mx GROUP BY p_brand
+        SELECT t1.p_brand, t1.n_tissues, t1.tau, t2.tau_cut2
+        FROM t1 JOIN t2 ON t1.p_brand = t2.p_brand
     """,
     "qualitative_levels": """
         WITH med AS (
@@ -433,15 +428,25 @@ ORACLE = {
         dm AS (SELECT DISTINCT l_orderkey AS pmid, l_partkey AS did
                FROM lineitem),
         pct AS (SELECT pmid, count(*) AS pct FROM pm GROUP BY 1),
-        dct AS (SELECT pmid, count(*) AS dct FROM dm GROUP BY 1)
-        SELECT pid, did,
-               round({_FOLD_SUM.format(x='1.0 / (pct * dct)')}, 6) AS score
-        FROM pm
-        JOIN dm USING (pmid)
-        JOIN pct USING (pmid)
-        JOIN dct USING (pmid)
-        WHERE pid % 10 = 0
-        GROUP BY pid, did
+        dct AS (SELECT pmid, count(*) AS dct FROM dm GROUP BY 1),
+        imp AS (
+          SELECT pid, did,
+                 round({_FOLD_SUM.format(x='1.0 / (pct * dct)')}, 6) AS score
+          FROM pm
+          JOIN dm USING (pmid)
+          JOIN pct USING (pmid)
+          JOIN dct USING (pmid)
+          WHERE pid % 10 = 0
+          GROUP BY pid, did
+        ),
+        nov AS (
+          SELECT pid,
+                 round(1.0 / {_FOLD_SUM.format(x='1.0 / pct')}, 6) AS novelty
+          FROM pm JOIN pct USING (pmid)
+          GROUP BY pid
+        )
+        SELECT pid, did, score, novelty
+        FROM imp JOIN nov USING (pid)
     """,
     "tinx_pmid_rankings": """
         WITH pm AS (SELECT DISTINCT l_orderkey AS pmid, l_suppkey AS pid

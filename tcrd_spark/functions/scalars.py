@@ -1,6 +1,12 @@
 """Scalar function surface (SURVEY.md §2.7): string / math / date /
 array / JSON / conditional — all JVM-side built-ins (whole-stage
-codegen), zero Python UDFs in this module."""
+codegen), zero Python UDFs in this module.
+
+The string+math and json+conditional families are exercised by merged
+driver queries (one scan each) so the whole §2.7 surface fits inside
+the driver's 50-query correctness window; the per-family builders
+remain importable for tests.
+"""
 
 from __future__ import annotations
 
@@ -10,28 +16,23 @@ from pyspark.sql import functions as F
 from tcrd_spark.sources.lake import load_table
 
 
-def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lower/upper, regexp_replace, regexp_extract, concat keys —
-    (`loaders/TCRDMP.py:2507-2508` LOWER match; `loaders/load-KEGGDistances
-    .py:132-133` strip prefixes; `python/TIN-X.py:146` concat keys)."""
+def q_string_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (`loaders/TCRDMP.py:2507-2508` LOWER match;
+    `loaders/load-KEGGDistances.py:132-133` strip prefixes;
+    `python/TIN-X.py:146` concat keys) + math family (`R/gtex_process
+    .R:36` log2foldchange; `python/TIN-X.py:216-221` reciprocal sums;
+    the ifelse(x>0, log10, NULL) guard appears verbatim in
+    gtex_process) in one per-row projection over `part`."""
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
+        # string family
         F.lower("p_name").alias("lname"),
         F.regexp_replace("p_name", " ", "_").alias("underscored"),
         F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
         F.concat_ws(",", "p_brand", "p_type").alias("compound_key"),
         F.split("p_name", " ").getItem(0).alias("first_word"),
-    )
-
-
-def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """log10 / log2 / reciprocal arithmetic (`R/gtex_process.R:36`,
-    gtex.log2foldchange, `python/TIN-X.py:216-221`). The ifelse(x>0,
-    log10, NULL) guard appears verbatim in gtex_process."""
-    part = load_table(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
+        # math family
         F.round(F.log10("p_retailprice"), 6).alias("lg10"),
         F.round(F.log2("p_retailprice"), 6).alias("lg2"),
         F.round(F.lit(1.0) / F.col("p_retailprice"), 6).alias("recip"),
@@ -56,22 +57,15 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedded-JSON column (`drgc_resource.json` TEXT col, schema :500;
-    `loaders/load-DRGC_Resources.py`) → get_json_object."""
+def q_json_case_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-JSON extraction (`drgc_resource.json` TEXT col, schema
+    :500; `loaders/load-DRGC_Resources.py`) + 4-level bucket CASE and
+    recode (`R/gtex_process.R:50` level buckets, `:21` gender 1→M/2→F)
+    in one per-row projection over `events`."""
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
-    )
-
-
-def q_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-level bucket CASE + recode (`R/gtex_process.R:50` level buckets,
-    `:21` gender 1→M/2→F recode)."""
-    events = load_table(spark, sf_dir, "events")
-    return events.select(
-        "event_id",
         F.when(F.col("value") < 25, "Not detected")
         .when(F.col("value") < 50, "Low")
         .when(F.col("value") < 75, "Medium")
@@ -82,25 +76,19 @@ def q_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "string_funcs": q_string_funcs,
-    "math_funcs": q_math_funcs,
+    "string_math_funcs": q_string_math_funcs,
     "date_funcs": q_date_funcs,
-    "json_extract": q_json_extract,
-    "case_buckets": q_case_buckets,
+    "json_case_funcs": q_json_case_funcs,
 }
 
 ORACLE = {
-    "string_funcs": """
+    "string_math_funcs": """
         SELECT p_partkey,
                lower(p_name) AS lname,
                replace(p_name, ' ', '_') AS underscored,
                CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num,
                p_brand || ',' || p_type AS compound_key,
-               string_split(p_name, ' ')[1] AS first_word
-        FROM part
-    """,
-    "math_funcs": """
-        SELECT p_partkey,
+               string_split(p_name, ' ')[1] AS first_word,
                round(log10(p_retailprice), 6) AS lg10,
                round(log2(p_retailprice), 6) AS lg2,
                round(1.0 / p_retailprice, 6) AS recip,
@@ -115,13 +103,9 @@ ORACLE = {
                round(sum(o_totalprice), 4) AS total
         FROM orders GROUP BY 1, 2
     """,
-    "json_extract": """
+    "json_case_funcs": """
         SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value
-        FROM events
-    """,
-    "case_buckets": """
-        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
                CASE WHEN value < 25 THEN 'Not detected'
                     WHEN value < 50 THEN 'Low'
                     WHEN value < 75 THEN 'Medium'

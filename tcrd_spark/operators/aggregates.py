@@ -190,7 +190,7 @@ ORACLE = {
         SELECT count(*) AS total_docs,
                count(DISTINCT lang) AS n_langs,
                count(DISTINCT source) AS n_sources,
-               sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS long_docs
+               CAST(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs
         FROM documents
     """,
     "type_histogram": """
@@ -233,9 +233,9 @@ ORACLE = {
     """,
     "pivot_wide": """
         SELECT o_custkey,
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_ct,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_ct,
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_ct
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_ct,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_ct,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_ct
         FROM orders GROUP BY o_custkey
     """,
     "grouped_set_agg": """

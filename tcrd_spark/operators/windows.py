@@ -81,17 +81,46 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile assignment per group — the tau pipeline's cut2(x, g=10)
-    step (`R/gtex_process.R:9-16`, `R/hpm_tau.R:1-26`) as ntile(10).
-    Deterministic secondary sort key breaks value ties identically in
-    any engine."""
+    """Global decile assignment — the tau pipeline's cut2(x, g=10) step
+    (`R/gtex_process.R:9-16`, `R/hpm_tau.R:1-26`) as value-quantile
+    edges: exact interior percentiles [0.1..0.9] of the distribution,
+    bin = 1 + #edges ≤ value. Like Hmisc::cut2 (and unlike ntile),
+    equal values always share a bin.
+
+    Scale note: a global `ntile` is a single-task sort (every row
+    through ONE window partition — a 100 TB killer). Here the edges
+    reduce to one 9-float row, broadcast back over the corpus: one
+    shuffle for the groupBy, zero for the binning. Edges rounded to
+    9 dp so Spark and DuckDB make identical binary decisions on
+    interpolated quantiles."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum("l_quantity"), 4).alias("total_qty")
     )
-    w = Window.orderBy(F.asc("total_qty"), F.asc("l_partkey"))
-    return per_part.select(
-        "l_partkey", "total_qty", F.ntile(10).over(w).alias("decile")
+    probs = [i / 10 for i in range(1, 10)]
+    edges = per_part.agg(
+        F.array_distinct(
+            F.transform(
+                F.percentile("total_qty", F.array(*[F.lit(p) for p in probs])),
+                lambda e: F.round(e, 9),
+            )
+        ).alias("edges")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(edges))
+        .select(
+            "l_partkey",
+            "total_qty",
+            (
+                1
+                + F.size(
+                    F.filter(
+                        F.col("edges"),
+                        lambda e: F.round(F.col("total_qty"), 9) >= e,
+                    )
+                )
+            ).alias("decile"),
+        )
     )
 
 
@@ -142,11 +171,20 @@ ORACLE = {
         ) t WHERE rn <= 5
     """,
     "decile_bucketing": """
-        SELECT l_partkey, total_qty,
-               ntile(10) OVER (ORDER BY total_qty ASC, l_partkey ASC) AS decile
-        FROM (
+        WITH t AS (
             SELECT l_partkey, round(sum(l_quantity), 4) AS total_qty
             FROM lineitem GROUP BY l_partkey
-        ) t
+        ),
+        edges AS (
+            SELECT list_distinct(list_transform(
+                quantile_cont(total_qty,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                e -> round(e, 9))) AS es
+            FROM t
+        )
+        SELECT l_partkey, total_qty,
+               1 + len(list_filter(es, e -> round(total_qty, 9) >= e))
+                   AS decile
+        FROM t, edges
     """,
 }

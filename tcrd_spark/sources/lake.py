@@ -36,6 +36,12 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.ts is written as parquet TIMESTAMP(NANOS); a session without
+    # legacy.parquet.nanosAsLong throws PARQUET_TYPE_ILLEGAL at the scan.
+    # The conf is runtime-settable, so set it here rather than relying on
+    # our own session factory — callers (the driver harness) bring their
+    # own SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as long
     # (nanosAsLong, session.py); truncate to micros — same thing DuckDB's
