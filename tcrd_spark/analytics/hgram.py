@@ -34,12 +34,12 @@ def _z(x: Column, mu: Column, sigma: Column) -> Column:
     """Standardized score, division guarded for ANSI mode: when σ=0
     the divisor must be NULL (a when() guard around the whole
     expression does NOT stop ANSI from raising DIVIDE_BY_ZERO — both
-    branches evaluate). σ=0 within a stats group implies x=μ, so z:=0
-    there, matching the reference's intent for the fallback."""
+    branches evaluate). σ=0 yields NULL z, matching the reference
+    where both the Gaussian CDF and the logistic fallback produce NaN
+    (`loaders/load-HGramCDFs.py` nan_ct) and the row is never
+    written."""
     safe_sigma = F.when(sigma > 0, sigma)
-    return F.when(sigma > 0, (x - mu) / safe_sigma).otherwise(
-        F.when(x == mu, F.lit(0.0))
-    )
+    return F.when(sigma > 0, (x - mu) / safe_sigma)
 
 
 def gaussian_cdf_col(x: Column, mu: Column, sigma: Column) -> Column:
@@ -69,7 +69,10 @@ def hgram_cdfs(
     use_erf: bool = True,
 ) -> DataFrame:
     """counts: (entity, type, attr_count) → + (mu, sigma, attr_cdf).
-    Stats join is broadcast (one row per type)."""
+    Stats join is broadcast (one row per type). σ=0 groups are dropped,
+    mirroring the reference's NaN skip (load-HGramCDFs.py nan_ct: when
+    both the CDF and the fallback come out NaN the row is never
+    inserted)."""
     stats = attr_stats(counts, type_col, count_col)
     joined = counts.join(F.broadcast(stats), type_col)
     x, mu, sg = F.col(count_col), F.col("mu"), F.col("sigma")
@@ -79,4 +82,6 @@ def hgram_cdfs(
         )
     else:
         cdf = logistic_cdf_col(x, mu, sg)
-    return joined.withColumn("attr_cdf", F.round(cdf, 6))
+    return joined.withColumn("attr_cdf", F.round(cdf, 6)).filter(
+        F.col("attr_cdf").isNotNull()
+    )

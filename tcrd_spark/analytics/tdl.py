@@ -109,9 +109,12 @@ def compute_tdl(features: DataFrame) -> DataFrame:
     return features.withColumn("tdl", tdl).withColumn("bump_flag", bump)
 
 
-def sql_tdl_case(moa="moa_drug_ct", drug="drug_ct", cmpd="cmpd_ct",
-                 pms="pms", rif="rif_ct", ab="ab_ct", efl="efl_goa") -> str:
-    """The identical rule chain as oracle SQL (CASE expression)."""
+def sql_tdl_case(
+    moa="moa_drug_ct", drug="drug_ct", cmpd="cmpd_ct",
+    pms="pms", rif="rif_ct", ab="ab_ct", efl="efl_goa",
+) -> tuple[str, str]:
+    """The identical rule chain as oracle SQL: returns the (tdl CASE
+    expression, bump_flag boolean expression) pair."""
     pts = (
         f"(CASE WHEN {pms} < {PMS_THRESHOLD} THEN 1 ELSE 0 END"
         f" + CASE WHEN {rif} <= {GENERIF_THRESHOLD} THEN 1 ELSE 0 END"

@@ -49,16 +49,19 @@ def protein_resolution_lookup(
 ) -> DataFrame:
     """Unified ENSP→protein_id key table for the reference's fallback
     chain (`python/TIN-X.py:136-143`): protein.stringid first, then
-    STRING xrefs. Both key spaces land in ONE broadcastable lookup
-    (key, protein_id); precedence is preserved because stringid and
-    xref rows for the same protein resolve to the same id and
-    `resolve` keeps all distinct matches."""
+    find_targets_by_xref with xtype='Ensembl' (`:140`); STRING xrefs
+    also accepted since they carry the same ENSP key space. All key
+    spaces land in ONE broadcastable lookup (key, protein_id);
+    precedence is preserved because stringid and xref rows for the
+    same protein resolve to the same id and `resolve` keeps all
+    distinct matches."""
     a = protein.select(
         F.col("stringid").alias("key"), F.col("id").alias("protein_id")
     ).filter(F.col("key").isNotNull())
     b = (
         xref.filter(
-            (F.col("xtype") == "STRING") & F.col("protein_id").isNotNull()
+            F.col("xtype").isin("Ensembl", "STRING")
+            & F.col("protein_id").isNotNull()
         )
         .select(F.col("value").alias("key"), "protein_id")
     )

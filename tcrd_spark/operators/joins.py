@@ -30,12 +30,22 @@ def salted_join(
     partitions, but cannot help when the skew shows up inside a
     broadcast-probe hot loop or a groupBy on the hot key — salting
     spreads one hot key over n_salts tasks unconditionally. Result is
-    identical to `skewed.join(dim, key, how)`; the dim side must
-    tolerate n_salts× replication (it is the small side by contract).
+    identical to `skewed.join(dim, key, how)` for inner/left/left_semi/
+    left_anti only — right/full would emit one null-padded row PER SALT
+    for each unmatched dim key, so those modes are rejected. The dim
+    side must tolerate n_salts× replication (it is the small side by
+    contract).
 
     Salt = pmod(hash(whole fact row), n) — deterministic (stable plans
     across retries, unlike rand()) and uniform even when one key
     dominates, since the non-key columns vary."""
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "semi", "leftsemi", "left_semi",
+                   "anti", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — unmatched dim keys "
+            "would duplicate n_salts times under right/full joins"
+        )
     salt = F.pmod(
         F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
     )

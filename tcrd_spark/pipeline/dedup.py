@@ -434,12 +434,19 @@ def cosine(a: Column, b: Column, dim: int) -> Column:
     )
 
 
+# Hard ceiling on the broadcast side of the brute-force matmul:
+# n·dim·8 bytes ≈ 1 GB at 2M×64. Past this, brute force is the WRONG
+# tool — the guard fails fast instead of silently OOMing the driver.
+MAX_BRUTE_FORCE_VECTORS = 2_000_000
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
     threshold: float = 0.95,
+    max_vectors: int = MAX_BRUTE_FORCE_VECTORS,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold (brute-force).
 
@@ -453,8 +460,11 @@ def embedding_near_dups(
 
     Brute-force is the exact O(n²)-flop baseline; it scales out in the
     partitioned side but requires the broadcast side to fit in executor
-    memory (n·dim·8 bytes — 1 GB at 2M×64). Past that, the IVF / LSH
-    bucketing in pipeline/similarity.py is the 100 TB path.
+    memory (n·dim·8 bytes — 1 GB at 2M×64). The `max_vectors` guard
+    enforces that bound with a limit-probe (no separate count job):
+    exceeding it raises rather than OOMs, and the caller should switch
+    to the IVF / LSH bucketing in pipeline/similarity.py — the 100 TB
+    path.
     """
     import numpy as np
     import pandas as pd
@@ -463,7 +473,13 @@ def embedding_near_dups(
     vecs = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
-    corpus = vecs.toPandas()
+    corpus = vecs.limit(max_vectors + 1).toPandas()
+    if len(corpus) > max_vectors:
+        raise ValueError(
+            f"embedding_near_dups: corpus exceeds {max_vectors} vectors; "
+            "brute force would overrun the broadcast budget — use the "
+            "IVF/LSH path (pipeline/similarity.py) instead"
+        )
     spark = df.sparkSession
     if corpus.empty:
         return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")

@@ -71,22 +71,41 @@ def brute_force_topk(
 def assign_cells(corpus: DataFrame, centroids: DataFrame, dim: int) -> DataFrame:
     """IVF build: nearest-centroid assignment (broadcast centroids).
     corpus: (c_id, c_vec); centroids: (cell_id, cell_vec) →
-    (c_id, c_vec, c_vec_nrm, cell_id)."""
+    (c_id, c_vec, c_vec_nrm, cell_id).
+
+    The argmin over centroids is ROW-LOCAL, so no shuffle belongs here:
+    the centroid table folds into ONE array-of-structs row (sorted by
+    cell_id), broadcast onto the corpus scan, and each row picks
+    argmax(score) via array_position — first match wins, which with the
+    cell_id-sorted array is exactly the (max score, min cell_id)
+    tie-break. The previous shape (crossJoin → corpus×n_cells rows →
+    row_number window) shuffled the corpus n_cells times at scale."""
     c = _with_norm(corpus, "c_id", "c_vec", dim)
     cent = _with_norm(centroids, "cell_id", "cell_vec", dim)
-    w = Window.partitionBy("c_id").orderBy(F.desc("cs"), F.asc("cell_id"))
+    cent_row = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cell_id", "cell_vec", "cell_vec_nrm"))
+        ).alias("cents")
+    )
+    scores = F.transform(
+        F.col("cents"),
+        lambda x: F.round(
+            dot(F.col("c_vec"), x["cell_vec"], dim)
+            / (F.col("c_vec_nrm") * x["cell_vec_nrm"]),
+            6,
+        ),
+    )
     return (
-        c.crossJoin(F.broadcast(cent))
+        c.crossJoin(F.broadcast(cent_row))
+        .withColumn("cs", scores)
         .select(
             "c_id",
             "c_vec",
             "c_vec_nrm",
-            "cell_id",
-            _pair_score("c_vec", "cell_vec", dim).alias("cs"),
+            F.element_at(
+                F.col("cents"), F.array_position(F.col("cs"), F.array_max("cs")).cast("int")
+            )["cell_id"].alias("cell_id"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "c_vec", "c_vec_nrm", "cell_id")
     )
 
 

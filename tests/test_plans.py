@@ -70,6 +70,53 @@ def test_no_python_udf_in_relational_paths(spark, sf_dir, queries):
         assert "MapInPandas" not in plan, f"{name} uses mapInPandas"
 
 
+def test_no_partitionless_window(spark, sf_dir, queries):
+    """No registered query may run a window over the WHOLE dataset:
+    a partition-less windowspec funnels every row through ONE task —
+    fine at sf0.01, fatal at 100 TB. A windowspecdefinition whose
+    first argument carries ASC/DESC has ordering but no partition
+    columns; that's the signature we reject."""
+    for name, q in queries.items():
+        plan = plan_of(q(spark, sf_dir))
+        for chunk in plan.split("windowspecdefinition(")[1:]:
+            first_arg = chunk.split(",", 1)[0]
+            assert " ASC" not in first_arg and " DESC" not in first_arg, (
+                f"{name} has a global (partition-less) window:\n{plan}"
+            )
+
+
+def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):
+    """Nearest-centroid assignment is row-local: the plan must contain
+    no Window operator (the old shape shuffled corpus×n_cells rows
+    through row_number)."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline import similarity
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    plan = plan_of(similarity.assign_cells(corpus, cents, dim=64))
+    assert "Window" not in plan, plan
+
+
+def test_embedding_brute_force_size_guard(spark, sf_dir):
+    """The brute-force matmul collects the corpus to the driver for
+    broadcast; the guard must fail fast past the declared budget
+    instead of silently OOMing."""
+    from tcrd_spark.pipeline.dedup import embedding_near_dups
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="IVF/LSH"):
+        embedding_near_dups(emb, "vec_id", "embedding", dim=64, max_vectors=10)
+
+
 def test_partial_aggregation(spark, sf_dir, queries):
     """group_sum must combine map-side: two HashAggregate nodes
     (partial + final) around the exchange."""
