@@ -238,43 +238,107 @@ def tdl_evolution(versions: dict[str, DataFrame]) -> DataFrame:
 
 
 def _grouped_list(df: DataFrame, key: str, struct_cols: list[str], alias: str):
+    """Deterministically-ordered nested array per key (array_sort on the
+    struct gives a stable order regardless of shuffle partitioning)."""
     return df.groupBy(key).agg(
-        F.collect_list(F.struct(*struct_cols)).alias(alias)
+        F.array_sort(F.collect_list(F.struct(*struct_cols))).alias(alias)
     )
+
+
+# TIN-X importance excludes top-level/uninformative DO terms
+# (`loaders/TCRD.py:2108` bad_diseases).
+BAD_TINX_DISEASES = (
+    "disease", "disease by infectious agent", "bacterial infectious disease",
+    "fungal infectious disease", "parasitic infectious disease",
+    "viral infectious disease", "disease of anatomical entity",
+    "cardiovascular system disease", "endocrine system disease",
+    "gastrointestinal system disease", "immune system disease",
+    "integumentary system disease", "musculoskeletal system disease",
+    "nervous system disease", "reproductive system disease",
+    "respiratory system disease", "thoracic disease",
+    "urinary system disease", "disease of cellular proliferation",
+    "benign neoplasm", "cancer", "pre-malignant neoplasm",
+    "disease of mental health", "cognitive disorder",
+    "developmental disorder of mental health", "dissociative disorder",
+    "factitious disorder", "gender identity disorder",
+    "impulse control disorder", "personality disorder", "sexual disorder",
+    "sleep disorder", "somatoform disorder", "substance-related disorder",
+    "disease of metabolism", "acquired metabolic disease",
+    "inherited metabolic disorder", "genetic disease", "physical disorder",
+    "syndrome",
+)
 
 
 def target_documents(
-    lake: dict[str, DataFrame], target_ids: list[int] | None = None
+    lake: dict[str, DataFrame],
+    target_ids: list[int] | None = None,
+    get_ga_counts: bool = True,
 ) -> DataFrame:
     """The nested 'target document' — get_target(include_annotations=
     True) for EVERY target in one plan (`loaders/TCRD.py:1857-1951` +
-    get_protein `:1953-2125`). ~20 point-queries per entity become ~8
-    grouped joins; xrefs arrive as a map type→list like the adaptor's
-    dict-of-lists (`:1988-1998`)."""
+    get_protein `:1953-2125`). The reference's ~40 point-queries per
+    entity become one grouped join per annotation table; xrefs and
+    features arrive as a map type→list like the adaptor's
+    dict-of-lists (`:1988-1998`, `:2072-2081`).
+
+    Annotation coverage mirrors get_protein: aliases, tdl_infos, xrefs,
+    generifs, goas, pmscores, expressions, mlp_assay_infos,
+    compartments, phenotypes, orthologs, pathways, pubmeds, features,
+    panther_classes, patent_counts, tinx novelty/importances
+    (bad-disease filtered, `:2108`), gene_attribute counts (`:2114`,
+    behind get_ga_counts like the reference flag), kegg_nearest_tclins
+    (`:2120`), gwases; plus the target-level tdl_infos, diseases and
+    drug/cmpd activities of get_target. Tables absent from the lake
+    are skipped, so a thin lake still builds a thin document.
+
+    Scale: every annotation is one partial-aggregated groupBy on the
+    entity key followed by a left join on that same key — no fan-out
+    N+1, no per-entity driver loop; array sorting is row-local."""
     ent = entity(lake).withColumnRenamed("protein_id", "pid")
-    base = ent.select(
+    base_cols = [
         "target_id", "target_name", "ttype", "tdl", "idg", "fam",
-        F.col("pid").alias("protein_id"), "uniprot", "sym", "geneid",
-        "stringid",
-    )
+        F.col("pid").alias("protein_id"),
+        F.col("name").alias("protein_name"), "description",
+        "uniprot", "sym", "geneid", "stringid", "dtoid",
+    ]
+    if "dtoclass" in ent.columns:
+        base_cols.append("dtoclass")
+    base = ent.select(*base_cols)
     if target_ids is not None:
         base = base.filter(F.col("target_id").isin(target_ids))
 
-    # per-protein nested annotation arrays
-    infos = dereference(lake["tdl_info"], lake["info_type"]).select(
-        "protein_id", "itype", "value"
+    p_joins: list[DataFrame] = []   # joined on protein_id
+    t_joins: list[DataFrame] = []   # joined on target_id
+
+    # typed-EAV infos, protein- and target-attached (TCRD.py:1975-1984
+    # and get_target :1890-1900)
+    infos = dereference(lake["tdl_info"], lake["info_type"])
+    p_joins.append(
+        infos.filter(F.col("protein_id").isNotNull())
+        .groupBy("protein_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("itype", "value")))
+            ).alias("tdl_infos")
+        )
     )
-    tdl_infos = infos.groupBy("protein_id").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("itype", "value")))
-        ).alias("tdl_infos")
-    )
-    aliases = _grouped_list(
+    if "target_id" in infos.columns:
+        t_joins.append(
+            infos.filter(F.col("target_id").isNotNull())
+            .groupBy("target_id")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("itype", "value")))
+                ).alias("target_tdl_infos")
+            )
+        )
+
+    p_joins.append(_grouped_list(
         lake["alias"].select("protein_id", "type", "value"),
         "protein_id", ["type", "value"], "aliases",
-    )
+    ))
     # xrefs grouped by type into a map of value-lists (TCRD.py:1988-1998)
-    xrefs = (
+    p_joins.append(
         lake["xref"]
         .filter(F.col("protein_id").isNotNull())
         .groupBy("protein_id", "xtype")
@@ -286,19 +350,135 @@ def target_documents(
             ).alias("xrefs")
         )
     )
-    goas = _grouped_list(
+    p_joins.append(_grouped_list(
         lake["goa"].select("protein_id", "go_id", "go_term", "evidence"),
         "protein_id", ["go_id", "go_term", "evidence"], "goas",
-    )
-    exprs = _grouped_list(
+    ))
+    p_joins.append(_grouped_list(
         lake["expression"].select(
             "protein_id", "etype", "tissue", "qual_value", "number_value"
         ),
         "protein_id", ["etype", "tissue", "qual_value", "number_value"],
         "expressions",
-    )
-    # target-attached annotations
-    diseases = (
+    ))
+
+    # straightforward per-protein annotation arrays (get_protein
+    # :2001-2097); each tuple = (table, struct columns, output name)
+    simple = [
+        ("generif", ["pubmed_ids", "text"], "generifs"),
+        ("pmscore", ["year", "score"], "pmscores"),
+        ("phenotype", ["ptype", "trait", "term_id", "term_name"],
+         "phenotypes"),
+        ("ortholog", ["species", "symbol", "name"], "orthologs"),
+        ("patent_count", ["year", "count"], "patent_counts"),
+        ("compartment", ["ctype", "go_id", "go_term"], "compartments"),
+        ("mlp_assay_info", ["assay_name", "method", "total_sids"],
+         "mlp_assay_infos"),
+        ("gwas", ["disease_trait", "mapped_trait_uri", "p_value"],
+         "gwases"),
+        ("kegg_nearest_tclin", ["tclin_id", "direction", "distance"],
+         "kegg_nearest_tclins"),
+    ]
+    for tbl, cols, out_name in simple:
+        if tbl in lake:
+            p_joins.append(_grouped_list(
+                lake[tbl].select("protein_id", *cols),
+                "protein_id", cols, out_name,
+            ))
+
+    if "pathway" in lake:
+        p_joins.append(_grouped_list(
+            lake["pathway"]
+            .filter(F.col("protein_id").isNotNull())
+            .select("protein_id", "pwtype", "name"),
+            "protein_id", ["pwtype", "name"], "pathways",
+        ))
+    if "protein2pubmed" in lake and "pubmed" in lake:
+        pm = lake["protein2pubmed"].join(
+            lake["pubmed"].select(
+                F.col("id").alias("pubmed_id"), "title"
+            ),
+            "pubmed_id",
+        )
+        p_joins.append(_grouped_list(
+            pm, "protein_id", ["pubmed_id", "title"], "pubmeds",
+        ))
+    if "feature" in lake:
+        p_joins.append(
+            lake["feature"]
+            .groupBy("protein_id", "type")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        "begin", "end", "position", "description"
+                    ))
+                ).alias("rows")
+            )
+            .groupBy("protein_id")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("type", "rows")))
+                ).alias("features")
+            )
+        )
+    if "p2pc" in lake and "panther_class" in lake:
+        pc = lake["p2pc"].join(
+            lake["panther_class"].select(
+                F.col("id").alias("panther_class_id"), "pcid", "name"
+            ),
+            "panther_class_id",
+        )
+        p_joins.append(_grouped_list(
+            pc, "protein_id", ["pcid", "name"], "panther_classes",
+        ))
+    if get_ga_counts and "gene_attribute" in lake and \
+            "gene_attribute_type" in lake:
+        ga = lake["gene_attribute"].join(
+            F.broadcast(lake["gene_attribute_type"].select(
+                F.col("id").alias("gat_id"), F.col("name").alias("gat_name")
+            )),
+            "gat_id",
+        )
+        p_joins.append(
+            ga.groupBy("protein_id", "gat_name")
+            .agg(F.count("*").alias("attr_count"))
+            .groupBy("protein_id")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(F.struct("gat_name", "attr_count"))
+                    )
+                ).alias("gene_attribute_counts")
+            )
+        )
+    if "tinx_novelty" in lake:
+        p_joins.append(
+            lake["tinx_novelty"].select(
+                "protein_id", F.col("score").alias("tinx_novelty")
+            )
+        )
+    if "tinx_importance" in lake and "tinx_disease" in lake:
+        ti = lake["tinx_importance"].join(
+            F.broadcast(lake["tinx_disease"].select(
+                F.col("id").alias("disease_id"),
+                F.col("name").alias("disease"),
+            )),
+            "disease_id",
+        ).filter(~F.col("disease").isin(*BAD_TINX_DISEASES))
+        # ordered by score DESC like the reference's ORDER BY (:2109)
+        p_joins.append(
+            ti.groupBy("protein_id")
+            .agg(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.struct("score", "disease"))
+                    )
+                ).alias("tinx_importances")
+            )
+        )
+
+    # target-attached annotations (get_target :1901-1950)
+    t_joins.append(
         lake["disease"]
         .filter(F.col("target_id").isNotNull())
         .select("target_id", "dtype", "name", "did", "zscore")
@@ -311,62 +491,230 @@ def target_documents(
         # ordered by zscore DESC like `loaders/TCRD.py:1905`
         .select("target_id", F.reverse("_d").alias("diseases"))
     )
-    drugs = _grouped_list(
+    t_joins.append(_grouped_list(
         lake["drug_activity"].select(
             "target_id", "drug", "has_moa", "act_value", "act_type"
         ),
         "target_id", ["drug", "has_moa", "act_value", "act_type"],
         "drug_activities",
-    )
+    ))
+    if "cmpd_activity" in lake:
+        t_joins.append(_grouped_list(
+            lake["cmpd_activity"].select(
+                "target_id", "catype", "cmpd_id_in_src", "act_value",
+                "act_type",
+            ),
+            "target_id", ["catype", "cmpd_id_in_src", "act_value",
+                          "act_type"],
+            "cmpd_activities",
+        ))
 
-    out = (
-        base.join(tdl_infos, "protein_id", "left")
-        .join(aliases, "protein_id", "left")
-        .join(xrefs, "protein_id", "left")
-        .join(goas, "protein_id", "left")
-        .join(exprs, "protein_id", "left")
-        .join(diseases, "target_id", "left")
-        .join(drugs, "target_id", "left")
-    )
+    out = base
+    for ann in p_joins:
+        out = out.join(ann, "protein_id", "left")
+    for ann in t_joins:
+        out = out.join(ann, "target_id", "left")
     return out
 
 
+# the 47 expanded-export headers, verbatim (`python/tcrd2csv.py:45-47`)
+EXPANDED_HEADER = [
+    "TCRD ID", "Name", "Description", "HGNC Sym", "NCBI Gene ID",
+    "UniProt", "STRING ID", "TDL", "IDG Eligible", "DTO ID", "DTO Class",
+    "PANTHER Class(es)", "GeneRIF Count", "NCBI Gene PubMed Count",
+    "JensenLab PubMed Score", "PubTator Score", "Ab Count",
+    "Monoclonal Ab Count", "Activity Count", "ChEMBL Selective Compound",
+    "ChEMBL First Reference Year", "DrugCentral Activity Count",
+    "PDB Count", "PDBs", "GO Annotation Count",
+    "Experimental MF/BP Leaf Term GOA(s)", "OMIM Phenotype Count",
+    "OMIM Phenotype(s)", "JAX/MGI Human Ortholog Phenotype Count",
+    "JAX/MGI Human Ortholog Phenotype(s)", "IMPC Ortholog Phenotype Count",
+    "IMPC Ortholog Phenotype(s)", "GWAS Count", "GWAS Phenotype(s)",
+    "Pathway Count", "Pathways", "Total Disease Count",
+    "Top 5 Text-Mining DISEASES", "eRAM Diseases", "EBI Patent Count",
+    "Is Transcription Factor", "TMHMM Prediction",
+    "HPA Tissue Specificity Index", "HPM Gene Tissue Specificity Index",
+    "HPM Protein Tissue Specificity Index", "TIN-X Novelty",
+    "Top 5 TIN-X Importance(s)",
+]
+
+
 def export_wide_csv_df(lake: dict[str, DataFrame]) -> DataFrame:
-    """tcrd2csv-style flat export (`python/tcrd2csv.py:45-47,79-270`):
-    scalar columns + counts + pipe-joined lists + top-5 disease slice —
-    one wide SELECT instead of per-target flattening."""
+    """tcrd2csv --expand flat export (`python/tcrd2csv.py:45-47,90-270`
+    target2csv_exp): all 47 expanded columns, named exactly as the
+    reference's CSV header, as ONE wide SELECT over the nested
+    document — every per-target Python branch becomes a row-local
+    array expression (filter/transform/slice/array_join), so the
+    flattening costs zero extra shuffles beyond the document build.
+    Annotation tables absent from the lake yield NULL columns (the
+    reference emits '' for a missing dict key)."""
     doc = target_documents(lake)
-    return doc.select(
-        "target_id",
-        F.col("target_name").alias("name"),
-        "ttype",
-        "tdl",
-        "uniprot",
-        "sym",
-        "geneid",
-        F.size(F.coalesce(F.col("aliases"), F.array())).alias("alias_count"),
-        F.array_join(
-            F.array_sort(
-                F.transform(
-                    F.coalesce(F.col("aliases"), F.array()), lambda a: a["value"]
-                )
-            ),
-            "|",
-        ).alias("aliases_pipe"),
-        F.size(F.coalesce(F.col("goas"), F.array())).alias("goa_count"),
-        F.size(F.coalesce(F.col("expressions"), F.array())).alias(
-            "expression_count"
+    cols = set(doc.columns)
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("int")
+
+    def arr(c):
+        return F.coalesce(F.col(c), F.array()) if c in cols else None
+
+    def info(key, default=None):
+        v = F.element_at(F.col("tdl_infos"), key)
+        return F.coalesce(v, F.lit(default)) if default is not None else v
+
+    def tinfo(key):
+        if "target_tdl_infos" in cols:
+            return F.element_at(F.col("target_tdl_infos"), key)
+        return null_s
+
+    def count_and_pipe(items, fmt):
+        """The reference's `if xs: append(len); append('|'.join)` pair —
+        ('' , '') when empty. items=None → table absent → NULLs."""
+        if items is None:
+            return null_i, null_s
+        n = F.size(items)
+        joined = F.array_join(F.transform(items, fmt), "|")
+        return F.when(n > 0, n), F.when(n > 0, joined)
+
+    phen = arr("phenotypes")
+    omims = F.filter(phen, lambda p: p["ptype"] == "OMIM") if phen is not None else None
+    jaxs = (
+        F.filter(phen, lambda p: p["ptype"] == "JAX/MGI Human Ortholog Phenotype")
+        if phen is not None else None
+    )
+    impcs = F.filter(phen, lambda p: p["ptype"] == "IMPC") if phen is not None else None
+    term_fmt = lambda p: F.concat_ws(":", p["term_id"], p["term_name"])  # noqa: E731
+    omim_n, omim_s = count_and_pipe(omims, lambda p: p["trait"])
+    jax_n, jax_s = count_and_pipe(jaxs, term_fmt)
+    impc_n, impc_s = count_and_pipe(impcs, term_fmt)
+    gwas_n, gwas_s = count_and_pipe(
+        arr("gwases"),
+        lambda g: F.concat(
+            g["disease_trait"], F.lit(" ("), g["mapped_trait_uri"],
+            F.lit("):"), g["p_value"].cast("string"),
         ),
-        # top-5 diseases by zscore desc (tcrd2csv.py:216 `[:5]`)
+    )
+    pw_n, pw_s = count_and_pipe(
+        arr("pathways"), lambda p: F.concat_ws(":", p["pwtype"], p["name"])
+    )
+
+    dz = arr("diseases")
+    tm = F.filter(dz, lambda d: d["dtype"] == "JensenLab Text Mining")
+    erams = F.filter(dz, lambda d: d["dtype"] == "eRAM")
+    pdbs = F.coalesce(
+        F.element_at(F.col("xrefs"), "PDB"),
+        F.array().cast("array<string>"),
+    )
+    txis = arr("tinx_importances")
+
+    return doc.select(
+        F.col("target_id").alias("TCRD ID"),
+        F.col("protein_name").alias("Name"),
+        F.col("description").alias("Description"),
+        F.col("sym").alias("HGNC Sym"),
+        F.col("geneid").alias("NCBI Gene ID"),
+        F.col("uniprot").alias("UniProt"),
+        F.col("stringid").alias("STRING ID"),
+        F.col("tdl").alias("TDL"),
+        F.col("idg").cast("int").alias("IDG Eligible"),
+        F.col("dtoid").alias("DTO ID"),
+        (F.col("dtoclass") if "dtoclass" in cols else null_s).alias("DTO Class"),
         F.array_join(
             F.transform(
-                F.slice(F.coalesce(F.col("diseases"), F.array()), 1, 5),
-                lambda d: d["name"],
+                arr("panther_classes") if "panther_classes" in cols else F.array().cast(
+                    "array<struct<pcid:string,name:string>>"
+                ),
+                lambda c: F.concat_ws(":", c["pcid"], c["name"]),
             ),
             "|",
-        ).alias("top5_diseases"),
-        F.element_at(F.col("tdl_infos"), "JensenLab PubMed Score").alias(
-            "pubmed_score"
+        ).alias("PANTHER Class(es)"),
+        F.size(arr("generifs") if "generifs" in cols else F.array()).alias(
+            "GeneRIF Count"
         ),
-        F.element_at(F.col("tdl_infos"), "Ab Count").alias("ab_count"),
+        info("NCBI Gene PubMed Count", "0").alias("NCBI Gene PubMed Count"),
+        info("JensenLab PubMed Score", "0").alias("JensenLab PubMed Score"),
+        info("PubTator Score", "0").alias("PubTator Score"),
+        info("Ab Count").alias("Ab Count"),
+        info("MAb Count").alias("Monoclonal Ab Count"),
+        F.size(arr("cmpd_activities") if "cmpd_activities" in cols else F.array())
+        .alias("Activity Count"),
+        tinfo("ChEMBL Selective Compound").alias("ChEMBL Selective Compound"),
+        tinfo("ChEMBL First Reference Year").alias("ChEMBL First Reference Year"),
+        F.size(arr("drug_activities")).alias("DrugCentral Activity Count"),
+        F.size(pdbs).alias("PDB Count"),
+        F.array_join(pdbs, "|").alias("PDBs"),
+        F.size(arr("goas")).alias("GO Annotation Count"),
+        info("Experimental MF/BP Leaf Term GOA", "0").alias(
+            "Experimental MF/BP Leaf Term GOA(s)"
+        ),
+        omim_n.alias("OMIM Phenotype Count"),
+        omim_s.alias("OMIM Phenotype(s)"),
+        jax_n.alias("JAX/MGI Human Ortholog Phenotype Count"),
+        jax_s.alias("JAX/MGI Human Ortholog Phenotype(s)"),
+        impc_n.alias("IMPC Ortholog Phenotype Count"),
+        impc_s.alias("IMPC Ortholog Phenotype(s)"),
+        gwas_n.alias("GWAS Count"),
+        gwas_s.alias("GWAS Phenotype(s)"),
+        pw_n.alias("Pathway Count"),
+        pw_s.alias("Pathways"),
+        F.size(F.array_distinct(F.transform(dz, lambda d: d["name"]))).alias(
+            "Total Disease Count"
+        ),
+        F.when(
+            F.size(tm) > 0,
+            F.array_join(
+                F.transform(
+                    F.slice(tm, 1, 5),
+                    lambda d: F.concat(
+                        d["name"], F.lit(" (ZScore: "),
+                        d["zscore"].cast("string"), F.lit(")"),
+                    ),
+                ),
+                "|",
+            ),
+        ).alias("Top 5 Text-Mining DISEASES"),
+        F.when(
+            F.size(erams) > 0,
+            F.array_join(
+                F.transform(
+                    erams,
+                    lambda d: F.concat(d["did"], F.lit(": "), d["name"]),
+                ),
+                "|",
+            ),
+        ).alias("eRAM Diseases"),
+        info("EBI Total Patent Count", "0").alias("EBI Patent Count"),
+        F.when(
+            F.coalesce(
+                F.map_contains_key(F.col("tdl_infos"), "Is Transcription Factor"),
+                F.lit(False),
+            ),
+            1,
+        ).otherwise(0).alias("Is Transcription Factor"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(info("TMHMM Prediction"), r"PredHel=(\d)", 1),
+                F.lit(""),
+            ),
+            F.lit("0"),
+        ).alias("TMHMM Prediction"),
+        info("HPA Tissue Specificity Index").alias("HPA Tissue Specificity Index"),
+        info("HPM Gene Tissue Specificity Index").alias(
+            "HPM Gene Tissue Specificity Index"
+        ),
+        info("HPM Protein Tissue Specificity Index").alias(
+            "HPM Protein Tissue Specificity Index"
+        ),
+        (F.col("tinx_novelty") if "tinx_novelty" in cols else null_s.cast("double"))
+        .alias("TIN-X Novelty"),
+        (
+            F.array_join(
+                F.transform(
+                    F.slice(txis, 1, 5),
+                    lambda t: F.concat(
+                        t["disease"], F.lit(": "), t["score"].cast("string")
+                    ),
+                ),
+                "|",
+            )
+            if txis is not None else null_s
+        ).alias("Top 5 TIN-X Importance(s)"),
     )

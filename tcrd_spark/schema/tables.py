@@ -72,6 +72,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("seq", StringType(), True),
         ("dtoid", StringType(), True),
         ("stringid", StringType(), True),
+        ("dtoclass", StringType(), True),
     ),
     "t2tc": _s(
         ("target_id", LongType(), False),
@@ -166,6 +167,18 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("pvalue", StringType(), True),
         ("score", DoubleType(), True),
         ("source", StringType(), True),
+    ),
+    # MLP assay metadata (`SQL/create-TCRDv7.sql:1130-1143`)
+    "mlp_assay_info": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("assay_name", StringType(), False),
+        ("method", StringType(), False),
+        ("active_sids", IntegerType(), True),
+        ("inactive_sids", IntegerType(), True),
+        ("iconclusive_sids", IntegerType(), True),
+        ("total_sids", IntegerType(), True),
+        ("aid", IntegerType(), True),
     ),
     "pathway": _s(
         ("id", LongType(), False),

@@ -33,10 +33,13 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         for i in range(1, 7)
     ]
     proteins = [
-        dict(id=10 + i, name=f"P{i}", uniprot=f"U{i:05d}", sym=f"SYM{i}",
+        dict(id=10 + i, name=f"P{i}", description=f"protein {i}",
+             uniprot=f"U{i:05d}", sym=f"SYM{i}",
              geneid=100 + i, stringid=f"9606.ENSP{i:08d}")
         for i in range(1, 7)
     ]
+    proteins[0]["dtoid"] = "DTO:101"
+    proteins[0]["dtoclass"] = "Kinase"
     t2tc = [dict(target_id=i, protein_id=10 + i) for i in range(1, 7)]
 
     # T1: MoA drug -> Tclin ; T2: non-MoA drug -> Tchem ;
@@ -54,6 +57,14 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         dict(name="Ab Count", data_type="Integer"),
         dict(name="Experimental MF/BP Leaf Term GOA", data_type="Boolean"),
         dict(name="UniProt Function", data_type="String"),
+        dict(name="MAb Count", data_type="Integer"),
+        dict(name="NCBI Gene PubMed Count", data_type="Integer"),
+        dict(name="Is Transcription Factor", data_type="Boolean"),
+        dict(name="TMHMM Prediction", data_type="String"),
+        dict(name="HPA Tissue Specificity Index", data_type="Number"),
+        dict(name="EBI Total Patent Count", data_type="Integer"),
+        dict(name="ChEMBL Selective Compound", data_type="String"),
+        dict(name="ChEMBL First Reference Year", data_type="Integer"),
     ]
     tdl_info = []
     iid = 0
@@ -78,6 +89,25 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         dict(id=99, itype="UniProt Function", protein_id=16,
              string_value="does things")
     )
+    # annotation infos for the expanded export (P11 / target 1 rich)
+    tdl_info += [
+        dict(id=200, itype="MAb Count", protein_id=11, integer_value=7),
+        dict(id=201, itype="NCBI Gene PubMed Count", protein_id=11,
+             integer_value=42),
+        dict(id=202, itype="Is Transcription Factor", protein_id=11,
+             boolean_value=True),
+        dict(id=203, itype="TMHMM Prediction", protein_id=11,
+             string_value="len=500 ExpAA=44 First60=0.1 PredHel=2 Topology=i"),
+        dict(id=204, itype="HPA Tissue Specificity Index", protein_id=11,
+             number_value=0.82),
+        dict(id=205, itype="EBI Total Patent Count", protein_id=11,
+             integer_value=13),
+        # target-attached EAV rows (get_target :1890-1900)
+        dict(id=206, itype="ChEMBL Selective Compound", target_id=1,
+             string_value="CHEMBL123:9.1"),
+        dict(id=207, itype="ChEMBL First Reference Year", target_id=1,
+             integer_value=1999),
+    ]
     generif = [
         dict(id=i, protein_id=10 + i, text=f"rif {i}")
         for i in range(1, 7)
@@ -95,6 +125,8 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         dict(id=3, xtype="Ensembl", protein_id=12, value="ENSG000002",
              dataset_id=1),
         dict(id=4, xtype="HGNC", protein_id=13, value="HGNC:3", dataset_id=1),
+        dict(id=5, xtype="PDB", protein_id=11, value="1ABC", dataset_id=1),
+        dict(id=6, xtype="PDB", protein_id=11, value="2XYZ", dataset_id=1),
     ]
     alias = [
         dict(id=1, protein_id=11, type="symbol", value="ALIAS1", dataset_id=1),
@@ -131,6 +163,88 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         dict(id=1, dataset_id=1, table_name="xref", column_name=None)
     ]
 
+    # annotation families feeding the widened target document / export
+    phenotype = [
+        dict(id=1, ptype="OMIM", protein_id=11, trait="trait-A"),
+        dict(id=2, ptype="OMIM", protein_id=11, trait="trait-B"),
+        dict(id=3, ptype="JAX/MGI Human Ortholog Phenotype",
+             protein_id=11, term_id="MP:1", term_name="odd gait"),
+        dict(id=4, ptype="IMPC", protein_id=11, term_id="MP:2",
+             term_name="short tail"),
+    ]
+    ortholog = [
+        dict(id=1, protein_id=11, taxid=10090, species="Mouse",
+             geneid=55, symbol="Sym1", name="p one",
+             sources="MGI"),
+    ]
+    gwas = [
+        dict(id=1, protein_id=11, disease_trait="Height", pmid=123,
+             p_value=5e-8, mapped_trait_uri="EFO:1"),
+    ]
+    feature = [
+        dict(id=1, protein_id=11, type="DOMAIN",
+             description="kinase dom", begin=10, end=120),
+        dict(id=2, protein_id=11, type="ACT_SITE", position=57),
+    ]
+    panther_class = [
+        dict(id=1, pcid="PC00001", name="kinase"),
+        dict(id=2, pcid="PC00002", name="receptor"),
+    ]
+    p2pc = [
+        dict(protein_id=11, panther_class_id=1),
+        dict(protein_id=11, panther_class_id=2),
+    ]
+    patent_count = [
+        dict(id=1, protein_id=11, year=2019, count=3),
+        dict(id=2, protein_id=11, year=2020, count=4),
+    ]
+    compartment = [
+        dict(id=1, ctype="JensenLab Knowledge", protein_id=11,
+             go_id="GO:5", go_term="C:nucleus"),
+    ]
+    mlp_assay_info = [
+        dict(id=1, protein_id=11, assay_name="assay one", method="summary",
+             total_sids=100),
+    ]
+    protein2pubmed = [
+        dict(protein_id=11, pubmed_id=1),
+        dict(protein_id=11, pubmed_id=2),
+    ]
+    pubmed = [
+        dict(id=1, title="paper one"),
+        dict(id=2, title="paper two"),
+    ]
+    gene_attribute_type = [
+        dict(id=1, name="CCLE Cell Line Gene Expression Profiles",
+             association="gene-cell line associations"),
+    ]
+    gene_attribute = [
+        dict(id=k, protein_id=11, gat_id=1, name=f"attr{k}", value=1)
+        for k in range(1, 4)
+    ]
+    tinx_novelty_rows = [dict(id=1, protein_id=11, score=0.123456)]
+    tinx_disease = [
+        dict(id=1, doid="DOID:1", name="lung cancer", score=1.0),
+        dict(id=2, doid="DOID:2", name="asthma", score=2.0),
+        dict(id=3, doid="DOID:3", name="cancer", score=3.0),  # bad_diseases
+    ]
+    tinx_importance = [
+        dict(id=1, protein_id=11, disease_id=1, score=5.5),
+        dict(id=2, protein_id=11, disease_id=2, score=9.5),
+        dict(id=3, protein_id=11, disease_id=3, score=99.0),  # filtered
+    ]
+    kegg_nearest_tclin = [
+        dict(id=1, protein_id=11, tclin_id=12, direction="downstream",
+             distance=2),
+    ]
+    # eRAM + text-mining diseases for the export slices
+    disease = disease + [
+        dict(id=4, dtype="JensenLab Text Mining", target_id=1,
+             name="tm-dz", zscore=4.5),
+        dict(id=5, dtype="eRAM", target_id=1, name="eram-dz",
+             did="DOID:9", zscore=0.5),
+    ]
+
     rows = dict(
         target=targets, protein=proteins, t2tc=t2tc,
         drug_activity=drug_activity, cmpd_activity=cmpd_activity,
@@ -138,5 +252,13 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         xref=xref, alias=alias, goa=goa, expression=expression,
         disease=disease, pathway=pathway, ppi=ppi, pmscore=pmscore,
         dataset=dataset, provenance=provenance,
+        phenotype=phenotype, ortholog=ortholog, gwas=gwas,
+        feature=feature, panther_class=panther_class, p2pc=p2pc,
+        patent_count=patent_count, compartment=compartment,
+        mlp_assay_info=mlp_assay_info, protein2pubmed=protein2pubmed,
+        pubmed=pubmed, gene_attribute_type=gene_attribute_type,
+        gene_attribute=gene_attribute, tinx_novelty=tinx_novelty_rows,
+        tinx_disease=tinx_disease, tinx_importance=tinx_importance,
+        kegg_nearest_tclin=kegg_nearest_tclin,
     )
     return {t: _df(spark, t, r) for t, r in rows.items()}

@@ -90,22 +90,107 @@ def test_target_documents_nested(spark, lake):
     assert {g.go_id for g in t1.goas} == {"GO:1", "GO:2"}
     assert len(t1.expressions) == 2
     # diseases ordered by zscore desc
-    assert [d.name for d in t1.diseases] == ["dz-high", "dz-mid", "dz-low"]
+    assert [d.name for d in t1.diseases] == [
+        "dz-high", "tm-dz", "dz-mid", "dz-low", "eram-dz"
+    ]
     assert docs[2].drug_activities[0].drug == "plaindrug"
     # only ids filter
     two = target_documents(lake, target_ids=[1, 2]).count()
     assert two == 2
 
 
-def test_export_wide(spark, lake):
+def test_target_documents_annotation_breadth(spark, lake):
+    """The get_protein annotation families land as nested values
+    (`loaders/TCRD.py:1953-2125`)."""
+    from tcrd_spark.api.adaptor import target_documents
+
+    t1 = {r.target_id: r for r in target_documents(lake).collect()}[1]
+    assert len(t1.generifs) == 1
+    assert [p.year for p in t1.pmscores] == [2019, 2020]
+    assert {p.ptype for p in t1.phenotypes} == {
+        "OMIM", "JAX/MGI Human Ortholog Phenotype", "IMPC"
+    }
+    assert t1.orthologs[0].species == "Mouse"
+    assert [p.name for p in t1.pathways] == ["pw1"]
+    assert [p.title for p in t1.pubmeds] == ["paper one", "paper two"]
+    assert set(t1.features.keys()) == {"DOMAIN", "ACT_SITE"}
+    assert [c.pcid for c in t1.panther_classes] == ["PC00001", "PC00002"]
+    assert [p.year for p in t1.patent_counts] == [2019, 2020]
+    assert t1.compartments[0].go_id == "GO:5"
+    assert t1.mlp_assay_infos[0].assay_name == "assay one"
+    assert t1.gene_attribute_counts == {
+        "CCLE Cell Line Gene Expression Profiles": 3
+    }
+    assert float(t1.tinx_novelty) == 0.123456
+    # score DESC, bad_diseases ('cancer') filtered out (TCRD.py:2108)
+    assert [(i.disease, float(i.score)) for i in t1.tinx_importances] == [
+        ("asthma", 9.5), ("lung cancer", 5.5)
+    ]
+    assert t1.kegg_nearest_tclins[0].tclin_id == 12
+    assert t1.gwases[0].disease_trait == "Height"
+    assert t1.target_tdl_infos["ChEMBL First Reference Year"] == "1999"
+
+
+def test_export_wide_headers_match_reference(spark, lake):
+    """Column set must equal the 47 tcrd2csv --expand headers verbatim
+    (`python/tcrd2csv.py:45-47`)."""
+    from tcrd_spark.api.adaptor import EXPANDED_HEADER, export_wide_csv_df
+
+    wide = export_wide_csv_df(lake)
+    assert wide.columns == EXPANDED_HEADER
+    assert len(EXPANDED_HEADER) == 47
+
+
+def test_export_wide_values(spark, lake):
     from tcrd_spark.api.adaptor import export_wide_csv_df
 
-    rows = {r.target_id: r for r in export_wide_csv_df(lake).collect()}
-    assert rows[1].top5_diseases == "dz-high|dz-mid|dz-low"
-    assert rows[1].alias_count == 1
-    assert rows[1].aliases_pipe == "ALIAS1"
-    assert rows[1].pubmed_score == "99.0"
-    assert rows[4].ab_count == "10"
+    rows = {
+        r["TCRD ID"]: r.asDict() for r in export_wide_csv_df(lake).collect()
+    }
+    r1 = rows[1]
+    assert r1["Name"] == "P1"
+    assert r1["Description"] == "protein 1"
+    assert r1["HGNC Sym"] == "SYM1"
+    assert r1["DTO ID"] == "DTO:101"
+    assert r1["DTO Class"] == "Kinase"
+    assert r1["PANTHER Class(es)"] == "PC00001:kinase|PC00002:receptor"
+    assert r1["GeneRIF Count"] == 1
+    assert r1["NCBI Gene PubMed Count"] == "42"
+    assert r1["JensenLab PubMed Score"] == "99.0"
+    assert r1["PubTator Score"] == "0"            # default like csv.append(0)
+    assert r1["Ab Count"] == "300"
+    assert r1["Monoclonal Ab Count"] == "7"
+    assert r1["ChEMBL Selective Compound"] == "CHEMBL123:9.1"
+    assert r1["ChEMBL First Reference Year"] == "1999"
+    assert r1["DrugCentral Activity Count"] == 1
+    assert r1["PDB Count"] == 2
+    assert r1["PDBs"] == "1ABC|2XYZ"
+    assert r1["GO Annotation Count"] == 2
+    assert r1["OMIM Phenotype Count"] == 2
+    assert r1["OMIM Phenotype(s)"] == "trait-A|trait-B"
+    assert r1["JAX/MGI Human Ortholog Phenotype(s)"] == "MP:1:odd gait"
+    assert r1["IMPC Ortholog Phenotype(s)"] == "MP:2:short tail"
+    assert r1["GWAS Count"] == 1
+    assert r1["Pathway Count"] == 1
+    assert r1["Pathways"] == "KEGG:pw1"
+    assert r1["Total Disease Count"] == 5
+    assert r1["Top 5 Text-Mining DISEASES"] == "tm-dz (ZScore: 4.5)"
+    assert r1["eRAM Diseases"] == "DOID:9: eram-dz"
+    assert r1["EBI Patent Count"] == "13"
+    assert r1["Is Transcription Factor"] == 1
+    assert r1["TMHMM Prediction"] == "2"
+    assert r1["HPA Tissue Specificity Index"] == "0.82"
+    assert float(r1["TIN-X Novelty"]) == 0.123456
+    # decimal(34,16) → string keeps scale, like str() of MySQLdb Decimals
+    assert r1["Top 5 TIN-X Importance(s)"] == (
+        "asthma: 9.5000000000000000|lung cancer: 5.5000000000000000"
+    )
+    # a sparse target: defaults mirror the reference's else branches
+    r4 = rows[4]
+    assert r4["Ab Count"] == "10"
+    assert r4["OMIM Phenotype Count"] is None     # reference appends ''
+    assert r4["Is Transcription Factor"] == 0
+    assert r4["TMHMM Prediction"] == "0"
 
 
 def test_tdl_from_lake_matches_reference_branches(spark, lake):

@@ -178,9 +178,10 @@ def test_hgram_loader(spark):
     assert r.attr_count == 2 and r.mu == pytest.approx(2.0)
     assert r.sigma == pytest.approx(math.sqrt(2 / 3), abs=1e-6)
     assert r.attr_cdf == pytest.approx(0.5)         # at the mean
-    # σ=0 → logistic 1/(1+e^0) = 0.5 at z=0 (the reference fallback)
-    assert out[(11, "Pathways")].sigma == pytest.approx(0.0)
-    assert out[(11, "Pathways")].attr_cdf == pytest.approx(0.5)
+    # σ=0 → NaN in both the CDF and the fallback → the reference never
+    # writes the row (load-HGramCDFs.py nan_ct); neither do we
+    assert (11, "Pathways") not in out
+    assert (12, "Pathways") not in out
 
 
 def test_expression_atlas_loader(spark, tmp_path):
