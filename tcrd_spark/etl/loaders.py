@@ -19,6 +19,18 @@ loop as one `DataFrame` per output table, the printed counts as the
   matrix unpivot → sample/subject joins → per-(gene,tissue,sex)
   medians → frank/.N qualitative levels + decile tau → expression
   rows keyed by resolved protein.
+- ChEMBL cmpd activities (`loaders/load-ChEMBL.py`): family-dependent
+  pchembl cutoffs, first-reference-year infos, and the selective-
+  compound sweep as window functions.
+- DrugCentral Tclin drug activities (`loaders/load-DrugCentral.py`).
+- IMPC mouse phenotypes (`loaders/load-IMPC-Phenotypes.py`) and the
+  GWAS catalog (`loaders/load-GWASCatalog.py`) with its multi-symbol
+  explode.
+- KEGG pathways (`loaders/load-KEGGPathways.py`) from the link +
+  KGML-title tables.
+- DO / Uberon ontologies (`loaders/load-Ontologies.py`,
+  `load-Uberon-IDs.py`) wired from OBO stanzas into the lake's
+  node/parent/xref tables.
 
 Scale: each pipeline is shuffle-minimal — the fact stream shuffles only
 for its own aggregations; every lookup side is a broadcast. No
@@ -31,6 +43,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tcrd_spark.analytics.tau import qualitative_levels, tau_continuous
 from tcrd_spark.etl.resolve import resolve, zero_fill
@@ -331,3 +344,333 @@ def load_gtex(
     return GtexLoad(
         expression=expression, tau=tau_resolved, notfnd=res.unresolved
     )
+
+
+# ---------------------------------------------------------------- ChEMBL
+
+# IDG-family pchembl cutoffs (`loaders/load-ChEMBL.py:146-155`):
+# GPCR 100nM, IC 10uM, Kinase 30nM, NR 100nM, else 1uM.
+CHEMBL_FAM_CUTOFFS = (
+    ("GPCR", 7.0), ("IC", 5.0), ("Kinase", 7.52288), ("NR", 7.0),
+)
+CHEMBL_DEFAULT_CUTOFF = 6.0
+
+
+@dataclass
+class ChemblLoad:
+    cmpd_activity: DataFrame     # qualifying activities per target
+    first_year: DataFrame        # 'ChEMBL First Reference Year' infos
+    selective: DataFrame         # 'ChEMBL Selective Compound' infos
+    notfnd: DataFrame            # activities whose uniprot resolves to no target
+
+
+def load_chembl_activities(acts: DataFrame, targets: DataFrame) -> ChemblLoad:
+    """ChEMBL activity load (`loaders/load-ChEMBL.py:116-280`).
+
+    acts: the rows SQLq1/SQLq2 (`:54-56`) extract per target —
+    (uniprot, chembl_id, cmpd_name, smiles, pchembl_value, act_type,
+    year, reference). targets: (target_id, uniprot, fam).
+
+    Per reference semantics:
+    - family-dependent pchembl cutoff filters activities (`:146-157`);
+    - 'ChEMBL First Reference Year' = earliest year among qualifying
+      activities (`:193-199`);
+    - selective compounds (`:236-262`): order each compound's
+      activities by pchembl; any adjacent pair on DIFFERENT targets
+      ≥2 log units apart marks the compound selective; each target's
+      strongest qualifying activity on a selective compound becomes
+      one 'ChEMBL Selective Compound' info (`:263-271`).
+    The reference's per-compound Python sort loop is one lag() window;
+    the per-target pick is one row_number() window — both shuffle the
+    activity stream exactly once on their respective keys."""
+    t = F.broadcast(targets.select("target_id", "uniprot", "fam"))
+    joined = acts.join(t, "uniprot", "left")
+    notfnd = joined.filter(F.col("target_id").isNull()).drop("target_id", "fam")
+    fnd = joined.filter(F.col("target_id").isNotNull())
+
+    cutoff = F.lit(CHEMBL_DEFAULT_CUTOFF)
+    expr = F.when(F.lit(False), 0.0)
+    for fam, cut in CHEMBL_FAM_CUTOFFS:
+        expr = expr.when(F.col("fam") == fam, cut)
+    cutoff = expr.otherwise(cutoff)
+    qualifying = fnd.filter(F.col("pchembl_value") >= cutoff)
+
+    cmpd_activity = qualifying.select(
+        "target_id",
+        F.lit("ChEMBL").alias("catype"),
+        F.col("chembl_id").alias("cmpd_id_in_src"),
+        F.col("cmpd_name").alias("cmpd_name_in_src"),
+        "smiles",
+        F.col("pchembl_value").alias("act_value"),
+        "act_type",
+        "reference",
+    )
+    first_year = (
+        qualifying.filter(F.col("year").isNotNull())
+        .groupBy("target_id")
+        .agg(F.min("year").alias("integer_value"))
+        .select(
+            "target_id",
+            F.lit("ChEMBL First Reference Year").alias("itype"),
+            "integer_value",
+        )
+    )
+    # selectivity detection runs over ALL resolved activities (the
+    # reference's c2acts), not only the qualifying ones
+    w = Window.partitionBy("smiles").orderBy("pchembl_value", "chembl_id")
+    pairs = fnd.select(
+        "smiles", "target_id", "pchembl_value", "chembl_id"
+    ).withColumn("prev_tid", F.lag("target_id").over(w)).withColumn(
+        "prev_val", F.lag("pchembl_value").over(w)
+    )
+    selective_smiles = (
+        pairs.filter(
+            F.col("prev_tid").isNotNull()
+            & (F.col("prev_tid") != F.col("target_id"))
+            & (F.col("pchembl_value") - F.col("prev_val") >= 2)
+        )
+        .select("smiles")
+        .distinct()
+    )
+    w2 = Window.partitionBy("target_id").orderBy(
+        F.desc("pchembl_value"), "chembl_id"
+    )
+    selective = (
+        qualifying.join(F.broadcast(selective_smiles), "smiles")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "target_id",
+            F.lit("ChEMBL Selective Compound").alias("itype"),
+            F.concat_ws("|", "chembl_id", "smiles").alias("string_value"),
+        )
+    )
+    return ChemblLoad(
+        cmpd_activity=cmpd_activity, first_year=first_year,
+        selective=selective, notfnd=notfnd,
+    )
+
+
+# ------------------------------------------------------------ DrugCentral
+
+@dataclass
+class DrugCentralLoad:
+    drug_activity: DataFrame
+    notfnd: DataFrame
+
+
+def load_drugcentral(
+    acts: DataFrame,
+    name2id: DataFrame,
+    druginfo: DataFrame,
+    targets: DataFrame,
+) -> DrugCentralLoad:
+    """DrugCentral Tclin activity load (`loaders/load-DrugCentral.py:
+    95-150`). acts: (uniprot, swissprot, drug, act_value, act_type,
+    action_type, source, reference, smiles, cmpd_chemblid) — the tclin
+    TSV columns; name2id: (drug, dcid) from the name→id TSV (`:62-67`);
+    druginfo: (drug, nlm_drug_info) (`:77-82`); targets: (target_id,
+    uniprot, protein_name).
+
+    Resolution cascade exactly like the reference: uniprot first,
+    swissprot name fallback (`:113-115`); every resolved row becomes a
+    drug_activity with has_moa=1 (DrugCentral rows are MoA by
+    definition, `:121`)."""
+    res = resolve(
+        acts, targets,
+        [("uniprot", "uniprot"), ("swissprot", "protein_name")],
+        id_col="target_id", out_col="target_id",
+    )
+    out = (
+        res.resolved
+        .join(F.broadcast(name2id), "drug", "left")
+        .join(F.broadcast(druginfo), "drug", "left")
+        .select(
+            "target_id", "drug",
+            F.lit(True).alias("has_moa"),
+            "act_value", "act_type", "action_type", "source",
+            "reference", "smiles", "cmpd_chemblid", "nlm_drug_info",
+            "dcid",
+        )
+    )
+    return DrugCentralLoad(drug_activity=out, notfnd=res.unresolved)
+
+
+# ------------------------------------------------------- IMPC phenotypes
+
+def load_impc_phenotypes(
+    rows: DataFrame, nhprotein: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """IMPC mouse phenotype load (`loaders/load-IMPC-Phenotypes.py:
+    127-157`): skip rows lacking BOTH mp_term_id and mp_term_name
+    (`:130`), resolve marker_symbol against mouse nhprotein.sym, emit
+    ptype='IMPC' phenotype rows with gp_assoc=1. p_value parses
+    null-safely (cast, like the reference's try/float).
+
+    rows: (marker_symbol, procedure_name, parameter_name,
+    top_level_mp_term_id, top_level_mp_term_name, mp_term_id,
+    mp_term_name, p_value, percentage_change, effect_size,
+    statistical_method, sex). Returns (phenotypes, notfnd)."""
+    kept = rows.filter(
+        (F.coalesce(F.col("mp_term_id"), F.lit("")) != "")
+        | (F.coalesce(F.col("mp_term_name"), F.lit("")) != "")
+    )
+    nh = F.broadcast(
+        nhprotein.filter(F.col("species") == "Mus musculus").select(
+            F.col("id").alias("nhprotein_id"), F.col("sym").alias("marker_symbol")
+        )
+    )
+    joined = kept.join(nh, "marker_symbol", "left")
+    notfnd = joined.filter(F.col("nhprotein_id").isNull()).drop("nhprotein_id")
+    out = joined.filter(F.col("nhprotein_id").isNotNull()).select(
+        "nhprotein_id",
+        F.lit("IMPC").alias("ptype"),
+        F.col("top_level_mp_term_id").alias("top_level_term_id"),
+        F.col("top_level_mp_term_name").alias("top_level_term_name"),
+        F.col("mp_term_id").alias("term_id"),
+        F.col("mp_term_name").alias("term_name"),
+        F.col("p_value").cast("double").alias("p_value"),
+        "percentage_change",
+        F.col("effect_size").cast("string").alias("effect_size"),
+        "procedure_name", "parameter_name", "statistical_method", "sex",
+        F.lit(True).alias("gp_assoc"),
+    )
+    return out, notfnd
+
+
+# ------------------------------------------------------------ GWAS catalog
+
+GWAS_SYM_SPLIT = r" ?[-,;] ?"   # load-GWASCatalog.py:132 symregex
+
+
+def load_gwas_catalog(
+    rows: DataFrame, protein: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """GWAS catalog association load (`loaders/load-GWASCatalog.py:
+    128-164`): split MAPPED_GENE on the reference's symregex and emit
+    one gwas row per (resolved symbol, association). 'NR' symbol rows
+    are skipped (`:137`); numeric fields cast null-safely like the
+    try/float blocks (`:149-159`).
+
+    rows carries the catalog's header names lower-snaked:
+    (mapped_gene, disease_trait, snps, pubmedid, study, context,
+    intergenic, p_value, or_beta, cnv, mapped_trait,
+    mapped_trait_uri). Returns (gwas_rows, notfnd_syms)."""
+    syms = (
+        rows.filter(F.col("mapped_gene") != "NR")
+        .withColumn(
+            "sym", F.explode(F.split(F.col("mapped_gene"), GWAS_SYM_SPLIT))
+        )
+        .filter(F.col("sym") != "")
+    )
+    p = F.broadcast(
+        protein.select(F.col("id").alias("protein_id"), "sym")
+    )
+    joined = syms.join(p, "sym", "left")
+    notfnd = (
+        joined.filter(F.col("protein_id").isNull()).select("sym").distinct()
+    )
+    out = joined.filter(F.col("protein_id").isNotNull()).select(
+        "protein_id",
+        "disease_trait",
+        "snps",
+        F.col("pubmedid").cast("long").alias("pmid"),
+        "study",
+        "context",
+        F.col("intergenic").cast("boolean").alias("intergenic"),
+        F.col("p_value").cast("double").alias("p_value"),
+        F.col("or_beta").cast("double").alias("or_beta"),
+        "cnv", "mapped_trait", "mapped_trait_uri",
+    )
+    return out, notfnd
+
+
+# ------------------------------------------------------------- KEGG pathways
+
+def load_kegg_pathways(
+    link: DataFrame, meta: DataFrame, protein: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """KEGG pathway load (`loaders/load-KEGGPathways.py:75-160`): the
+    /link/hsa/pathway table maps pathway → geneids (`:76-92`), each
+    pathway's KGML title/link give name and url, geneids resolve
+    through protein.geneid. link: (kpw, geneid); meta: (kpw, name,
+    url); protein: (id, geneid). Returns (pathway_rows, notfnd)."""
+    p = F.broadcast(
+        protein.select(F.col("id").alias("protein_id"), "geneid")
+    )
+    joined = (
+        link.join(F.broadcast(meta), "kpw")
+        .join(p, "geneid", "left")
+    )
+    notfnd = (
+        joined.filter(F.col("protein_id").isNull()).select("geneid").distinct()
+    )
+    out = joined.filter(F.col("protein_id").isNotNull()).select(
+        "protein_id",
+        F.lit("KEGG").alias("pwtype"),
+        "name",
+        F.col("kpw").alias("id_in_source"),
+        "url",
+    )
+    return out, notfnd
+
+
+# --------------------------------------------------------- DO / Uberon OBO
+
+def load_do_ontology(spark: SparkSession, obo_path: str) -> dict[str, DataFrame]:
+    """Disease Ontology OBO → the lake's do/do_parent/do_xref tables
+    (`loaders/load-Ontologies.py` DO section; schema
+    `SQL/create-TCRDv7.sql` do tables). Obsolete terms are skipped
+    like the reference parser."""
+    from tcrd_spark.sources.obo import read_obo
+
+    terms = read_obo(spark, obo_path).filter(~F.col("is_obsolete"))
+    do = terms.select(
+        F.col("term_id").alias("doid"),
+        "name",
+        F.col("definition").alias("def"),
+    )
+    do_parent = terms.select(
+        F.col("term_id").alias("doid"),
+        F.explode("is_a").alias("parent_id"),
+    )
+    do_xref = terms.select(
+        F.col("term_id").alias("doid"), F.explode("xrefs").alias("x")
+    ).select(
+        "doid",
+        F.split("x", ":").getItem(0).alias("db"),
+        F.regexp_replace("x", r"^[^:]*:", "").alias("value"),
+    )
+    return {"do": do, "do_parent": do_parent, "do_xref": do_xref}
+
+
+def load_uberon_ontology(
+    spark: SparkSession, obo_path: str
+) -> dict[str, DataFrame]:
+    """Uberon OBO → uberon/uberon_parent/uberon_xref
+    (`loaders/load-Uberon-IDs.py`; expression.oid consumers)."""
+    from tcrd_spark.sources.obo import read_obo
+
+    terms = read_obo(spark, obo_path).filter(~F.col("is_obsolete"))
+    uberon = terms.select(
+        F.col("term_id").alias("uid"),
+        "name",
+        F.col("definition").alias("def"),
+        F.lit(None).cast("string").alias("comment"),
+    )
+    uberon_parent = terms.select(
+        F.col("term_id").alias("uid"),
+        F.explode("is_a").alias("parent_id"),
+    )
+    uberon_xref = terms.select(
+        F.col("term_id").alias("uid"), F.explode("xrefs").alias("x")
+    ).select(
+        "uid",
+        F.split("x", ":").getItem(0).alias("db"),
+        F.regexp_replace("x", r"^[^:]*:", "").alias("value"),
+    )
+    return {
+        "uberon": uberon,
+        "uberon_parent": uberon_parent,
+        "uberon_xref": uberon_xref,
+    }

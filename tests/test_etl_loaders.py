@@ -205,3 +205,214 @@ def test_expression_atlas_loader(spark, tmp_path):
     r = rows[0]
     assert (r.gene_id, r.doid, r.dtype) == ("ENSG1", "DOID:7",
                                             "Expression Atlas")
+
+
+# ------------------------------------------------------ new loader families
+
+def test_chembl_loader_cutoffs_year_and_selectivity(spark):
+    from tcrd_spark.etl.loaders import load_chembl_activities
+
+    targets = spark.createDataFrame(
+        [(1, "U1", "GPCR"), (2, "U2", None), (3, "U3", "Kinase")],
+        "target_id int, uniprot string, fam string",
+    )
+    acts = spark.createDataFrame(
+        [
+            # U1 (GPCR, cutoff 7.0): 7.5 passes, 6.5 fails
+            ("U1", "CH1", "c-one", "S1", 7.5, "Ki", 2001, "ref1"),
+            ("U1", "CH2", "c-two", "S2", 6.5, "Ki", 1999, "ref2"),
+            # U2 (no fam, cutoff 6.0): 6.1 passes
+            ("U2", "CH3", "c-three", "S1", 5.4, "IC50", 2005, None),
+            # selective pair on S1: 7.5 (t1) vs 5.4 (t2) → diff 2.1 ≥ 2
+            ("U3", "CH4", "c-four", "S3", 8.0, "Ki", 2010, None),
+            # unresolvable uniprot
+            ("U9", "CH9", "c-nine", "S9", 9.0, "Ki", 2011, None),
+        ],
+        "uniprot string, chembl_id string, cmpd_name string, smiles string,"
+        " pchembl_value double, act_type string, year int, reference string",
+    )
+    out = load_chembl_activities(acts, targets)
+    cmpd = {
+        (r.target_id, r.cmpd_id_in_src) for r in out.cmpd_activity.collect()
+    }
+    assert cmpd == {(1, "CH1"), (3, "CH4")}
+    years = {r.target_id: r.integer_value for r in out.first_year.collect()}
+    assert years == {1: 2001, 3: 2010}
+    sel = {
+        r.target_id: r.string_value for r in out.selective.collect()
+    }
+    # S1 is selective (7.5 on t1 vs 5.4 on t2, 2.1 apart); t1's
+    # qualifying act on S1 is CH1
+    assert sel == {1: "CH1|S1"}
+    assert out.notfnd.count() == 1
+
+
+def test_drugcentral_loader_resolution_cascade(spark):
+    from tcrd_spark.etl.loaders import load_drugcentral
+
+    targets = spark.createDataFrame(
+        [(1, "U1", "P1"), (2, "U2", "P2")],
+        "target_id int, uniprot string, protein_name string",
+    )
+    acts = spark.createDataFrame(
+        [
+            ("U1", "nope", "aspirin", 5.0, "Ki", "INHIBITOR", "src",
+             None, None, None),
+            ("U9", "P2", "drugb", None, None, "AGONIST", "src",
+             None, None, None),          # falls back to swissprot name
+            ("U9", "P9", "drugc", None, None, None, None,
+             None, None, None),          # notfnd
+        ],
+        "uniprot string, swissprot string, drug string, act_value double,"
+        " act_type string, action_type string, source string,"
+        " reference string, smiles string, cmpd_chemblid string",
+    )
+    name2id = spark.createDataFrame(
+        [("aspirin", "DC1")], "drug string, dcid string"
+    )
+    druginfo = spark.createDataFrame(
+        [("aspirin", "nlm text")], "drug string, nlm_drug_info string"
+    )
+    out = load_drugcentral(acts, name2id, druginfo, targets)
+    rows = {r.drug: r for r in out.drug_activity.collect()}
+    assert rows["aspirin"].target_id == 1
+    assert rows["aspirin"].dcid == "DC1"
+    assert rows["aspirin"].nlm_drug_info == "nlm text"
+    assert rows["aspirin"].has_moa is True
+    assert rows["drugb"].target_id == 2
+    assert out.notfnd.count() == 1
+
+
+def test_impc_phenotype_loader(spark):
+    from tcrd_spark.etl.loaders import load_impc_phenotypes
+
+    nh = spark.createDataFrame(
+        [(1, "Trp53", "Mus musculus"), (2, "Kit", "Rattus norvegicus")],
+        "id int, sym string, species string",
+    )
+    rows = spark.createDataFrame(
+        [
+            ("Trp53", "proc", "param", "MP:0", "top", "MP:1", "short tail",
+             "0.001", None, "1.2", "method", "female"),
+            ("Trp53", "proc", "param", None, None, None, None,
+             "0.5", None, None, "method", "male"),      # no terms: skipped
+            ("Kit", "proc", "param", "MP:0", "top", "MP:2", "odd gait",
+             "bad-number", None, None, "method", "male"),  # rat: notfnd
+        ],
+        "marker_symbol string, procedure_name string, parameter_name string,"
+        " top_level_mp_term_id string, top_level_mp_term_name string,"
+        " mp_term_id string, mp_term_name string, p_value string,"
+        " percentage_change string, effect_size string,"
+        " statistical_method string, sex string",
+    )
+    out, notfnd = load_impc_phenotypes(rows, nh)
+    got = out.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.nhprotein_id == 1 and r.ptype == "IMPC"
+    assert r.term_name == "short tail" and r.p_value == 0.001
+    assert r.gp_assoc is True
+    assert notfnd.count() == 1
+
+
+def test_gwas_catalog_loader_symbol_split(spark):
+    from tcrd_spark.etl.loaders import load_gwas_catalog
+
+    protein = spark.createDataFrame(
+        [(11, "BRCA1"), (12, "TP53")], "id int, sym string"
+    )
+    rows = spark.createDataFrame(
+        [
+            ("BRCA1 - TP53", "Height", "rs1", "123", "study A", "intron",
+             "0", "5e-8", "1.1", None, "height", "EFO:1"),
+            ("NR", "Weight", "rs2", "124", "study B", None,
+             None, "1e-9", None, None, "weight", "EFO:2"),
+            ("NOPE", "Weight", "rs3", "125", "study C", None,
+             None, "bad", None, None, "weight", "EFO:3"),
+        ],
+        "mapped_gene string, disease_trait string, snps string,"
+        " pubmedid string, study string, context string,"
+        " intergenic string, p_value string, or_beta string, cnv string,"
+        " mapped_trait string, mapped_trait_uri string",
+    )
+    out, notfnd = load_gwas_catalog(rows, protein)
+    got = {(r.protein_id, r.disease_trait) for r in out.collect()}
+    # the multi-symbol row fans out to both resolved proteins
+    assert got == {(11, "Height"), (12, "Height")}
+    r = {r.protein_id: r for r in out.collect()}[11]
+    assert r.pmid == 123 and r.p_value == 5e-8 and r.intergenic is False
+    assert [r.sym for r in notfnd.collect()] == ["NOPE"]
+
+
+def test_kegg_pathway_loader(spark):
+    from tcrd_spark.etl.loaders import load_kegg_pathways
+
+    protein = spark.createDataFrame(
+        [(11, 101), (12, 102)], "id int, geneid int"
+    )
+    link = spark.createDataFrame(
+        [("path:hsa04010", 101), ("path:hsa04010", 102),
+         ("path:hsa04010", 999)],
+        "kpw string, geneid int",
+    )
+    meta = spark.createDataFrame(
+        [("path:hsa04010", "MAPK signaling pathway",
+          "http://www.kegg.jp/pathway/hsa04010")],
+        "kpw string, name string, url string",
+    )
+    out, notfnd = load_kegg_pathways(link, meta, protein)
+    rows = {r.protein_id: r for r in out.collect()}
+    assert set(rows) == {11, 12}
+    assert rows[11].pwtype == "KEGG"
+    assert rows[11].name == "MAPK signaling pathway"
+    assert rows[11].id_in_source == "path:hsa04010"
+    assert [r.geneid for r in notfnd.collect()] == [999]
+
+
+OBO_DOC = """format-version: 1.2
+
+[Term]
+id: DOID:0001
+name: disease
+def: "A disease." [url]
+
+[Term]
+id: DOID:0002
+name: cancer
+def: "A cancer." [url]
+is_a: DOID:0001 ! disease
+xref: MESH:D009369
+xref: ICD10CM:C80.1
+
+[Term]
+id: DOID:0003
+name: old thing
+is_obsolete: true
+"""
+
+
+def test_do_ontology_load(spark, tmp_path):
+    from tcrd_spark.etl.loaders import load_do_ontology
+
+    p = tmp_path / "doid.obo"
+    p.write_text(OBO_DOC)
+    tables = load_do_ontology(spark, str(p))
+    do = {r.doid: r for r in tables["do"].collect()}
+    assert set(do) == {"DOID:0001", "DOID:0002"}   # obsolete skipped
+    assert do["DOID:0002"].name == "cancer"
+    parents = [(r.doid, r.parent_id) for r in tables["do_parent"].collect()]
+    assert parents == [("DOID:0002", "DOID:0001")]
+    xrefs = {(r.db, r.value) for r in tables["do_xref"].collect()}
+    assert xrefs == {("MESH", "D009369"), ("ICD10CM", "C80.1")}
+
+
+def test_uberon_ontology_load(spark, tmp_path):
+    from tcrd_spark.etl.loaders import load_uberon_ontology
+
+    p = tmp_path / "uberon.obo"
+    p.write_text(OBO_DOC.replace("DOID", "UBERON"))
+    tables = load_uberon_ontology(spark, str(p))
+    assert tables["uberon"].count() == 2
+    assert [
+        (r.uid, r.parent_id) for r in tables["uberon_parent"].collect()
+    ] == [("UBERON:0002", "UBERON:0001")]
