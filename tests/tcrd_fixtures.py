@@ -237,6 +237,33 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         dict(id=1, protein_id=11, tclin_id=12, direction="downstream",
              distance=2),
     ]
+    # TCRDMP read-surface tables
+    nhprotein = [
+        dict(id=1, uniprot="QM1", name="TRP53_MOUSE", sym="Trp53",
+             species="Mus musculus", taxid=10090, geneid=22059),
+        dict(id=2, uniprot="QR1", name="KIT_RAT", sym="Kit",
+             species="Rattus norvegicus", taxid=10116, geneid=64030),
+    ]
+    gtex = [
+        dict(id=1, protein_id=11, tissue="Liver", tpm=12.5,
+             tpm_level="High", uberon_id="UBERON:0002107"),
+        dict(id=2, protein_id=12, tissue="Brain", tpm=1.5,
+             tpm_level="Low", uberon_id="UBERON:0000955"),
+    ]
+    clinvar_phenotype = [dict(id=1, name="Lynch syndrome")]
+    clinvar = [
+        dict(id=1, protein_id=11, clinvar_phenotype_id=1, alleleid=15041,
+             type="single nucleotide variant",
+             clinical_significance="Pathogenic"),
+    ]
+    uberon = [
+        dict(uid="UBERON:0002107", name="liver"),
+        dict(uid="UBERON:0000955", name="brain"),
+    ]
+    uberon_xref = [
+        dict(uid="UBERON:0002107", db="BTO", value="0000759"),
+        dict(uid="UBERON:0000955", db="BTO", value="0000142"),
+    ]
     # eRAM + text-mining diseases for the export slices
     disease = disease + [
         dict(id=4, dtype="JensenLab Text Mining", target_id=1,
@@ -260,5 +287,8 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         gene_attribute=gene_attribute, tinx_novelty=tinx_novelty_rows,
         tinx_disease=tinx_disease, tinx_importance=tinx_importance,
         kegg_nearest_tclin=kegg_nearest_tclin,
+        nhprotein=nhprotein, gtex=gtex, clinvar=clinvar,
+        clinvar_phenotype=clinvar_phenotype, uberon=uberon,
+        uberon_xref=uberon_xref,
     )
     return {t: _df(spark, t, r) for t, r in rows.items()}
