@@ -72,3 +72,37 @@ def register_all(spark: SparkSession, sf_dir: str) -> list[str]:
     """Views for every lake table + the SQL function surface."""
     register_views(spark, sf_dir)
     return register_functions(spark)
+
+
+# the canonical 3-way entity view, verbatim semantics from
+# `SQL/create-TCRDv7.sql:2352`: targets joined to their proteins,
+# restricted to proteins with TIN-X novelty rows
+TINX_TARGET_VIEW_SQL = """
+    SELECT t.id AS target_id, p.id AS protein_id, p.uniprot, p.sym,
+           t.tdl, t.fam, p.family
+    FROM target t
+    JOIN t2tc ON t.id = t2tc.target_id
+    JOIN protein p ON t2tc.protein_id = p.id
+    WHERE p.id IN (SELECT DISTINCT protein_id FROM tinx_novelty)
+"""
+
+
+def register_domain_views(spark: SparkSession, lake) -> list[str]:
+    """Install a TCRD lake (dict[str, DataFrame]) as temp views plus
+    the `tinx_target` SQL view, so a SQL-only consumer can run the
+    reference's canonical access path:
+
+        spark.sql("SELECT * FROM tinx_target WHERE tdl = 'Tclin'")
+
+    Returns the registered view names."""
+    names = []
+    for name, df in lake.items():
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    if {"target", "t2tc", "protein", "tinx_novelty"} <= set(lake):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW tinx_target AS "
+            + TINX_TARGET_VIEW_SQL
+        )
+        names.append("tinx_target")
+    return names

@@ -7,12 +7,13 @@ decimal(34,16) at :2135, clinvar), AUTO_INCREMENT ids → deterministic
 surrogate ids (see surrogate_id) because child tables FK by id and ids
 must be stable across runs.
 
-65 of the reference's ~75 tables are declared — the core entity
+All 77 of the reference's tables are declared — the core entity
 triple, every type dictionary, the ontology DAGs, graph/pairwise
 relations, year-keyed time series, the text corpus, the big fact
-tables (gene_attribute/lincs), TIN-X + HGram outputs, and the
-annotation tables. Omitted: single-use operational scratch tables
-with no query surface in the adaptor.
+tables (gene_attribute/lincs), TIN-X + HGram outputs, the annotation
+tables, and the operational tables (dbinfo, techdev, idg_evol). The
+`tinx_target` view (`SQL/create-TCRDv7.sql:2352`) lives in
+api/sql_surface.register_domain_views.
 """
 
 from __future__ import annotations
@@ -615,6 +616,98 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("date", DateType(), True),
         ("grant_number", StringType(), True),
         ("pi", StringType(), True),
+    ),
+    # --- the final reference tables (77/77 declared; DDL line refs in
+    # `SQL/create-TCRDv7.sql`)
+    "techdev_info": _s(
+        ("id", LongType(), False),
+        ("contact_id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("comment", StringType(), True),
+        ("publication_pcmid", StringType(), True),
+        ("publication_pmid", LongType(), True),
+        ("resource_url", StringType(), True),
+        ("data_url", StringType(), True),
+    ),
+    "clinvar_phenotype_xref": _s(
+        ("id", LongType(), False),
+        ("clinvar_phenotype_id", LongType(), False),
+        ("source", StringType(), False),
+        ("value", StringType(), False),
+    ),
+    "dbinfo": _s(
+        ("dbname", StringType(), False),
+        ("schema_ver", StringType(), False),
+        ("data_ver", StringType(), False),
+        ("owner", StringType(), False),
+        ("is_copy", BooleanType(), False),
+        ("dump_file", StringType(), True),
+    ),
+    "idg_evol": _s(
+        ("id", LongType(), False),
+        ("tcrd_ver", IntegerType(), False),
+        ("tcrd_dbid", LongType(), False),
+        ("name", StringType(), False),
+        ("description", StringType(), True),
+        ("uniprot", StringType(), False),
+        ("sym", StringType(), True),
+        ("geneid", LongType(), True),
+        ("tdl", StringType(), True),
+        ("fam", StringType(), True),
+    ),
+    "locsig": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("location", StringType(), False),
+        ("signal", StringType(), False),
+        ("pmids", StringType(), True),
+    ),
+    "omim": _s(
+        ("mim", LongType(), False),
+        ("title", StringType(), False),
+    ),
+    "omim_ps": _s(
+        ("id", LongType(), False),
+        ("omim_ps_id", StringType(), False),
+        ("mim", LongType(), False),
+        ("title", StringType(), False),
+    ),
+    "ortholog_disease": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("did", StringType(), False),
+        ("name", StringType(), False),
+        ("ortholog_id", LongType(), False),
+        ("score", StringType(), False),
+    ),
+    "rat_qtl": _s(
+        ("id", LongType(), False),
+        ("nhprotein_id", LongType(), False),
+        ("rgdid", LongType(), False),
+        ("qtl_rgdid", LongType(), False),
+        ("qtl_symbol", StringType(), True),
+        ("qtl_name", StringType(), True),
+        ("trait_name", StringType(), True),
+        ("measurement_type", StringType(), True),
+        ("associated_disease", StringType(), True),
+        ("phenotype", StringType(), True),
+        ("p_value", DecimalType(20, 19), True),
+        ("lod", DoubleType(), True),
+    ),
+    "rat_term": _s(
+        ("id", LongType(), False),
+        ("rgdid", LongType(), False),
+        ("term_id", StringType(), False),
+        ("obj_symbol", StringType(), True),
+        ("term_name", StringType(), True),
+        ("qualifier", StringType(), True),
+        ("evidence", StringType(), True),
+        ("ontology", StringType(), True),
+    ),
+    "rdo_xref": _s(
+        ("doid", StringType(), False),
+        ("db", StringType(), False),
+        ("value", StringType(), False),
     ),
 }
 

@@ -9,7 +9,8 @@ from tcrd_spark.schema.tables import TABLE_SCHEMAS
 
 
 def test_all_schemas_roundtrip_parquet(spark, tmp_path):
-    assert len(TABLE_SCHEMAS) >= 65
+    # all 77 reference tables (`SQL/create-TCRDv7.sql`) declared
+    assert len(TABLE_SCHEMAS) == 77
     for name, schema in TABLE_SCHEMAS.items():
         df = spark.createDataFrame([], schema)
         path = str(tmp_path / f"{name}.parquet")

@@ -74,3 +74,20 @@ def test_provenance_and_count_report(spark):
         (r.table_name, r.type): r.ct for r in count_report(lake).collect()
     }
     assert report[("target", None)] == 6
+
+
+def test_tinx_target_view(spark):
+    from tests.tcrd_fixtures import build_lake
+
+    from tcrd_spark.api.sql_surface import register_domain_views
+
+    lake = build_lake(spark)
+    names = register_domain_views(spark, lake)
+    assert "tinx_target" in names
+    rows = spark.sql(
+        "SELECT target_id, protein_id, uniprot FROM tinx_target"
+    ).collect()
+    # only protein 11 has a tinx_novelty row (view's IN-subquery gate)
+    assert [(r.target_id, r.protein_id, r.uniprot) for r in rows] == [
+        (1, 11, "U00001")
+    ]
