@@ -140,8 +140,11 @@ def ivf_topk(
         .select("q_id", "q_vec", "q_vec_nrm", "cell_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    # the probe list (queries × n_probe) is the SMALL side by contract —
+    # broadcast it explicitly, else the centroid broadcast hint inside
+    # `assigned` propagates and Catalyst broadcasts the corpus
     return (
-        probes.join(assigned, "cell_id")
+        assigned.join(F.broadcast(probes), "cell_id")
         .select("q_id", "c_id", _pair_score("q_vec", "c_vec", dim).alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -217,3 +217,105 @@ def test_csv_ddl_codegen(spark, tmp_path):
     assert "score DOUBLE" in ddl
     assert "flag BOOLEAN" in ddl
     assert "when DATE" in ddl
+
+
+# ------------------------------------------------------- web-payload ingest
+
+PUBMED_XML = """<?xml version="1.0" ?>
+<PubmedArticleSet>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>101</PMID>
+      <Article>
+        <Journal>
+          <Title>J Test</Title>
+          <JournalIssue><PubDate><Year>2019</Year><Month>Mar</Month><Day>5</Day></PubDate></JournalIssue>
+        </Journal>
+        <ArticleTitle>Paper one.</ArticleTitle>
+        <Abstract><AbstractText>Things happened.</AbstractText></Abstract>
+        <AuthorList>
+          <Author><LastName>Smith</LastName><ForeName>Jo</ForeName><Initials>J</Initials></Author>
+          <Author><LastName>Lee</LastName><Initials>K</Initials></Author>
+        </AuthorList>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+  <PubmedArticle>
+    <MedlineCitation>
+      <PMID>102</PMID>
+      <Article>
+        <Journal><Title>J Big</Title><JournalIssue><PubDate><Year>2020</Year></PubDate></JournalIssue></Journal>
+        <ArticleTitle>Paper two.</ArticleTitle>
+        <AuthorList>
+          <Author><LastName>A1</LastName></Author><Author><LastName>A2</LastName></Author>
+          <Author><LastName>A3</LastName></Author><Author><LastName>A4</LastName></Author>
+          <Author><LastName>A5</LastName></Author><Author><LastName>A6</LastName></Author>
+        </AuthorList>
+      </Article>
+    </MedlineCitation>
+  </PubmedArticle>
+</PubmedArticleSet>
+"""
+
+
+def test_pubmed_efetch_xml_ingest(spark, tmp_path):
+    from tcrd_spark.sources.ingest import pubmed_from_efetch_xml
+
+    (tmp_path / "batch1.xml").write_text(PUBMED_XML)
+    rows = {
+        r.id: r for r in pubmed_from_efetch_xml(
+            spark, str(tmp_path / "batch1.xml")
+        ).collect()
+    }
+    assert set(rows) == {101, 102}
+    r = rows[101]
+    assert r.title == "Paper one."
+    assert r.journal == "J Test"
+    assert r.date == "2019-03-05"
+    assert r.authors == "Smith, Jo J and Lee K."
+    assert r.abstract == "Things happened."
+    # >5 authors → the reference's "and N more authors." form
+    assert rows[102].authors == "A1 and 5 more authors."
+    assert rows[102].date == "2020"
+
+
+def test_harmonizome_geneset_ingest(spark, tmp_path):
+    import json
+
+    from tcrd_spark.sources.ingest import harmonizome_gene_attributes
+
+    doc = {
+        "name": "CCLE gene set",
+        "associations": [
+            {"gene": {"symbol": "SYM1"}, "thresholdValue": 1},
+            {"gene": {"symbol": "SYM2"}, "thresholdValue": -1},
+            {"gene": {"symbol": "NOPE"}, "thresholdValue": 1},
+        ],
+    }
+    p = tmp_path / "genesets.jsonl"
+    p.write_text(json.dumps(doc) + "\n")
+    protein = spark.createDataFrame(
+        [(11, "SYM1"), (12, "SYM2")], "id int, sym string"
+    )
+    rows, notfnd = harmonizome_gene_attributes(spark, str(p), protein)
+    got = {(r.protein_id, r.value) for r in rows.collect()}
+    assert got == {(11, 1), (12, -1)}
+    assert [r.sym for r in notfnd.collect()] == ["NOPE"]
+
+
+def test_jsonl_to_bronze_schema_projection(spark, tmp_path):
+    import json
+
+    from tcrd_spark.sources.ingest import jsonl_to_bronze
+
+    src = tmp_path / "pmscore.jsonl"
+    src.write_text(
+        json.dumps({"id": 1, "protein_id": 11, "year": 2020,
+                    "score": "1.5", "extra_field": "x"}) + "\n"
+    )
+    out = jsonl_to_bronze(
+        spark, str(src), str(tmp_path / "bronze"), table="pmscore"
+    )
+    assert out.columns == ["id", "protein_id", "year", "score"]
+    r = out.collect()[0]
+    assert r.year == 2020 and float(r.score) == 1.5
