@@ -300,3 +300,121 @@ def get_xref_values(lake: dict[str, DataFrame], xtype: str) -> DataFrame:
         .select("value")
         .distinct()
     )
+
+
+# -------------------------------------------------- counts / dictionaries
+
+def get_dbinfo(lake: dict[str, DataFrame]) -> DataFrame:
+    """`TCRD.py:120-131`."""
+    return lake["dbinfo"]
+
+
+def get_info_types(lake: dict[str, DataFrame]) -> list[str]:
+    """`TCRD.py:1669-1684` — the type-dictionary name lists the
+    reference caches per connection."""
+    return sorted(r.name for r in lake["info_type"].select("name").collect())
+
+
+def get_xref_types(lake: dict[str, DataFrame]) -> list[str]:
+    return sorted(
+        r.name for r in lake["xref_type"].select("name").collect()
+    )
+
+
+def get_expression_types(lake: dict[str, DataFrame]) -> list[str]:
+    return sorted(
+        r.name for r in lake["expression_type"].select("name").collect()
+    )
+
+
+def get_phenotype_types(lake: dict[str, DataFrame]) -> list[str]:
+    return sorted(
+        r.name for r in lake["phenotype_type"].select("name").collect()
+    )
+
+
+def get_gene_attribute_types(lake: dict[str, DataFrame]) -> list[str]:
+    return sorted(
+        r.name for r in lake["gene_attribute_type"].select("name").collect()
+    )
+
+
+_TYPECOUNT_COLS = {
+    "compartment": "ctype", "expression": "etype", "disease": "dtype",
+    "phenotype": "ptype", "ppi": "ppitype", "tdl_info": "itype",
+    "pathway": "pwtype",
+}
+
+
+def get_count_typecount(
+    lake: dict[str, DataFrame], table: str
+) -> tuple[int, int]:
+    """`TCRD.py:1686-1694` — (row count, distinct type count) in ONE
+    aggregation pass instead of two queries."""
+    tcol = _TYPECOUNT_COLS[table]
+    row = lake[table].agg(
+        F.count("*").alias("ct"),
+        F.count_distinct(F.col(tcol)).alias("type_ct"),
+    ).collect()[0]
+    return row.ct, row.type_ct
+
+
+def get_tinx_pmids(lake: dict[str, DataFrame]) -> DataFrame:
+    """`TCRD.py:1695-1701`."""
+    return lake["tinx_articlerank"].select("pmid").distinct()
+
+
+def get_complex_goas(lake: dict[str, DataFrame]) -> DataFrame:
+    """`TCRD.py:2885-2899` — GO terms ending in 'complex'."""
+    return lake["goa"].filter(F.col("go_term").like("%complex"))
+
+
+def get_techdev_info(lake: dict[str, DataFrame], contact_id: int) -> DataFrame:
+    """`TCRD.py:1832-1838`."""
+    return lake["techdev_info"].filter(F.col("contact_id") == contact_id)
+
+
+# ------------------------------------------------------- target iteration
+
+def _targets_base(
+    lake: dict[str, DataFrame], idg: bool = False,
+    past_id: int | None = None,
+) -> DataFrame:
+    df = lake["target"]
+    if idg:
+        df = df.filter(F.col("idg"))
+    if past_id is not None:
+        df = df.filter(F.col("id") > past_id)
+    return df
+
+
+def get_target_count(
+    lake: dict[str, DataFrame], idg: bool = False,
+    past_id: int | None = None,
+) -> int:
+    """`TCRD.py:2139-2166`."""
+    return _targets_base(lake, idg, past_id).count()
+
+
+def get_targets(
+    lake: dict[str, DataFrame], idg: bool = False,
+    past_id: int | None = None,
+) -> DataFrame:
+    """`TCRD.py:2167-2196` — the keyset-resumable target scan. The
+    reference iterates row-at-a-time; here the same predicate returns
+    the whole remaining frame (order by id for stable pagination)."""
+    return _targets_base(lake, idg, past_id).orderBy("id")
+
+
+def get_tdl_target_count(
+    lake: dict[str, DataFrame], tdl: str, idg: bool = False
+) -> int:
+    """`TCRD.py:2198-2217`."""
+    return _targets_base(lake, idg).filter(F.col("tdl") == tdl).count()
+
+
+def get_tdl_targets(
+    lake: dict[str, DataFrame], tdl: str, idg: bool = False
+) -> DataFrame:
+    """`TCRD.py:2219-2242`."""
+    return _targets_base(lake, idg).filter(F.col("tdl") == tdl).orderBy("id")

@@ -103,3 +103,25 @@ def test_pathway_disease_phenotype_getters(spark, lake):
         r.symbol for r in mp.get_ortholog(lake, symbol="Sym1").collect()
     ] == ["Sym1"]
     assert mp.get_orthologs_dbid2id(lake).columns == ["db_id", "ortholog_id"]
+
+
+def test_counts_and_type_dictionaries(spark, lake):
+    assert mp.get_info_types(lake)[:2] == ["Ab Count", "ChEMBL First Reference Year"]
+    ct, type_ct = mp.get_count_typecount(lake, "expression")
+    assert (ct, type_ct) == (2, 1)
+    ct, type_ct = mp.get_count_typecount(lake, "disease")
+    assert ct == 5 and type_ct == 3
+    assert mp.get_complex_goas(lake).count() == 0
+    with pytest.raises(KeyError):
+        mp.get_count_typecount(lake, "bogus")
+
+
+def test_target_iteration_paging(spark, lake):
+    assert mp.get_target_count(lake) == 6
+    assert mp.get_target_count(lake, past_id=4) == 2
+    assert [r.id for r in mp.get_targets(lake, past_id=4).collect()] == [5, 6]
+    # fixture targets carry no tdl values (computed downstream)
+    assert mp.get_tdl_target_count(lake, "Tclin") == 0
+    assert mp.get_tdl_targets(lake, "Tclin").count() == 0
+    # idg flag filters (all fixture targets idg=False)
+    assert mp.get_target_count(lake, idg=True) == 0
