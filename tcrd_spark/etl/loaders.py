@@ -674,3 +674,159 @@ def load_uberon_ontology(
         "uberon_parent": uberon_parent,
         "uberon_xref": uberon_xref,
     }
+
+
+# --------------------------------------------------------------- HPA / OMIM
+
+def load_hpa_expression(
+    normal_tissue: DataFrame, tau_scores: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame | None]:
+    """HPA load (`loaders/load-HPA.py:100-157`): the pre-processed
+    normal-tissue TSV (protein_id, tissue, gene, gene_name, level,
+    reliability) → etype='HPA' expression rows; the tau TSV
+    (gene, tau, protein_id) → 'HPA Tissue Specificity Index' infos,
+    skipping 'None' scores (`:149-153`)."""
+    expression = normal_tissue.select(
+        F.col("protein_id").cast("long").alias("protein_id"),
+        F.lit("HPA").alias("etype"),
+        "tissue",
+        F.col("level").alias("qual_value"),
+        F.col("reliability").alias("evidence"),
+    )
+    infos = None
+    if tau_scores is not None:
+        infos = (
+            tau_scores.filter(F.col("tau") != "None")
+            .select(
+                F.col("protein_id").cast("long").alias("protein_id"),
+                F.lit("HPA Tissue Specificity Index").alias("itype"),
+                F.col("tau").cast("double").alias("number_value"),
+            )
+        )
+    return expression, infos
+
+
+@dataclass
+class OmimLoad:
+    omim: DataFrame            # (mim, title)
+    omim_ps: DataFrame         # (omim_ps_id, mim, title)
+    phenotype: DataFrame       # ptype='OMIM' rows
+    notfnd: DataFrame          # genemap rows resolving to no protein
+
+
+def load_omim(
+    titles: DataFrame,
+    phenotypic_series: DataFrame,
+    genemap: DataFrame,
+    protein: DataFrame,
+) -> OmimLoad:
+    """OMIM load (`loaders/load-OMIM.py:107-245`).
+
+    titles: (prefix, mim, title_raw) from mimTitles — title truncates
+    at the first ';' (`:120`). phenotypic_series: (omim_ps_id, mim,
+    title). genemap: (gene_symbols, mim, phenotypes) — provisional
+    phenotype rows ('?' prefix) are skipped (`:218-220`), the trait
+    string is 'MIM Number: N[; Phenotype: P]' (`:223-225`), and the
+    comma-separated symbol list explodes against protein.sym
+    (`:227-236`)."""
+    omim = titles.filter(~F.col("prefix").startswith("#")).select(
+        F.col("mim").cast("long").alias("mim"),
+        F.split(F.col("title_raw"), ";").getItem(0).alias("title"),
+    )
+    ps = phenotypic_series.select(
+        "omim_ps_id", F.col("mim").cast("long").alias("mim"), "title"
+    )
+    gm = genemap.filter(
+        ~F.coalesce(F.col("phenotypes"), F.lit("")).startswith("?")
+    ).withColumn(
+        "trait",
+        F.concat(
+            F.lit("MIM Number: "), F.col("mim").cast("string"),
+            F.when(
+                F.coalesce(F.col("phenotypes"), F.lit("")) != "",
+                F.concat(F.lit("; Phenotype: "), F.col("phenotypes")),
+            ).otherwise(F.lit("")),
+        ),
+    ).withColumn("sym", F.explode(F.split(F.col("gene_symbols"), ", ")))
+    p = F.broadcast(protein.select(F.col("id").alias("protein_id"), "sym"))
+    joined = gm.join(p, "sym", "left")
+    notfnd = joined.filter(F.col("protein_id").isNull()).drop("protein_id")
+    phenotype = joined.filter(F.col("protein_id").isNotNull()).select(
+        "protein_id", F.lit("OMIM").alias("ptype"), "trait"
+    )
+    return OmimLoad(omim=omim, omim_ps=ps, phenotype=phenotype, notfnd=notfnd)
+
+
+# ----------------------------------------------------------------- orthologs
+
+# taxid → species for the wanted ortholog set (`load-Orthologs.py:48-66`)
+ORTHOLOG_TAXID2SP = {
+    "9598": "Chimp", "9544": "Macaque", "10090": "Mouse", "10116": "Rat",
+    "9615": "Dog", "9796": "Horse", "9913": "Cow", "9823": "Pig",
+    "13616": "Opossum", "9258": "Platypus", "9031": "Chicken",
+    "28377": "Anole lizard", "8364": "Xenopus", "7955": "Zebrafish",
+    "6239": "C. elegans", "7227": "Fruitfly", "4932": "S.cerevisiae",
+}
+
+
+def load_orthologs(
+    rows: DataFrame, protein: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Ortholog load (`loaders/load-Orthologs.py:140-199`): keep rows
+    whose taxid is a wanted species, drop rows whose symbol AND name
+    are both '-' (`:163`), resolve the human side by symbol first then
+    geneid (`:153-156`), normalize '-' sentinels to NULL, and build
+    the per-MOD URL exactly per the reference's elif chain
+    (`:180-192`). Returns (ortholog_rows, notfnd)."""
+    sp_map = F.create_map(
+        *[F.lit(x) for kv in ORTHOLOG_TAXID2SP.items() for x in kv]
+    )
+    kept = (
+        rows.withColumn(
+            "species", sp_map[F.col("ortholog_species").cast("string")]
+        )
+        .filter(F.col("species").isNotNull())
+        .filter(
+            ~(
+                (F.col("ortholog_species_symbol") == "-")
+                & (F.col("ortholog_species_name") == "-")
+            )
+        )
+    )
+    res = resolve(
+        kept, protein,
+        [("human_symbol", "sym"), ("human_entrez_gene", "geneid")],
+        id_col="id", out_col="protein_id",
+    )
+    dash_null = lambda c: F.nullif(F.col(c), F.lit("-"))  # noqa: E731
+    db_id = dash_null("ortholog_species_db_id")
+    sym = F.col("ortholog_species_symbol")
+    mod_url = (
+        F.when(F.col("species") == "Mouse",
+               F.concat(F.lit("http://www.informatics.jax.org/marker/"), db_id))
+        .when(F.col("species") == "Rat",
+              F.concat(
+                  F.lit("http://rgd.mcw.edu/rgdweb/report/gene/main.html?id="),
+                  F.regexp_replace(db_id, "^RGD:", "")))
+        .when(F.col("species") == "Zebrafish",
+              F.concat(F.lit("http://zfin.org/"), db_id))
+        .when(F.col("species") == "Fruitfly",
+              F.concat(F.lit("http://flybase.org/reports/"), db_id,
+                       F.lit(".html")))
+        .when(F.col("species") == "C. elegans",
+              F.concat(F.lit("http://www.wormbase.org/search/gene/"), sym))
+        .when(F.col("species") == "S.cerevisiae",
+              F.concat(F.lit("https://www.yeastgenome.org/locus/"), db_id))
+    )
+    out = res.resolved.select(
+        "protein_id",
+        F.col("ortholog_species").cast("long").alias("taxid"),
+        "species",
+        db_id.alias("db_id"),
+        dash_null("ortholog_species_entrez_gene").cast("long").alias("geneid"),
+        sym.alias("symbol"),
+        F.col("ortholog_species_name").alias("name"),
+        mod_url.alias("mod_url"),
+        "sources",
+    )
+    return out, res.unresolved

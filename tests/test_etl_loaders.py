@@ -416,3 +416,102 @@ def test_uberon_ontology_load(spark, tmp_path):
     assert [
         (r.uid, r.parent_id) for r in tables["uberon_parent"].collect()
     ] == [("UBERON:0002", "UBERON:0001")]
+
+
+def test_hpa_loader(spark):
+    from tcrd_spark.etl.loaders import load_hpa_expression
+
+    nt = spark.createDataFrame(
+        [(11, "liver", "ENSG1", "GENE1", "High", "Approved"),
+         (12, "brain", "ENSG2", "GENE2", "Low", "Supported")],
+        "protein_id int, tissue string, gene string, gene_name string,"
+        " level string, reliability string",
+    )
+    taus = spark.createDataFrame(
+        [("ENSG1", "0.85", 11), ("ENSG2", "None", 12)],
+        "gene string, tau string, protein_id int",
+    )
+    exp, infos = load_hpa_expression(nt, taus)
+    rows = {r.protein_id: r for r in exp.collect()}
+    assert rows[11].etype == "HPA" and rows[11].qual_value == "High"
+    assert rows[11].evidence == "Approved"
+    got = infos.collect()
+    assert len(got) == 1      # 'None' tau skipped (load-HPA.py:149)
+    assert got[0].number_value == 0.85
+    assert got[0].itype == "HPA Tissue Specificity Index"
+
+
+def test_omim_loader(spark):
+    from tcrd_spark.etl.loaders import load_omim
+
+    protein = spark.createDataFrame(
+        [(11, "BRCA1"), (12, "TP53")], "id int, sym string"
+    )
+    titles = spark.createDataFrame(
+        [("#", None, "comment row"),
+         ("Asterisk", "100100", "ABC; ALPHA"),
+         ("NULL", "100200", "DEF")],
+        "prefix string, mim string, title_raw string",
+    )
+    ps = spark.createDataFrame(
+        [("PS100", "100100", "series one")],
+        "omim_ps_id string, mim string, title string",
+    )
+    genemap = spark.createDataFrame(
+        [
+            ("BRCA1, TP53", 100100, "Some phenotype (3)"),
+            ("BRCA1", 100200, "?provisional thing"),     # skipped
+            ("NOPE", 100300, ""),                        # notfnd
+        ],
+        "gene_symbols string, mim long, phenotypes string",
+    )
+    out = load_omim(titles, ps, genemap, protein)
+    omim = {r.mim: r.title for r in out.omim.collect()}
+    assert omim == {100100: "ABC", 100200: "DEF"}        # ';' truncation
+    assert out.omim_ps.collect()[0].omim_ps_id == "PS100"
+    pts = {(r.protein_id, r.trait) for r in out.phenotype.collect()}
+    assert pts == {
+        (11, "MIM Number: 100100; Phenotype: Some phenotype (3)"),
+        (12, "MIM Number: 100100; Phenotype: Some phenotype (3)"),
+    }
+    assert out.notfnd.count() == 1
+
+
+def test_orthologs_loader(spark):
+    from tcrd_spark.etl.loaders import load_orthologs
+
+    protein = spark.createDataFrame(
+        [(11, "BRCA1", 672), (12, None, 7157)],
+        "id int, sym string, geneid int",
+    )
+    rows = spark.createDataFrame(
+        [
+            # mouse via symbol; MGI url
+            ("BRCA1", 672, "10090", "Brca1", "breast cancer 1", "MGI:104537",
+             "12189", "HGNC"),
+            # rat via geneid fallback; RGD: stripped in url
+            (None, 7157, "10116", "Tp53", "tumor protein p53", "RGD:3889",
+             "24842", "HGNC"),
+            # both symbol and name '-': skipped
+            ("BRCA1", 672, "10090", "-", "-", "-", "-", "HGNC"),
+            # unwanted species: skipped
+            ("BRCA1", 672, "99999", "X", "x protein", "-", "-", "HGNC"),
+            # unresolvable human side
+            ("NOPE", 999999, "10090", "Y", "y protein", "-", "-", "HGNC"),
+        ],
+        "human_symbol string, human_entrez_gene int, ortholog_species string,"
+        " ortholog_species_symbol string, ortholog_species_name string,"
+        " ortholog_species_db_id string, ortholog_species_entrez_gene string,"
+        " sources string",
+    )
+    out, notfnd = load_orthologs(rows, protein)
+    got = {r.species: r for r in out.collect()}
+    assert set(got) == {"Mouse", "Rat"}
+    assert got["Mouse"].protein_id == 11
+    assert got["Mouse"].mod_url == \
+        "http://www.informatics.jax.org/marker/MGI:104537"
+    assert got["Rat"].protein_id == 12
+    assert got["Rat"].mod_url == \
+        "http://rgd.mcw.edu/rgdweb/report/gene/main.html?id=3889"
+    assert got["Rat"].geneid == 24842
+    assert notfnd.count() == 1
