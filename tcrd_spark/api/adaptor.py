@@ -718,3 +718,105 @@ def export_wide_csv_df(lake: dict[str, DataFrame]) -> DataFrame:
             if txis is not None else null_s
         ).alias("Top 5 TIN-X Importance(s)"),
     )
+
+
+def documents_to_lake(doc: DataFrame) -> dict[str, DataFrame]:
+    """The set-based inverse of `target_documents` — ins_target /
+    ins_protein re-expressed (`loaders/TCRD.py:136-231` inserts one
+    nested dict across target+protein+annotation tables per call; here
+    ONE document frame explodes back into every normalized table at
+    once). Round-tripping lake → documents → lake is the write-side
+    proof that the nested assembly loses nothing.
+
+    Only annotation families whose columns the document carries are
+    emitted; each is one explode + projection (row-local, no shuffle
+    beyond the write)."""
+    cols = set(doc.columns)
+    out: dict[str, DataFrame] = {}
+    out["target"] = doc.select(
+        F.col("target_id").alias("id"),
+        F.col("target_name").alias("name"),
+        "ttype", "tdl", "idg", "fam",
+    )
+    pcols = [
+        F.col("protein_id").alias("id"),
+        F.col("protein_name").alias("name"),
+        "description", "uniprot", "sym", "geneid", "stringid", "dtoid",
+    ]
+    if "dtoclass" in cols:
+        pcols.append("dtoclass")
+    out["protein"] = doc.select(*pcols)
+    out["t2tc"] = doc.select("target_id", "protein_id")
+
+    def explode_p(col: str, fields: dict[str, str]) -> DataFrame:
+        return (
+            doc.filter(F.col(col).isNotNull())
+            .select("protein_id", F.explode(col).alias("_e"))
+            .select(
+                "protein_id",
+                *[F.col(f"_e.{src}").alias(dst) for src, dst in fields.items()],
+            )
+        )
+
+    if "aliases" in cols:
+        out["alias"] = explode_p("aliases", {"type": "type", "value": "value"})
+    if "goas" in cols:
+        out["goa"] = explode_p(
+            "goas",
+            {"go_id": "go_id", "go_term": "go_term", "evidence": "evidence"},
+        )
+    if "expressions" in cols:
+        out["expression"] = explode_p(
+            "expressions",
+            {"etype": "etype", "tissue": "tissue",
+             "qual_value": "qual_value", "number_value": "number_value"},
+        )
+    if "generifs" in cols:
+        out["generif"] = explode_p(
+            "generifs", {"pubmed_ids": "pubmed_ids", "text": "text"}
+        )
+    if "pmscores" in cols:
+        out["pmscore"] = explode_p(
+            "pmscores", {"year": "year", "score": "score"}
+        )
+    if "pathways" in cols:
+        out["pathway"] = explode_p(
+            "pathways", {"pwtype": "pwtype", "name": "name"}
+        )
+    if "phenotypes" in cols:
+        out["phenotype"] = explode_p(
+            "phenotypes",
+            {"ptype": "ptype", "trait": "trait", "term_id": "term_id",
+             "term_name": "term_name"},
+        )
+    if "xrefs" in cols:
+        out["xref"] = (
+            doc.filter(F.col("xrefs").isNotNull())
+            .select("protein_id", F.explode("xrefs").alias("xtype", "vals"))
+            .select("protein_id", "xtype", F.explode("vals").alias("value"))
+        )
+    if "diseases" in cols:
+        out["disease"] = (
+            doc.filter(F.col("diseases").isNotNull())
+            .select("target_id", F.explode("diseases").alias("_d"))
+            .select(
+                "target_id",
+                F.col("_d.dtype").alias("dtype"),
+                F.col("_d.name").alias("name"),
+                F.col("_d.did").alias("did"),
+                F.col("_d.zscore").alias("zscore"),
+            )
+        )
+    if "drug_activities" in cols:
+        out["drug_activity"] = (
+            doc.filter(F.col("drug_activities").isNotNull())
+            .select("target_id", F.explode("drug_activities").alias("_d"))
+            .select(
+                "target_id",
+                F.col("_d.drug").alias("drug"),
+                F.col("_d.has_moa").alias("has_moa"),
+                F.col("_d.act_value").alias("act_value"),
+                F.col("_d.act_type").alias("act_type"),
+            )
+        )
+    return out

@@ -358,3 +358,60 @@ def test_tdl_evolution_pivot(spark):
         "P2": ("Tbio", None),
         "P3": (None, "Tclin"),
     }
+
+
+def test_documents_roundtrip_to_lake(spark, lake):
+    """lake → nested documents → normalized tables must lose nothing
+    for every covered annotation family (the write-side proof of the
+    §3-A assembly)."""
+    from tcrd_spark.api.adaptor import documents_to_lake, target_documents
+
+    back = documents_to_lake(target_documents(lake))
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(back["target"], "id", "name") == rows(
+        lake["target"], "id", "name"
+    )
+    assert rows(back["protein"], "id", "uniprot", "dtoclass") == rows(
+        lake["protein"], "id", "uniprot", "dtoclass"
+    )
+    assert rows(back["t2tc"], "target_id", "protein_id") == rows(
+        lake["t2tc"], "target_id", "protein_id"
+    )
+    assert rows(back["alias"], "protein_id", "type", "value") == rows(
+        lake["alias"], "protein_id", "type", "value"
+    )
+    assert rows(back["goa"], "protein_id", "go_id") == rows(
+        lake["goa"], "protein_id", "go_id"
+    )
+    assert rows(back["expression"], "protein_id", "tissue", "qual_value") \
+        == rows(lake["expression"], "protein_id", "tissue", "qual_value")
+    assert rows(back["generif"], "protein_id", "text") == rows(
+        lake["generif"], "protein_id", "text"
+    )
+    assert rows(back["pmscore"], "protein_id", "year", "score") == rows(
+        lake["pmscore"], "protein_id", "year", "score"
+    )
+    # protein-attached xrefs (the target-attached branch lives on the
+    # target document's own xref map, not this one)
+    want = rows(
+        lake["xref"].filter(F.col("protein_id").isNotNull()),
+        "protein_id", "xtype", "value",
+    )
+    assert rows(back["xref"], "protein_id", "xtype", "value") == want
+    assert rows(back["disease"], "target_id", "name") == rows(
+        lake["disease"].filter(F.col("target_id").isNotNull()),
+        "target_id", "name",
+    )
+    assert rows(back["drug_activity"], "target_id", "drug") == rows(
+        lake["drug_activity"], "target_id", "drug"
+    )
+    assert rows(back["phenotype"], "protein_id", "ptype", "trait") == rows(
+        lake["phenotype"], "protein_id", "ptype", "trait"
+    )
+    assert rows(back["pathway"], "protein_id", "name") == rows(
+        lake["pathway"].filter(F.col("protein_id").isNotNull()),
+        "protein_id", "name",
+    )
