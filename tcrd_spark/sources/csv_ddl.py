@@ -61,3 +61,33 @@ def csv_to_ddl(
     header: bool = True,
 ) -> str:
     return create_table_sql(table, infer_csv(spark, path, sep, header).schema)
+
+
+def export_sql_dump(
+    lake: dict[str, DataFrame],
+    out_dir: str,
+    tables: list[str] | None = None,
+) -> list[str]:
+    """SQL-dump subset export — the reference ships mysqldump subsets
+    (`doc/TCRD*.sql.gz` releases; SURVEY §2.1 'SQL dump subset
+    export'). Spark-first that's one DDL file (CREATE TABLE per table,
+    from the live schema) plus one CSV directory per table, written in
+    parallel — a `CREATE TABLE` + `COPY FROM` pair any warehouse can
+    ingest, replacing row-at-a-time INSERT emission.
+
+    Returns the written table names; `<out_dir>/schema.sql` carries
+    the DDL."""
+    import os
+
+    names = sorted(tables if tables is not None else lake.keys())
+    ddl = "\n\n".join(
+        create_table_sql(t, lake[t].schema) for t in names
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "schema.sql"), "w") as fh:
+        fh.write(ddl + "\n")
+    for t in names:
+        lake[t].write.mode("overwrite").option("header", True).csv(
+            os.path.join(out_dir, t)
+        )
+    return names

@@ -319,3 +319,20 @@ def test_jsonl_to_bronze_schema_projection(spark, tmp_path):
     assert out.columns == ["id", "protein_id", "year", "score"]
     r = out.collect()[0]
     assert r.year == 2020 and float(r.score) == 1.5
+
+
+def test_export_sql_dump(spark, tmp_path):
+    from tcrd_spark.sources.csv_ddl import export_sql_dump
+
+    lake = {
+        "mini": spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id int, name string"
+        ),
+    }
+    out = tmp_path / "dump"
+    names = export_sql_dump(lake, str(out), tables=["mini"])
+    assert names == ["mini"]
+    ddl = (out / "schema.sql").read_text()
+    assert "CREATE TABLE mini" in ddl and "id INTEGER" in ddl
+    back = spark.read.csv(str(out / "mini"), header=True, inferSchema=True)
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
