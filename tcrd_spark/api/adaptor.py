@@ -820,3 +820,65 @@ def documents_to_lake(doc: DataFrame) -> dict[str, DataFrame]:
             )
         )
     return out
+
+
+# ------------------------------------------------- point-lookup parity
+
+def get_target(
+    lake: dict[str, DataFrame],
+    target_id: int,
+    include_annotations: bool = False,
+    get_ga_counts: bool = True,
+) -> DataFrame:
+    """Single-target lookup (`loaders/TCRD.py:1812-1855` without
+    annotations; `:1857-1951` with). With annotations this is one
+    nested-document row — the reference's ~40 point queries for the id
+    collapse into the target_documents plan filtered to it (the filter
+    pushes down to every annotation scan)."""
+    if include_annotations:
+        return target_documents(
+            lake, target_ids=[target_id], get_ga_counts=get_ga_counts
+        )
+    return entity(lake).filter(F.col("target_id") == target_id)
+
+
+def get_protein(
+    lake: dict[str, DataFrame],
+    protein_id: int,
+    include_annotations: bool = False,
+) -> DataFrame:
+    """Single-protein lookup (`loaders/TCRD.py:1953-2125`). Annotated
+    form returns the protein's nested document row(s) via the bridge;
+    bare form is the protein table row."""
+    if include_annotations:
+        ids = [
+            r.target_id
+            for r in lake["t2tc"]
+            .filter(F.col("protein_id") == protein_id)
+            .select("target_id")
+            .collect()
+        ]
+        return target_documents(lake, target_ids=ids)
+    return lake["protein"].filter(F.col("id") == protein_id)
+
+
+def get_nhprotein(lake: dict[str, DataFrame], nhprotein_id: int) -> DataFrame:
+    """`loaders/TCRDMP.py:3085-3098` — nhprotein row by id."""
+    return lake["nhprotein"].filter(F.col("id") == nhprotein_id)
+
+
+def get_nhprotein_count(
+    lake: dict[str, DataFrame], species: str | None = None
+) -> int:
+    """`loaders/TCRDMP.py:3070-3083`."""
+    df = lake["nhprotein"]
+    if species:
+        df = df.filter(F.col("species") == species)
+    return df.count()
+
+
+# Reference method names whose Spark implementations carry clearer
+# names — bound here so a caller porting from DBAdaptor finds them
+# (`loaders/TCRD.py:2871` / `:2800`).
+get_common_kegg_pathway = get_common_pathway
+get_nearest_kegg_tclins = get_nearest_tclin
