@@ -249,7 +249,9 @@ def load_tf_flags(
     )
     keys = [("sym", "psym"), ("geneid", "pgeneid")]
     if xref is not None:
-        ens = xref.filter(F.col("xtype") == "Ensembl").select(
+        ens = xref.filter(
+            (F.col("xtype") == "Ensembl") & F.col("protein_id").isNotNull()
+        ).select(
             F.col("protein_id").alias("id"),
             F.lit(None).cast("string").alias("psym"),
             F.lit(None).cast("int").alias("pgeneid"),
