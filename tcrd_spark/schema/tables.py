@@ -7,7 +7,10 @@ decimal(34,16) at :2135, clinvar), AUTO_INCREMENT ids → deterministic
 surrogate ids (see surrogate_id) because child tables FK by id and ids
 must be stable across runs.
 
-All 77 of the reference's tables are declared — the core entity
+All 77 of the reference's v7 tables are declared, plus six that the
+loader fleet targets outside the v7 dump (tiga, tiga_provenance from
+load-TIGA.py; grant from the v4 DDL + load-GrantInfo.py; virus /
+viral_protein / viral_ppi from load-Phipster.py) — the core entity
 triple, every type dictionary, the ontology DAGs, graph/pairwise
 relations, year-keyed time series, the text corpus, the big fact
 tables (gene_attribute/lincs), TIN-X + HGram outputs, the annotation
@@ -156,6 +159,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("dtype", StringType(), False),
         ("target_id", LongType(), True),
         ("protein_id", LongType(), True),
+        ("nhprotein_id", LongType(), True),
         ("name", StringType(), False),
         ("did", StringType(), True),
         ("evidence", StringType(), True),
@@ -168,6 +172,10 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("pvalue", StringType(), True),
         ("score", DoubleType(), True),
         ("source", StringType(), True),
+        # Monarch ortholog→self / self→ortholog scores
+        # (`SQL/create-TCRDv7.sql:370-371`, decimal(16,13))
+        ("O2S", DoubleType(), True),
+        ("S2O", DoubleType(), True),
     ),
     # MLP assay metadata (`SQL/create-TCRDv7.sql:1130-1143`)
     "mlp_assay_info": _s(
@@ -708,6 +716,79 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ("doid", StringType(), False),
         ("db", StringType(), False),
         ("value", StringType(), False),
+    ),
+    # TIGA GWAS gene-trait aggregates (`loaders/load-TIGA.py:138-146`
+    # ins_tiga init dict — TIGA postdates the v7 DDL dump, so the shape
+    # comes from the loader, not create-TCRDv7.sql)
+    "tiga": _s(
+        ("id", LongType(), False),
+        ("protein_id", LongType(), False),
+        ("ensg", StringType(), False),
+        ("efoid", StringType(), False),
+        ("trait", StringType(), False),
+        ("n_study", IntegerType(), True),
+        ("n_snp", IntegerType(), True),
+        ("n_snpw", DoubleType(), True),
+        ("geneNtrait", IntegerType(), True),
+        ("geneNstudy", IntegerType(), True),
+        ("traitNgene", IntegerType(), True),
+        ("traitNstudy", IntegerType(), True),
+        ("pvalue_mlog_median", DoubleType(), True),
+        ("or_median", DoubleType(), True),
+        ("n_beta", IntegerType(), True),
+        ("study_N_mean", DoubleType(), True),
+        ("rcras", DoubleType(), True),
+        ("meanRank", DoubleType(), True),
+        ("meanRankScore", DoubleType(), True),
+    ),
+    # (`loaders/load-TIGA.py:180-182` ins_tiga_provenance)
+    "tiga_provenance": _s(
+        ("id", LongType(), False),
+        ("ensg", StringType(), False),
+        ("efoid", StringType(), True),
+        ("study_acc", StringType(), False),
+        ("pubmedid", LongType(), True),
+    ),
+    # NIH grant text-mining rows (`SQL/create-TCRDv4.sql:1274-1289`;
+    # dropped from later DDLs but still loaded by load-GrantInfo.py)
+    "grant": _s(
+        ("id", LongType(), False),
+        ("target_id", LongType(), False),
+        ("protein_id", LongType(), True),
+        ("appid", LongType(), False),
+        ("full_project_num", StringType(), False),
+        ("activity", StringType(), False),
+        ("funding_ics", StringType(), True),
+        ("year", IntegerType(), False),
+        ("cost", DoubleType(), False),
+    ),
+    # P-HIPSTer virus→human PPI predictions
+    # (`loaders/load-Phipster.py:17-53` CREATE TABLE strings)
+    "virus": _s(
+        ("virusTaxid", StringType(), False),
+        ("nucleic1", StringType(), True),
+        ("nucleic2", StringType(), True),
+        ("order", StringType(), True),
+        ("family", StringType(), True),
+        ("subfamily", StringType(), True),
+        ("genus", StringType(), True),
+        ("species", StringType(), True),
+        ("name", StringType(), True),
+    ),
+    "viral_protein": _s(
+        ("id", LongType(), False),
+        ("name", StringType(), True),
+        ("ncbi", StringType(), True),
+        ("virus_id", StringType(), True),
+    ),
+    "viral_ppi": _s(
+        ("id", LongType(), False),
+        ("viral_protein_id", LongType(), False),
+        ("protein_id", LongType(), True),
+        ("dataSource", StringType(), True),
+        ("finalLR", DoubleType(), False),
+        ("pdbIDs", StringType(), True),
+        ("highConfidence", BooleanType(), True),
     ),
 }
 

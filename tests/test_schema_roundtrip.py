@@ -9,8 +9,9 @@ from tcrd_spark.schema.tables import TABLE_SCHEMAS
 
 
 def test_all_schemas_roundtrip_parquet(spark, tmp_path):
-    # all 77 reference tables (`SQL/create-TCRDv7.sql`) declared
-    assert len(TABLE_SCHEMAS) == 77
+    # all 77 reference v7 tables (`SQL/create-TCRDv7.sql`) plus the six
+    # loader-defined ones (tiga/tiga_provenance/grant/virus/viral_*)
+    assert len(TABLE_SCHEMAS) == 83
     for name, schema in TABLE_SCHEMAS.items():
         df = spark.createDataFrame([], schema)
         path = str(tmp_path / f"{name}.parquet")
