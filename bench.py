@@ -5,6 +5,12 @@ ONE JSON line: {"metric":..., "value": N, "unit": "sec", "queries":
 
 Materialization uses the noop sink (full execution, no driver collect)
 — the same discipline that keeps 100 TB runs collect()-free.
+
+Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+MINIMUM is reported: min-of-N is the standard noise-robust estimator
+for a deterministic workload on a shared box (ambient contention only
+ever adds time), so round-over-round comparisons track plan changes,
+not machine load.
 """
 
 from __future__ import annotations
@@ -81,11 +87,17 @@ def main():
     # warm the JVM + parquet footers with one tiny job
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(

@@ -384,10 +384,10 @@ ORACLE = {
         ),
         h AS (
           SELECT user_id, tissue,
-                 sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS n0,
-                 sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS n1,
-                 sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS n2,
-                 sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS n3
+                 CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
           FROM lv GROUP BY 1, 2
         )
         SELECT user_id, tissue, n0, n1, n2, n3,

@@ -129,7 +129,7 @@ _DOC_SQL = """
     d AS (
       SELECT o_custkey,
              count(*) AS n_orders,
-             sum(n_lines) AS n_lines,
+             CAST(sum(n_lines) AS BIGINT) AS n_lines,
              round(sum(o_totalprice), 2) AS total_spent,
              first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)
                AS top_orderkey,

@@ -246,7 +246,8 @@ _SIMHASH_SIG = f"""
     GROUP BY 1, 2
   )
   SELECT doc_id,
-         sum(CASE WHEN s >= 0 THEN (1::BIGINT << bi) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << bi) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM pb GROUP BY 1
 """
 
