@@ -518,3 +518,102 @@ def embedding_near_dups(
             )
 
     return vecs.mapInPandas(block_pairs, schema=out_schema)
+
+
+def embedding_near_dups_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold — distributed exact
+    block-pair plan, the 100 TB path.
+
+    Vectors hash into n_blocks; the B(B+1)/2 unordered block pairs
+    form a tiny broadcast grid, each vector is replicated to the B+1
+    grid rows its block participates in, and one applyInPandas task
+    per block pair runs the BLAS matmul between its two blocks. Same
+    exact O(n²) flops and the identical rounded-cosine values as
+    `embedding_near_dups`, but: nothing ever touches the driver, task
+    memory is bounded by 2·(n/B)·dim·8 bytes regardless of corpus
+    size (pick B ≈ n·dim·8 / 100 MB), and the only shuffle is the
+    (B+1)-fold replication. Every pair of vectors meets in exactly one
+    task, so no dedup pass is needed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = df.sparkSession
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    r = spark.range(n_blocks)
+    grid = F.broadcast(
+        r.toDF("bi").crossJoin(r.toDF("bj")).filter(F.col("bi") <= F.col("bj"))
+    )
+    left = vecs.join(grid, vecs.blk == grid.bi).select(
+        "bi", "bj", F.lit("L").alias("role"), "_id", "v"
+    )
+    right = (
+        vecs.join(grid, vecs.blk == grid.bj)
+        # diagonal cells get their rows once via the L side
+        .filter(F.col("bi") != F.col("bj"))
+        .select("bi", "bj", F.lit("R").alias("role"), "_id", "v")
+    )
+    tagged = left.unionByName(right)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", df.schema[id_col].dataType),
+            StructField("id_b", df.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["role"] == "L"]
+        rpdf = pdf[pdf["role"] == "R"]
+        # the diagonal is identified by its KEY, never by an empty R
+        # side — a cross cell whose partner block happens to be empty
+        # must emit nothing, not re-pair L against itself
+        is_diag = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        if len(lpdf) == 0 or (not is_diag and len(rpdf) == 0):
+            return empty
+        a_ids = lpdf["_id"].to_numpy()
+        a_mat = np.stack(lpdf["v"].to_numpy())
+        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        if is_diag:  # pair the block against itself
+            b_ids, b_mat, b_nrm = a_ids, a_mat, a_nrm
+        else:
+            b_ids = rpdf["_id"].to_numpy()
+            b_mat = np.stack(rpdf["v"].to_numpy())
+            b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        # identical formula + rounding to the brute-force baseline and
+        # the oracle SQL, so the three agree bit-for-bit
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm), 6)
+        keep = sims >= threshold
+        ai, bi_ = np.nonzero(keep)
+        id_a, id_b = a_ids[ai], b_ids[bi_]
+        if is_diag:
+            # the self-matmul is symmetric: each pair shows up at
+            # (i,j) AND (j,i) — keep the strict upper triangle only
+            mask = id_a < id_b
+            lo, hi = id_a, id_b
+        else:
+            # cross cells see each unordered pair exactly once;
+            # orient it (block membership says nothing about id order)
+            lo, hi = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+            mask = lo < hi
+        return pd.DataFrame(
+            {"id_a": lo[mask], "id_b": hi[mask], "cos_sim": sims[ai, bi_][mask]}
+        )
+
+    # no dedup pass: a pair (x∈p, y∈q) exists only in cell (p,q)
+    return tagged.groupBy("bi", "bj").applyInPandas(cell, schema=out_schema)

@@ -105,8 +105,13 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs via the distributed block-pair matmul —
+    the 100 TB plan (no driver collect anywhere; task memory bounded
+    by block size). `embedding_near_dups` (guarded driver-broadcast
+    brute force) remains the test-only baseline; all three — blocked,
+    brute, oracle SQL — produce identical rounded values."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(
+    return dedup.embedding_near_dups_blocked(
         emb.select(F.col("vec_id"), F.col("embedding")),
         "vec_id",
         "embedding",

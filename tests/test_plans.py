@@ -132,3 +132,21 @@ def test_whole_stage_codegen_active(spark, sf_dir, queries):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # codegen'd operators render as *(stageId) Node in the final plan
     assert "*(" in plan, plan
+
+
+def test_benched_embedding_dedup_never_touches_driver(spark, sf_dir, monkeypatch):
+    """VERDICT r2 #5: no toPandas()/collect() may be reachable from
+    the benched/registered dedup_embedding_cosine — constructing its
+    plan must not run any driver-side materialization."""
+    from pyspark.sql import DataFrame
+
+    from tcrd_spark.pipeline.testdata_queries import q_dedup_embedding_cosine
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side materialization in benched query")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = q_dedup_embedding_cosine(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan

@@ -127,3 +127,46 @@ def test_simhash_pairs_respect_hamming_bound(spark, texts, max_h):
     ).collect()
     assert all(r.hamming <= max_h for r in rows)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_blocked_embedding_dedup_equals_brute_force(spark, sf_dir):
+    """The distributed block-pair matmul (the benched 100 TB plan)
+    must produce exactly the guarded driver-broadcast brute force's
+    pairs — same ids, same rounded cosines."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_blocked,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    # compare as sorted MULTISETS: the r3 diagonal bug emitted each
+    # within-block pair twice, which a dict comprehension would hide
+    def rows(df):
+        return sorted((r.id_a, r.id_b, r.cos_sim) for r in df.collect())
+
+    brute = rows(
+        embedding_near_dups(emb, "vec_id", "embedding", 64, threshold=0.4)
+    )
+    blocked = rows(
+        embedding_near_dups_blocked(
+            emb, "vec_id", "embedding", 64, threshold=0.4, n_blocks=5
+        )
+    )
+    assert brute and blocked == brute
+    # n_blocks >> n forces empty blocks: a cross cell with an empty
+    # partner must emit nothing, and empty-L cells must not crash
+    small = emb.filter(F.col("vec_id") < 40)
+    sb = rows(
+        embedding_near_dups(small, "vec_id", "embedding", 64, threshold=0.4)
+    )
+    sbl = rows(
+        embedding_near_dups_blocked(
+            small, "vec_id", "embedding", 64, threshold=0.4, n_blocks=97
+        )
+    )
+    assert sbl == sb
