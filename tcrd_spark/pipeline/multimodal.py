@@ -2,12 +2,14 @@
 columns with typed metadata, processed by Arrow-batched mapInPandas.
 
 The Spark-side mechanics here are real and tested — schema, batch
-shape, partition sizing, UDF signatures; only the media decode itself
-is stubbed (no image/audio libraries in this container): with
-`real_decode=True` the decoder raises NotImplementedError at the first
-batch; the default deterministic fake derives features from the bytes
-(length, 60-bit content hash, fake dimensions) so the pipeline is
-end-to-end checkable against an oracle.
+shape, partition sizing, UDF signatures. The decode has three tiers:
+the default deterministic fake (features derived from the bytes, so
+the pipeline is end-to-end checkable against an oracle); with
+`real_decode=True`, PIL when installed (full decode, any format),
+else a pure-stdlib header parse of PNG/GIF/JPEG dimensions; unknown
+formats without PIL raise rather than silently faking. Pixel
+resampling (resize) and video frame decode require real codecs and
+raise without them.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 binary + Arrow batches into pandas). Keep payload columns OUT of
@@ -52,6 +54,54 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def _have_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _real_decode(payload: bytes) -> tuple[int, int]:
+    """Real image dimensions. PIL when installed (full decode, any
+    format it supports); otherwise a pure-stdlib header parse of the
+    three container formats a training corpus actually carries —
+    PNG IHDR, GIF logical screen, JPEG SOFn. Anything else raises,
+    keeping the honest not-a-real-decoder failure mode for unknown
+    bytes instead of silently faking."""
+    import struct
+
+    if _have_pil():
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.size
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return w, h
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan segments for SOFn
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return w, h
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+    raise NotImplementedError(
+        "real media decode: unrecognized image format and PIL is not "
+        "installed — install Pillow for full-format support"
+    )
+
+
 def extract_features(
     media: DataFrame, id_col: str = "doc_id", real_decode: bool = False
 ) -> DataFrame:
@@ -64,13 +114,9 @@ def extract_features(
     import hashlib
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if real_decode else _fake_decode
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real media decode requires an image library; "
-                    "install one and replace _fake_decode"
-                )
-            dims = [_fake_decode(p) for p in pdf["payload"]]
+            dims = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -110,15 +156,30 @@ def resize_images(
         budget = max(1, width * height // 8)
         for pdf in batches:
             if real_decode:
-                raise NotImplementedError(
-                    "real resize requires an image library; "
-                    "replace the fake with PIL/libvips"
-                )
-            src = [_fake_decode(p) for p in pdf["payload"]]
-            out = [
-                bytes((p * (budget // max(1, len(p)) + 1))[:budget])
-                for p in pdf["payload"]
-            ]
+                if not _have_pil():
+                    # header parsing gives dims (_real_decode) but
+                    # pixel resampling genuinely needs a codec
+                    raise NotImplementedError(
+                        "real resize requires Pillow for pixel "
+                        "resampling; header-only decode cannot resize"
+                    )
+                import io
+
+                from PIL import Image
+
+                src, out = [], []
+                for p in pdf["payload"]:
+                    with Image.open(io.BytesIO(p)) as im:
+                        src.append(im.size)
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format="PNG")
+                        out.append(buf.getvalue())
+            else:
+                src = [_fake_decode(p) for p in pdf["payload"]]
+                out = [
+                    bytes((p * (budget // max(1, len(p)) + 1))[:budget])
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
