@@ -1,0 +1,237 @@
+"""DBAdaptor mutation surface: upd_* / del_* as pure transformations.
+
+The reference mutates MySQL in place (`loaders/TCRD.py:2920-3345`,
+`loaders/TCRDMP.py:3726-4153`); loaders call these constantly during
+refresh cycles (e.g. `load-TDLs.py` upd_target per reclassified
+target, `load-UniProt.py` del_* before re-annotating). A Spark lake is
+immutable, so each method returns the NEW DataFrame (or dict of
+DataFrames for cascades) — the caller overwrites the lake entry /
+parquet table. Same observable semantics, one declarative plan per
+mutation instead of row-at-a-time UPDATE/DELETE, and the write is one
+atomic parquet overwrite per table.
+
+At 100 TB, prefer expressing refresh cycles as full-pipeline rebuilds
+of the affected table (these helpers compose into exactly that); the
+per-id point forms exist for API parity and small fixups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Lake = dict[str, DataFrame]
+
+
+def _upd(df: DataFrame, row_id: int, col: str, val) -> DataFrame:
+    dtype = dict(df.dtypes)[col]
+    return df.withColumn(
+        col,
+        F.when(F.col("id") == row_id, F.lit(val).cast(dtype)).otherwise(
+            F.col(col)
+        ),
+    )
+
+
+def upd_target(lake: Lake, row_id: int, col: str, val) -> DataFrame:
+    """UPDATE target SET col = val WHERE id (`loaders/TCRD.py:2920`)."""
+    return _upd(lake["target"], row_id, col, val)
+
+
+def upd_protein(lake: Lake, row_id: int, col: str, val) -> DataFrame:
+    """UPDATE protein (`loaders/TCRD.py:2947`)."""
+    return _upd(lake["protein"], row_id, col, val)
+
+
+def upd_tdl_info(lake: Lake, row_id: int, col: str, val) -> DataFrame:
+    """UPDATE tdl_info (`loaders/TCRD.py:2975`)."""
+    return _upd(lake["tdl_info"], row_id, col, val)
+
+
+def do_update(lake: Lake, init: dict) -> DataFrame:
+    """Generic single-cell update {table, id, col, val}
+    (`loaders/TCRD.py:3002-3034`)."""
+    for k in ("table", "id", "col", "val"):
+        if k not in init:
+            raise ValueError(f"do_update: missing key {k!r}")
+    return _upd(lake[init["table"]], init["id"], init["col"], init["val"])
+
+
+def _del_by(
+    df: DataFrame, key_col: str, key_val, type_col: str | None = None,
+    type_val=None,
+) -> DataFrame:
+    cond = F.col(key_col) == key_val
+    if type_col is not None and type_val is not None:
+        cond = cond & (F.col(type_col) == type_val)
+    return df.filter(~cond)
+
+
+def del_protein_xrefs(
+    lake: Lake, protein_id: int, xtype: str | None = None
+) -> DataFrame:
+    """DELETE FROM xref WHERE protein_id [AND xtype]
+    (`loaders/TCRD.py:3036-3069`)."""
+    return _del_by(lake["xref"], "protein_id", protein_id, "xtype", xtype)
+
+
+def del_protein_tdl_infos(
+    lake: Lake, protein_id: int, itype: str | None = None
+) -> DataFrame:
+    """`loaders/TCRD.py:3071-3104`."""
+    return _del_by(lake["tdl_info"], "protein_id", protein_id, "itype", itype)
+
+
+def del_protein_expressions(
+    lake: Lake, protein_id: int, etype: str | None = None
+) -> DataFrame:
+    """`loaders/TCRD.py:3106-3139`."""
+    return _del_by(lake["expression"], "protein_id", protein_id, "etype", etype)
+
+
+def del_generifs(lake: Lake, protein_id: int) -> DataFrame:
+    """`loaders/TCRD.py:3141-3169`."""
+    return _del_by(lake["generif"], "protein_id", protein_id)
+
+
+def del_goas(lake: Lake, protein_id: int) -> DataFrame:
+    """`loaders/TCRD.py:3171-3199`."""
+    return _del_by(lake["goa"], "protein_id", protein_id)
+
+
+def del_target_tdl_infos(
+    lake: Lake, target_id: int, itype: str | None = None
+) -> DataFrame:
+    """tdl_info rows attached to the TARGET side
+    (`loaders/TCRD.py:3252-3285`)."""
+    return _del_by(lake["tdl_info"], "target_id", target_id, "itype", itype)
+
+
+def del_target_drug_activity(lake: Lake, target_id: int) -> DataFrame:
+    """`loaders/TCRD.py:3287-3314`."""
+    return _del_by(lake["drug_activity"], "target_id", target_id)
+
+
+def del_target_cmpd_activity(lake: Lake, target_id: int) -> DataFrame:
+    """`loaders/TCRD.py:3316-3345`."""
+    return _del_by(lake["cmpd_activity"], "target_id", target_id)
+
+
+# Core tables del_target must NOT sweep generically: it rewrites them
+# explicitly (target / t2tc / protein), or they are not entity-child
+# tables at all (dictionaries, ontologies, provenance).
+_CASCADE_EXEMPT = frozenset(
+    {"target", "protein", "t2tc", "dataset", "provenance"}
+)
+
+
+def del_target(lake: Lake, target_id: int) -> Lake:
+    """Delete a target and ALL associated data — the FK cascade
+    (`loaders/TCRD.py:3201-3250`: deletes target + its proteins; MySQL
+    ON DELETE CASCADE sweeps the children, `SQL/create-TCRDv7.sql` FK
+    clauses). Here the cascade is explicit and schema-driven: every
+    lake table carrying a target_id / protein_id column loses the
+    matching rows. Returns the complete new lake dict (unchanged
+    tables pass through by reference)."""
+    t2tc = lake["t2tc"]
+    pids = t2tc.filter(F.col("target_id") == target_id).select("protein_id")
+    out: Lake = dict(lake)
+    out["target"] = lake["target"].filter(F.col("id") != target_id)
+    out["t2tc"] = t2tc.filter(F.col("target_id") != target_id)
+    out["protein"] = lake["protein"].join(
+        pids.withColumnRenamed("protein_id", "id"), "id", "left_anti"
+    )
+    for name, df in lake.items():
+        if name in _CASCADE_EXEMPT:
+            continue
+        cols = set(df.columns)
+        new = df
+        if "target_id" in cols:
+            new = new.filter(
+                F.col("target_id").isNull()
+                | (F.col("target_id") != target_id)
+            )
+        if "protein_id" in cols:
+            new = new.join(pids, "protein_id", "left_anti")
+        if new is not df:
+            out[name] = new
+    return out
+
+
+# ------------------------------------------------- tdl_update_log
+
+def get_tdl_update_log(lake: Lake, target_id: int) -> DataFrame:
+    """SELECT * FROM tdl_update_log WHERE target_id — the per-target
+    TDL history read inside get_target(include_annotations)
+    (`loaders/TCRD.py:1874-1880`), ordered newest first."""
+    return (
+        lake["tdl_update_log"]
+        .filter(F.col("target_id") == target_id)
+        .orderBy(F.desc("datetime"))
+    )
+
+
+def ins_tdl_update_log(lake: Lake, rows: DataFrame) -> DataFrame:
+    """Append TDL-change audit rows (`loaders/TCRD.py:756-784`); the
+    row sink is a unionByName — one atomic write replaces per-row
+    INSERT."""
+    return lake["tdl_update_log"].unionByName(rows, allowMissingColumns=True)
+
+
+# ------------------------------------------------- generic row sink
+
+# enum-typed columns the reference's MySQL schema CHECKs at insert;
+# ins_rows applies the same domains loader-side
+_ENUM_COLS: dict[tuple[str, str], tuple[str, ...]] = {}
+
+
+def _enum_cols():
+    global _ENUM_COLS
+    if not _ENUM_COLS:
+        from tcrd_spark.schema.tables import (
+            DATA_TYPES,
+            FAM_VALUES,
+            QUAL_VALUES,
+            TDL_VALUES,
+        )
+
+        _ENUM_COLS = {
+            ("target", "tdl"): TDL_VALUES,
+            ("target", "fam"): FAM_VALUES,
+            ("expression", "qual_value"): QUAL_VALUES,
+            ("info_type", "data_type"): DATA_TYPES,
+            ("expression_type", "data_type"): DATA_TYPES,
+            ("kegg_nearest_tclin", "direction"): ("upstream", "downstream"),
+        }
+    return _ENUM_COLS
+
+
+def ins_rows(lake: Lake, table: str, rows: DataFrame) -> DataFrame:
+    """The entire ~60-method ins_* family as ONE set-based sink
+    (`loaders/TCRD.py:136-1666`, `loaders/TCRDMP.py:135-2268`): each
+    reference method is a per-row INSERT with required-parameter
+    checks and MySQL enum enforcement; here the whole batch validates
+    declaratively — required (non-nullable) schema columns must be
+    present, enum columns must be in-domain (raises at action time) —
+    and appends in one plan. Column set may be a subset of the schema
+    (nullable columns fill with NULL), matching the reference's
+    optional-param handling."""
+    from tcrd_spark.schema.tables import TABLE_SCHEMAS, validate_enum
+
+    if table not in TABLE_SCHEMAS:
+        raise ValueError(f"ins_rows: unknown table {table!r}")
+    schema = TABLE_SCHEMAS[table]
+    missing = [
+        f.name
+        for f in schema.fields
+        if not f.nullable and f.name not in rows.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"ins_rows({table}): required columns absent: {missing}"
+        )
+    out = rows
+    for (tbl, col), domain in _enum_cols().items():
+        if tbl == table and col in rows.columns:
+            out = validate_enum(out, col, domain)
+    return lake[table].unionByName(out, allowMissingColumns=True)

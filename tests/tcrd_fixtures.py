@@ -237,6 +237,20 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         dict(id=1, protein_id=11, tclin_id=12, direction="downstream",
              distance=2),
     ]
+    tdl_update_log = [
+        dict(id=1, target_id=1, old_tdl="Tbio", new_tdl="Tchem",
+             person="loader", datetime="2019-08-27 10:00:00",
+             explanation="drug gained", application="load-TDLs.py",
+             app_version="3.0.0"),
+        dict(id=2, target_id=1, old_tdl="Tchem", new_tdl="Tclin",
+             person="loader", datetime="2020-08-27 10:00:00",
+             explanation="MoA drug approved", application="load-TDLs.py",
+             app_version="4.0.0"),
+        dict(id=3, target_id=2, old_tdl="Tdark", new_tdl="Tbio",
+             person="loader", datetime="2020-08-27 10:00:00",
+             explanation=None, application="load-TDLs.py",
+             app_version="4.0.0"),
+    ]
     # TCRDMP read-surface tables
     nhprotein = [
         dict(id=1, uniprot="QM1", name="TRP53_MOUSE", sym="Trp53",
@@ -287,6 +301,7 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         gene_attribute=gene_attribute, tinx_novelty=tinx_novelty_rows,
         tinx_disease=tinx_disease, tinx_importance=tinx_importance,
         kegg_nearest_tclin=kegg_nearest_tclin,
+        tdl_update_log=tdl_update_log,
         nhprotein=nhprotein, gtex=gtex, clinvar=clinvar,
         clinvar_phenotype=clinvar_phenotype, uberon=uberon,
         uberon_xref=uberon_xref,
