@@ -14,12 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 # The driver adjudicates only the FIRST 50 registry entries against the
-# DuckDB oracle, so ordering is evidence budget. This list pins the top
-# 50: every §2 operator family, the full LLM-pipeline/dedup/ANN set,
-# the streaming window trio, and both §3 API lifecycles
-# (nested_document / wide_export). Entries past the cap are redundant
-# micro-queries whose operators are already evidenced by an in-cap
-# query plus the pytest suite.
+# DuckDB oracle, so ordering is evidence budget. Rounds 1+2 together
+# drove every one of the 65 registered queries green at least once;
+# round 3 rotates ten twice-green micro-queries out of the cap in
+# favor of the round-1-only entries, so every query's LATEST
+# adjudication is at most one round old (VERDICT r2 next-step #7).
+# The three round-2 hash-typed queries (consensus_expression,
+# dedup_simhash, nested_document) stay in-cap so their oracle-cast
+# fixes get adjudicated.
 PRIORITY = (
     # scans / filters / joins
     "scan_project_filter",
@@ -28,58 +30,77 @@ PRIORITY = (
     "anti_join_notfnd",
     "union_dedup",
     "fallback_join_cascade",
+    "filter_like_null",
+    "keyset_pagination",
+    "lookup_point_join",
+    "self_join_common",
+    "bridge_m2n_join",
     # aggregation
     "pricing_summary",
     "beans_counts",
-    "type_histogram",
-    "median_per_group",
-    "mean_std_population",
+    "rollup_counts",
+    "group_sum",
+    "mode_consensus",
+    "min_tie_expansion",
     "pivot_wide",
     "grouped_set_agg",
-    # windows / set ops
+    # windows / set ops / dedup
     "rank_compound_order",
     "topk_per_group",
     "decile_bucketing",
+    "frank_level_buckets",
+    "qualitative_levels",
     "intersect_sets",
+    "except_sets",
+    "distinct_projection",
+    "dedup_composite_key",
     # scalar function families
     "string_math_funcs",
-    "date_funcs",
     "json_case_funcs",
     # graph / recursive
     "apsp_min_merge",
     "nearest_flagged",
-    "clique_expansion",
     "ancestor_closure",
     # business-logic analytics
     "tdl_classification",
-    "tau_ordinal",
     "tau_continuous",
     "consensus_expression",
     "hgram_cdf",
+    "tinx_novelty",
     "tinx_importance",
-    "tinx_pmid_rankings",
-    # text / LLM pipeline
-    "text_stats",
-    "text_quality",
-    "lang_id",
-    "entity_tagging",
+    # text / LLM pipeline (the prefix-filtered/banded dedup family and
+    # the REWRITTEN blocked embedding plan keep their slots; the pure
+    # column-expression text queries rotate out)
     "corpus_clean",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
-    "ann_bruteforce",
     "ann_ivf",
     "multimodal_features",
     # streaming window semantics (batch-equivalent)
     "window_tumbling",
-    "window_sliding",
     "window_session",
     # API lifecycles (the reference's two most important entry points)
     "nested_document",
     "wide_export",
+    # ---- past the driver's 50-query cap: all green in r01/r02 under
+    # unchanged code; every operator also pytest-covered ----
+    "type_histogram",
+    "median_per_group",
+    "mean_std_population",
+    "date_funcs",
+    "clique_expansion",
+    "tau_ordinal",
+    "tinx_pmid_rankings",
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "entity_tagging",
+    "dedup_exact",
+    "ann_bruteforce",
+    "window_sliding",
 )
 
 
