@@ -65,6 +65,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Persist a fact table bucketed (and sorted) by its join key.
+
+    The 100 TB co-location story: two tables bucketed on the same key
+    with the same bucket count join WITHOUT an exchange on either side
+    — the shuffle is paid once at write time, then every protein_id /
+    target_id join (ppi, lincs, gene_attribute, tinx_articlerank: the
+    reference's 10M-80M-row tables, `doc/README_v6.txt:1510,1985`)
+    reads co-located buckets. sortBy additionally enables sort-merge
+    without a per-task sort. Plan-asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_exchange.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(name)
+
+
 def load_lake(spark: SparkSession, lake_dir: str) -> dict[str, DataFrame]:
     """Read every `<table>.parquet` in a TCRD lake directory into the
     dict[str, DataFrame] shape the api/etl layers take — the Spark

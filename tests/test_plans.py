@@ -150,3 +150,31 @@ def test_benched_embedding_dedup_never_touches_driver(spark, sf_dir, monkeypatch
     df = q_dedup_embedding_cosine(spark, sf_dir)
     plan = df._jdf.queryExecution().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key with equal bucket counts →
+    the join plan contains NO shuffle exchange (broadcast disabled to
+    prove co-location, not small-table luck)."""
+    from tcrd_spark.sources.lake import load_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "bkt_orders", "o_orderkey", 8)
+    write_bucketed(lineitem, "bkt_lineitem", "o_orderkey", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_lineitem"), "o_orderkey"
+        )
+        joined.collect()  # AQE finalizes the physical plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
