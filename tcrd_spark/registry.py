@@ -49,7 +49,6 @@ PRIORITY = (
     "topk_per_group",
     "decile_bucketing",
     "frank_level_buckets",
-    "qualitative_levels",
     "intersect_sets",
     "except_sets",
     "distinct_projection",
@@ -87,6 +86,7 @@ PRIORITY = (
     "wide_export",
     # ---- past the driver's 50-query cap: all green in r01/r02 under
     # unchanged code; every operator also pytest-covered ----
+    "qualitative_levels",
     "type_histogram",
     "median_per_group",
     "mean_std_population",
