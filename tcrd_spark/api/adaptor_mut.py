@@ -235,3 +235,50 @@ def ins_rows(lake: Lake, table: str, rows: DataFrame) -> DataFrame:
         if tbl == table and col in rows.columns:
             out = validate_enum(out, col, domain)
     return lake[table].unionByName(out, allowMissingColumns=True)
+
+
+def _named_ins(table: str, ref: str):
+    def ins(lake: Lake, rows: DataFrame) -> DataFrame:
+        return ins_rows(lake, table, rows)
+
+    ins.__name__ = f"ins_{table}"
+    ins.__qualname__ = f"ins_{table}"
+    ins.__doc__ = (
+        f"Batch form of the reference's per-row ins_{table} "
+        f"(`{ref}`): validates required columns + enum domains via "
+        f"ins_rows and appends in one plan."
+    )
+    return ins
+
+
+# The high-traffic ins_* methods (every loader calls several of these;
+# `loaders/TCRD.py:136-1666` + TCRDMP additions), as named batch
+# equivalents. The long tail of rarely-used singletons goes through
+# ins_rows(table, rows) directly — same validation, no name needed.
+ins_target = _named_ins("target", "loaders/TCRD.py:136")
+ins_protein = _named_ins("protein", "loaders/TCRD.py:209")
+ins_nhprotein = _named_ins("nhprotein", "loaders/TCRDMP.py:366")
+ins_alias = _named_ins("alias", "loaders/TCRD.py:465")
+ins_xref = _named_ins("xref", "loaders/TCRD.py:485")
+ins_generif = _named_ins("generif", "loaders/TCRD.py:528")
+ins_goa = _named_ins("goa", "loaders/TCRD.py:549")
+ins_tdl_info = _named_ins("tdl_info", "loaders/TCRD.py:577")
+ins_expression = _named_ins("expression", "loaders/TCRD.py:626")
+ins_gtex = _named_ins("gtex", "loaders/TCRDMP.py:665")
+ins_drug_activity = _named_ins("drug_activity", "loaders/TCRD.py:693")
+ins_cmpd_activity = _named_ins("cmpd_activity", "loaders/TCRD.py:721")
+ins_phenotype = _named_ins("phenotype", "loaders/TCRD.py:749")
+ins_gwas = _named_ins("gwas", "loaders/TCRDMP.py:784")
+ins_ppi = _named_ins("ppi", "loaders/TCRD.py:812")
+ins_disease = _named_ins("disease", "loaders/TCRD.py:868")
+ins_pathway = _named_ins("pathway", "loaders/TCRD.py:929")
+ins_pubmed = _named_ins("pubmed", "loaders/TCRD.py:1298")
+ins_protein2pubmed = _named_ins("protein2pubmed", "loaders/TCRD.py:1415")
+ins_pmscore = _named_ins("pmscore", "loaders/TCRD.py:1272")
+ins_kegg_distance = _named_ins("kegg_distance", "loaders/TCRD.py:1786")
+ins_kegg_nearest_tclin = _named_ins(
+    "kegg_nearest_tclin", "loaders/TCRD.py:1814"
+)
+ins_ortholog = _named_ins("ortholog", "loaders/TCRD.py:1879")
+ins_clinvar = _named_ins("clinvar", "loaders/TCRDMP.py:2201")
+ins_lincs = _named_ins("lincs", "loaders/TCRDMP.py:2078")

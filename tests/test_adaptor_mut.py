@@ -134,3 +134,27 @@ def test_ins_rows_validates_and_appends(spark, lake):
     )
     with pytest.raises(Exception, match="enum violation"):
         ins_rows(lake, "target", bad).collect()
+
+
+def test_named_ins_wrappers(spark, lake):
+    from tcrd_spark.api import adaptor_mut as m
+
+    # every named wrapper binds a real schema table and validates
+    for fn_name in [n for n in dir(m) if n.startswith("ins_")
+                    and n not in ("ins_rows", "ins_tdl_update_log")]:
+        fn = getattr(m, fn_name)
+        assert fn.__doc__ and "loaders/TCRD" in fn.__doc__, fn_name
+    add = spark.createDataFrame(
+        [(99, 11, "KEGG", "test pathway")],
+        "id long, protein_id long, pwtype string, name string",
+    )
+    grown = m.ins_pathway(lake, add)
+    assert grown.count() == lake["pathway"].count() + 1
+    # direction enum on kegg_nearest_tclin enforced through the wrapper
+    bad = spark.createDataFrame(
+        [(9, 15, 13, "sideways", 1)],
+        "id long, protein_id long, tclin_id long, direction string, "
+        "distance long",
+    )
+    with pytest.raises(Exception, match="enum violation"):
+        m.ins_kegg_nearest_tclin(lake, bad).collect()
