@@ -57,8 +57,13 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     s_set = sorted("|".join(_norm(r[i]) for i in order) for r in spark_rows)
     d_set = sorted("|".join(_norm(r[i]) for i in dorder) for r in duck_rows)
     if s_set != d_set:
-        diff_s = [x for x in s_set if x not in set(d_set)][:3]
-        diff_d = [x for x in d_set if x not in set(s_set)][:3]
+        # multiset diff: a row duplicated on one side must show up even
+        # when its value string exists on both sides
+        from collections import Counter
+
+        cs, cd = Counter(s_set), Counter(d_set)
+        diff_s = list((cs - cd).elements())[:3]
+        diff_d = list((cd - cs).elements())[:3]
         problems.append(f"values: spark-only={diff_s} duck-only={diff_d}")
     return problems
 
