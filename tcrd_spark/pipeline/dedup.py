@@ -617,3 +617,103 @@ def embedding_near_dups_blocked(
 
     # no dedup pass: a pair (x∈p, y∈q) exists only in cell (p,q)
     return tagged.groupBy("bi", "bj").applyInPandas(cell, schema=out_schema)
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate embedding near-dup — the SUB-quadratic scale path.
+
+    Random-hyperplane LSH (Charikar '02): sign(v·r_j) over n_planes
+    seeded Gaussian hyperplanes gives a bit signature whose collision
+    probability is 1 − θ/π per bit; banding the bits (n_bands bands of
+    n_planes/n_bands) turns that into the usual S-curve. Candidates =
+    pairs sharing ANY band key (equality bucket join, like the MinHash
+    path); each candidate then verifies with the EXACT rounded cosine,
+    so every emitted pair is a true near-dup — only recall is
+    approximate (a pair split across all bands is missed).
+
+    Scale: signatures compute map-side (one small matmul per Arrow
+    batch against the broadcast n_planes×dim matrix); the shuffle
+    carries (band_key, id) pairs; verification joins vectors back for
+    candidates only. Nothing is ever all-pairs and nothing touches
+    the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide evenly into n_bands")
+    rows_per_band = n_planes // n_bands
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def signature(batches):
+        p = bc.value
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy())
+            bits = (m @ p) >= 0  # n × n_planes
+            out = {"_id": pdf["_id"]}
+            for b in range(n_bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                key = chunk @ (1 << np.arange(rows_per_band))
+                out[f"band{b}"] = [f"{b}:{k}" for k in key]
+            yield pd.DataFrame(out)
+
+    id_type = dict(vecs.dtypes)["_id"]
+    sig_schema = f"_id {id_type}, " + ", ".join(
+        f"band{b} string" for b in range(n_bands)
+    )
+    sigs = vecs.mapInPandas(signature, sig_schema)
+
+    bands = sigs.select(
+        "_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "bkey"
+        ),
+    )
+    a = bands.withColumnRenamed("_id", "id_a")
+    b = bands.withColumnRenamed("_id", "id_b")
+    candidates = (
+        a.join(b, "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.sqrt(dot(F.col("v"), F.col("v"), dim)).alias("na"),
+    )
+    vb = vecs.select(
+        F.col("_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.sqrt(dot(F.col("v"), F.col("v"), dim)).alias("nb"),
+    )
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"), dim)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -170,3 +170,41 @@ def test_blocked_embedding_dedup_equals_brute_force(spark, sf_dir):
         )
     )
     assert sbl == sb
+
+
+def test_lsh_embedding_dedup_subset_of_exact(spark, sf_dir):
+    """Random-hyperplane LSH precision is exact by construction (every
+    candidate verifies with the true cosine): its pairs must be a
+    subset of brute force with identical values, and at threshold 0.4
+    with 4 bands recall on the test corpus should be non-trivial."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups(
+            emb, "vec_id", "embedding", 64, threshold=0.4
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups_lsh(
+            emb, "vec_id", "embedding", 64, threshold=0.4,
+            n_planes=16, n_bands=8,
+        ).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
+    assert len(approx) >= len(exact) // 2, (len(approx), len(exact))
+    with pytest.raises(ValueError, match="divide evenly"):
+        embedding_near_dups_lsh(
+            emb, "vec_id", "embedding", 64, n_planes=16, n_bands=5
+        )
