@@ -109,6 +109,107 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, dim: int) -> DataFrame
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 16,
+    n_iters: int = 5,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column — the real
+    IVF build step (ivf_topk's deterministic first-k-by-id centroids
+    remain the oracle-reproducible default; this trains proper cells).
+
+    Deterministic by construction: init is farthest-first traversal
+    (Gonzalez k-center — seed = min id, then repeatedly the point with
+    the largest cosine distance to its nearest chosen seed, ties to
+    min id), which for separated clusters provably lands one seed per
+    cluster where first-k/random init can collapse into one. Each
+    Lloyd iteration is (row-local broadcast cosine argmax assignment)
+    → (element-wise mean per cell via dim column aggregates). Per
+    iteration: one broadcast, one shuffle of k×dim averages — the
+    corpus itself never reshuffles. The init pays k driver-side
+    `.first()` picks of one row each (k is small; the scan stays
+    distributed). Empty cells keep their previous centroid (standard
+    Lloyd degeneracy handling). Cosine-space assignment matches
+    ivf_topk's probe metric, so trained centroids drop straight in.
+    """
+    c = _with_norm(
+        corpus.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_id",
+        "c_vec",
+        dim,
+    ).localCheckpoint(eager=False)
+
+    seeds = [c.orderBy("c_id").select("c_id", "c_vec").first()]
+    for _ in range(k - 1):
+        chosen = F.array(
+            *[
+                F.struct(
+                    F.lit(s["c_id"]).alias("cell_id"),
+                    F.array(*[F.lit(x) for x in s["c_vec"]]).alias("cell_vec"),
+                )
+                for s in seeds
+            ]
+        )
+        nearest = F.array_max(
+            F.transform(
+                chosen,
+                lambda x: F.round(
+                    dot(F.col("c_vec"), x["cell_vec"], dim)
+                    / (
+                        F.col("c_vec_nrm")
+                        * F.sqrt(dot(x["cell_vec"], x["cell_vec"], dim))
+                    ),
+                    6,
+                ),
+            )
+        )
+        far = (
+            c.withColumn("_near", nearest)
+            .orderBy(F.asc("_near"), F.asc("c_id"))
+            .select("c_id", "c_vec")
+            .first()
+        )
+        seeds.append(far)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(s["c_vec"])) for i, s in enumerate(seeds)],
+        "cell_id long, cell_vec array<double>",
+    )
+    for _ in range(n_iters):
+        assigned = assign_cells(
+            c.select("c_id", "c_vec"), cents, dim
+        )
+        # element-wise mean per cell: dim scalar aggregates, one shuffle
+        # of (cell, 64 doubles) partials — map-side combined
+        means = assigned.groupBy("cell_id").agg(
+            *[
+                F.avg(F.element_at("c_vec", i + 1)).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        new = means.select(
+            "cell_id",
+            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cell_vec"),
+        )
+        # empty cells vanish from the groupBy — retain previous centroid
+        cents = (
+            cents.select("cell_id", F.col("cell_vec").alias("prev"))
+            .join(new, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("cell_vec"), F.col("prev")).alias("cell_vec"),
+            )
+        )
+        # cut lineage: the loop otherwise nests k assignment plans
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
