@@ -115,6 +115,65 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_OUT_SCHEMA = "content_hash long, doc_id long, text string"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def _first_seen(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Emit only the first-ever document per content hash; state is a
+    single boolean per hash group."""
+    (content_hash,) = key
+    if state.exists:
+        for _ in pdfs:
+            pass
+        return
+    first = None
+    for pdf in pdfs:  # scan EVERY chunk: the min-id row may come late
+        if len(pdf):
+            cand = pdf.sort_values("doc_id").iloc[0]
+            if first is None or cand["doc_id"] < first["doc_id"]:
+                first = cand
+    if first is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame(
+        [
+            {
+                "content_hash": content_hash,
+                "doc_id": first["doc_id"],
+                "text": first["text"],
+            }
+        ]
+    )
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup across an UNBOUNDED document stream — the LLM-corpus
+    ingest shape: batches arrive forever, a document must be emitted
+    once, the first time its content is seen, regardless of which
+    micro-batch the duplicates land in.
+
+    Plan: hash60(text) map-side (the state key is 8 bytes, never the
+    body), then applyInPandasWithState keyed by the hash — per-hash
+    state is one boolean in the state store (RocksDB on a cluster),
+    so state size is bounded by DISTINCT content, not stream length.
+    The batch twin is pipeline/dedup.exact_dedup; the test replays the
+    same corpus through both and asserts identical representatives.
+    """
+    from tcrd_spark.functions.hashing import hash60
+
+    hashed = docs.select(
+        hash60(F.col("text")).alias("content_hash"), "doc_id", "text"
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _first_seen,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stage_replay_chunks(
     events: DataFrame, src_dir: str, n_chunks: int = 4
 ) -> None:

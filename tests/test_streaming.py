@@ -279,3 +279,80 @@ def test_replay_append_watermark_finalizes_prefix(spark, replay, tmp_path):
         if k[0] + datetime.timedelta(hours=1) < threshold
     }
     assert must_emit <= set(emitted)
+
+
+def test_streaming_exact_dedup_first_seen(spark, stream_dirs):
+    """Exact dedup over an unbounded stream: a document is emitted
+    exactly once, the first time its content appears, with the min-id
+    representative of that first micro-batch; duplicates in the same
+    batch AND in any later batch are swallowed — even a later arrival
+    with a smaller id (stream semantic = first seen in arrival order,
+    which equals the batch twin's min-id when ids follow arrival)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tcrd_spark.streaming.jobs import (
+        run_to_memory_sink,
+        streaming_exact_dedup,
+    )
+
+    src, ckpt = stream_dirs
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(streaming_exact_dedup(stream), name, "append", ckpt)
+    try:
+        _write_batch(
+            src,
+            [
+                {"doc_id": 1, "text": "aaa"},
+                {"doc_id": 5, "text": "aaa"},  # in-batch dup, higher id
+                {"doc_id": 2, "text": "bbb"},
+            ],
+            "b1",
+        )
+        q.processAllAvailable()
+        _write_batch(
+            src,
+            [
+                {"doc_id": 3, "text": "aaa"},  # cross-batch dup
+                {"doc_id": 7, "text": "ccc"},  # new content
+            ],
+            "b2",
+        )
+        q.processAllAvailable()
+        _write_batch(
+            src,
+            # late duplicate with SMALLER id: still swallowed
+            [{"doc_id": 6, "text": "ccc"}],
+            "b3",
+        )
+        q.processAllAvailable()
+        got = {
+            r.text: r.doc_id for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == {"aaa": 1, "bbb": 2, "ccc": 7}
+        # batch twin agreement on the arrival-ordered prefix (b1+b2):
+        # ids follow arrival there, so first-seen == min-id
+        from tcrd_spark.pipeline.dedup import exact_dedup
+
+        batch = spark.createDataFrame(
+            [(1, "aaa"), (5, "aaa"), (2, "bbb"), (3, "aaa"), (7, "ccc")],
+            "doc_id long, text string",
+        )
+        twin = {r.keep_id for r in exact_dedup(batch, "doc_id", "text").collect()}
+        assert twin == {1, 2, 7} == set(got.values())
+    finally:
+        q.stop()
