@@ -151,4 +151,21 @@ def kegg_chain(
     out["kegg_nearest_tclin"] = kegg_nearest_tclins(
         out["kegg_distance"], target, t2tc
     )
+    # lineage, exactly as the two reference loaders record it
+    # (`loaders/load-KEGGDistances.py:68-72`,
+    # `loaders/load-KEGGNearestTclins.py:65-69`)
+    from tcrd_spark.quality.provenance import record_load
+
+    ds1, prov1 = record_load(
+        spark, "KEGG Distances",
+        "IDG-KMC generated data by Steve Mathias at UNM.",
+        [("kegg_distance", None, None)],
+    )
+    ds2, prov2 = record_load(
+        spark, "KEGG Nearest Tclins",
+        "IDG-KMC generated data by Steve Mathias at UNM.",
+        [("kegg_nearest_tclin", None, None)],
+    )
+    out["dataset"] = ds1.unionByName(ds2)
+    out["provenance"] = prov1.unionByName(prov2)
     return out

@@ -105,3 +105,11 @@ def test_nearest_tclin_directions_and_ties(chain):
     assert rows[(11, "upstream", 14)] == 1
     # Tclin proteins themselves never appear as protein_id
     assert not any(pid in (13, 14) for pid, _, _ in rows)
+
+
+def test_chain_records_lineage(chain):
+    ds = {r.name: r for r in chain["dataset"].collect()}
+    assert set(ds) == {"KEGG Distances", "KEGG Nearest Tclins"}
+    prov = {r.table_name: r.dataset_id for r in chain["provenance"].collect()}
+    assert prov["kegg_distance"] == ds["KEGG Distances"].id
+    assert prov["kegg_nearest_tclin"] == ds["KEGG Nearest Tclins"].id
