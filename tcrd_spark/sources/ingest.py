@@ -187,3 +187,123 @@ def pubmed_from_efetch_xml(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return raw.mapInPandas(parse, schema=PUBMED_SCHEMA).dropDuplicates(["id"])
+
+
+def batched_fetch(
+    spark: SparkSession,
+    ids: DataFrame,
+    fetch_fn,
+    out_dir: str,
+    id_col: str = "id",
+    chunk_size: int = 200,
+    max_retries: int = 2,
+    rate_limit_s: float = 0.0,
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's chunked web-fetch loop as a restartable Spark
+    stage (`loaders/load-PubMed.py:112-140` chunks of 200 ids with one
+    inline retry, `:83` shelve checkpoint, `:162-205` error-retry
+    pass). The network call is INJECTED (`fetch_fn(list_of_ids) ->
+    {id: payload}`), so the engine owns chunking, parallelism, rate
+    limiting, retries, and resumability, while the caller owns HTTP.
+
+    - Chunks execute inside mapInPandas: each task slices its Arrow
+      batch into ≤chunk_size id lists, calls fetch_fn per slice, and
+      sleeps rate_limit_s between slices (the reference's 0.5 s
+      EUtils throttle — per-task here, matching a per-worker API key).
+    - A failed slice (fetch_fn raises) marks its ids failed; after the
+      first pass, failed ids re-fetch in up to max_retries further
+      passes — the error-retry loop, driver-coordinated like the
+      reference's, with the work itself distributed.
+    - Checkpoint/resume: fetched (id, payload) rows append to out_dir
+      parquet; on restart, ids already present are anti-joined away
+      BEFORE any fetch, so a killed run resumes where it stopped (the
+      shelve pattern, but crash-safe and parallel).
+
+    Returns (fetched, notfnd): all rows now in out_dir, and the ids
+    still failing after every retry.
+    """
+    import os
+    import time
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    id_type = ids.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("payload", StringType()),
+            StructField("ok", StringType()),
+        ]
+    )
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first = True
+        for pdf in batches:
+            vals = list(pdf[id_col])
+            for i in range(0, len(vals), chunk_size):
+                if not first and rate_limit_s:
+                    time.sleep(rate_limit_s)
+                first = False
+                slice_ids = vals[i : i + chunk_size]
+                try:
+                    got = fetch_fn(slice_ids)
+                except Exception:
+                    got = None
+                if got is None:
+                    yield pd.DataFrame(
+                        {id_col: slice_ids, "payload": None, "ok": "n"}
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            id_col: slice_ids,
+                            "payload": [got.get(x) for x in slice_ids],
+                            "ok": ["y" if x in got else "n" for x in slice_ids],
+                        }
+                    )
+
+    todo = ids.select(id_col).distinct()
+    if os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        done = spark.read.parquet(out_dir).select(id_col)
+        todo = todo.join(done, id_col, "left_anti")
+
+    import shutil
+
+    scratch_dirs = []
+    for attempt in range(1 + max_retries):
+        if todo.isEmpty():
+            break
+        # fetch_fn is side-effectful: materialize each pass ONCE to a
+        # scratch dir (an "_"-prefixed path — invisible to the parquet
+        # reader of out_dir), then derive both the good rows and the
+        # retry list from the materialized result. Reusing the lazy
+        # frame would re-execute every fetch per consumer.
+        scratch = os.path.join(out_dir, f"_pass_{attempt}")
+        scratch_dirs.append(scratch)
+        todo.mapInPandas(fetch_partition, out_schema).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        res = spark.read.parquet(scratch)
+        res.filter(F.col("ok") == "y").select(id_col, "payload").write.mode(
+            "append"
+        ).parquet(out_dir)
+        todo = res.filter(F.col("ok") == "n").select(id_col)
+
+    for d in scratch_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    have_rows = os.path.isdir(out_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    )
+    fetched = (
+        spark.read.parquet(out_dir)
+        if have_rows
+        else spark.createDataFrame(
+            [], StructType(out_schema.fields[:2])
+        )
+    )
+    notfnd = ids.select(id_col).distinct().join(
+        fetched.select(id_col), id_col, "left_anti"
+    )
+    return fetched, notfnd

@@ -336,3 +336,68 @@ def test_export_sql_dump(spark, tmp_path):
     assert "CREATE TABLE mini" in ddl and "id INTEGER" in ddl
     back = spark.read.csv(str(out / "mini"), header=True, inferSchema=True)
     assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+# ------------------------------------------------ batched_fetch loop
+
+
+def test_batched_fetch_retry_and_notfnd(spark, tmp_path):
+    """Chunked fetch with injected network: a transiently-failing
+    chunk succeeds on the retry pass (marker file shared across worker
+    processes), permanently-poisoned ids end in notfnd, everything
+    else lands in the checkpoint parquet."""
+    from tcrd_spark.sources.ingest import batched_fetch
+
+    marker = str(tmp_path / "flaky_seen")
+    out = str(tmp_path / "fetched")
+    ids = spark.createDataFrame([(i,) for i in range(1, 21)], "id long")
+
+    def fetch(batch_ids):
+        import os
+
+        if 13 in batch_ids:  # permanently down
+            raise RuntimeError("boom")
+        if 7 in batch_ids and not os.path.exists(marker):
+            open(marker, "w").close()  # fail once, succeed on retry
+            raise RuntimeError("transient")
+        return {i: f"payload-{i}" for i in batch_ids}
+
+    fetched, notfnd = batched_fetch(
+        spark, ids, fetch, out, chunk_size=2, max_retries=2
+    )
+    got = {r.id: r.payload for r in fetched.collect()}
+    missing = {r.id for r in notfnd.collect()}
+    # 13's chunk partner also fails with it, every retry
+    assert 13 in missing and len(missing) <= 2
+    assert 7 in got and got[7] == "payload-7"
+    assert set(got) | missing == set(range(1, 21))
+
+
+def test_batched_fetch_resumes_without_refetch(spark, tmp_path):
+    """Ids already in the checkpoint are anti-joined away BEFORE any
+    fetch — the pre-seeded payload survives untouched and the fetch
+    function never sees those ids (crash-safe shelve pattern)."""
+    from tcrd_spark.sources.ingest import batched_fetch
+
+    out = str(tmp_path / "fetched")
+    spark.createDataFrame(
+        [(1, "old-1"), (2, "old-2")], "id long, payload string"
+    ).write.parquet(out)
+    called = str(tmp_path / "calls")
+
+    def fetch(batch_ids):
+        import os
+
+        os.makedirs(called, exist_ok=True)
+        for i in batch_ids:
+            open(os.path.join(called, str(i)), "w").close()
+        return {i: f"new-{i}" for i in batch_ids}
+
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    fetched, notfnd = batched_fetch(spark, ids, fetch, out, chunk_size=10)
+    import os
+
+    got = {r.id: r.payload for r in fetched.collect()}
+    assert got == {1: "old-1", 2: "old-2", 3: "new-3"}
+    assert notfnd.isEmpty()
+    assert sorted(os.listdir(called)) == ["3"]
