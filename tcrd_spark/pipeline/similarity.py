@@ -109,6 +109,26 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, dim: int) -> DataFrame
     )
 
 
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k:
+    |approx ∩ exact| / |exact| on (q_id, c_id) pairs — the standard
+    tuning metric for the IVF n_probe / LSH band knobs. Both inputs
+    are (q_id, c_id, ...) top-k frames (brute_force_topk shape)."""
+    e = exact.select("q_id", "c_id")
+    hits = approx.select("q_id", "c_id").intersect(e)
+    per_q = e.groupBy("q_id").count().withColumnRenamed("count", "n_exact")
+    got = hits.groupBy("q_id").count().withColumnRenamed("count", "n_hit")
+    return (
+        per_q.join(got, "q_id", "left")
+        .select(
+            "q_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     dim: int,

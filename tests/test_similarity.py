@@ -99,3 +99,27 @@ def test_ivf_with_trained_centroids_matches_bruteforce(spark, clustered):
         ).collect()
     }
     assert ivf == exact
+
+
+def test_recall_at_k(spark, clustered):
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        recall_at_k,
+    )
+
+    cents = kmeans_centroids(clustered, dim=8, k=3, n_iters=4)
+    queries = clustered.filter(F.col("c_id").isin(0, 25)).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+    exact = brute_force_topk(queries, clustered, dim=8, k=5)
+    approx = ivf_topk(queries, clustered, cents, dim=8, k=5, n_probe=1)
+    rec = {r.q_id: r.recall for r in recall_at_k(approx, exact).collect()}
+    assert rec == {0: 1.0, 25: 1.0}  # separated clusters: perfect recall
+    # a degenerate approx result scores zero, not null
+    empty = exact.filter("q_id = -1")
+    rec0 = {r.q_id: r.recall for r in recall_at_k(empty, exact).collect()}
+    assert rec0 == {0: 0.0, 25: 0.0}
