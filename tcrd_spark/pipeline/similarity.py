@@ -164,7 +164,14 @@ def kmeans_centroids(
         dim,
     ).localCheckpoint(eager=False)
 
-    seeds = [c.orderBy("c_id").select("c_id", "c_vec").first()]
+    # Farthest-first init runs k sequential passes — bound them to a
+    # deterministic sample pool (min(corpus, 200·k) smallest-id rows)
+    # so init cost is k scans of O(k) rows, not k full-corpus scans.
+    # Lloyd itself then refines against the whole corpus.
+    pool = (
+        c.orderBy("c_id").limit(max(200 * k, 1000)).localCheckpoint(eager=True)
+    )
+    seeds = [pool.orderBy("c_id").select("c_id", "c_vec").first()]
     for _ in range(k - 1):
         chosen = F.array(
             *[
@@ -189,7 +196,7 @@ def kmeans_centroids(
             )
         )
         far = (
-            c.withColumn("_near", nearest)
+            pool.withColumn("_near", nearest)
             .orderBy(F.asc("_near"), F.asc("c_id"))
             .select("c_id", "c_vec")
             .first()
