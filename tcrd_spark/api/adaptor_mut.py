@@ -230,6 +230,11 @@ def ins_rows(lake: Lake, table: str, rows: DataFrame) -> DataFrame:
         raise ValueError(
             f"ins_rows({table}): required columns absent: {missing}"
         )
+    unknown = [c for c in rows.columns if c not in {f.name for f in schema.fields}]
+    if unknown:
+        # MySQL would reject the INSERT; silently widening the lake
+        # table is worse
+        raise ValueError(f"ins_rows({table}): unknown columns: {unknown}")
     out = rows
     for (tbl, col), domain in _enum_cols().items():
         if tbl == table and col in rows.columns:

@@ -158,3 +158,14 @@ def test_named_ins_wrappers(spark, lake):
     )
     with pytest.raises(Exception, match="enum violation"):
         m.ins_kegg_nearest_tclin(lake, bad).collect()
+
+
+def test_ins_rows_rejects_unknown_columns(spark, lake):
+    from tcrd_spark.api.adaptor_mut import ins_rows
+
+    add = spark.createDataFrame(
+        [(9, "T9", "Single Protein", "bogus")],
+        "id long, name string, ttype string, not_a_column string",
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        ins_rows(lake, "target", add)
