@@ -137,7 +137,13 @@ def del_target(lake: Lake, target_id: int) -> Lake:
     pids = t2tc.filter(F.col("target_id") == target_id).select("protein_id")
     out: Lake = dict(lake)
     out["target"] = lake["target"].filter(F.col("id") != target_id)
-    out["t2tc"] = t2tc.filter(F.col("target_id") != target_id)
+    # protein deletion cascades through EVERY t2tc row referencing the
+    # protein (the reference's FK ON DELETE CASCADE), not only the
+    # deleted target's bridge rows — a protein shared with another
+    # target would otherwise leave that target a dangling bridge row
+    out["t2tc"] = t2tc.filter(F.col("target_id") != target_id).join(
+        pids, "protein_id", "left_anti"
+    )
     out["protein"] = lake["protein"].join(
         pids.withColumnRenamed("protein_id", "id"), "id", "left_anti"
     )
