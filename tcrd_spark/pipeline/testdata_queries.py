@@ -50,6 +50,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_clean_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization + PII scrub: control/HTML strip, whitespace
+    collapse, email/URL masking — identical RE2-safe patterns on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.clean_text(F.col("text")).alias("clean"),
+        text.mask_pii(F.col("text")).alias("masked"),
+    )
+
+
 TAG_DICT = ["spark", "query", "table", "stream", "window", "join"]
 
 
@@ -171,6 +183,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_stats": q_text_stats,
+    "text_clean_pii": q_text_clean_pii,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "entity_tagging": q_entity_tagging,
@@ -286,6 +299,17 @@ _BEST = "greatest(" + ", ".join(_LANG_SCORE[lang] for lang in text.LANG_PROFILES
 _STOPS = ", ".join(repr(s) for s in text.STOPWORDS)
 
 ORACLE = {
+    "text_clean_pii": f"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{text.CONTROL_CHARS}', '', 'g'),
+                   '{text.HTML_TAG}', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS clean,
+               regexp_replace(regexp_replace(text,
+                   '{text.EMAIL}', '<EMAIL>', 'g'),
+                   '{text.URL}', '<URL>', 'g') AS masked
+        FROM documents
+    """,
     "text_stats": f"""
         SELECT doc_id,
                len({_TOKS}) AS ws_tokens,

@@ -106,6 +106,35 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+HTML_TAG = r"<[^>]{1,200}>"
+EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL = r"https?://[^\s]+"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Corpus-normalization pass: strip control characters and HTML
+    tags, collapse runs of whitespace, trim. Pure JVM regexps (RE2-
+    compatible, so the DuckDB oracle runs the identical patterns) —
+    the standard first step of an LLM data pipeline, map-side only."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, CONTROL_CHARS, "")
+    c = F.regexp_replace(c, HTML_TAG, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def mask_pii(text: Column | str) -> Column:
+    """Replace emails and URLs with typed placeholder tokens — the
+    minimal PII/leakage scrub a training corpus gets before tokenizing.
+    Deliberately pattern-conservative (no lookaround, RE2-safe) so
+    Spark and the oracle agree byte-for-byte."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL, "<EMAIL>")
+    c = F.regexp_replace(c, URL, "<URL>")
+    return c
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: polynomial rolling hash over ws tokens."""
     return rolling_fingerprint(ws_tokens(text))

@@ -101,6 +101,7 @@ PRIORITY = (
     "dedup_exact",
     "ann_bruteforce",
     "window_sliding",
+    "text_clean_pii",
 )
 
 
