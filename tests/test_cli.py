@@ -44,3 +44,47 @@ def test_cli_get_target_and_export(spark, lake_dir, capsys):
     assert "TCRD ID" in header
     assert "Top 5 TIN-X Importance(s)" in header
     assert len(csv_out) > 1
+
+
+def test_cli_counts_and_lists(spark, lake_dir, capsys):
+    from tools.tcrd_query import main
+
+    # fixture targets carry no stored tdl (TDL is a computed analytic)
+    assert main(["--lake", lake_dir, "tdl-counts"]) == 0
+    tdl = dict(
+        line.split("\t") for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert tdl == {"None": "6"}
+
+    assert main(["--lake", lake_dir, "list-xref-types"]) == 0
+    xt = capsys.readouterr().out.strip().splitlines()
+    assert xt == sorted(xt) and len(xt) >= 2
+
+    assert main(["--lake", lake_dir, "list-targets"]) == 0
+    rows = capsys.readouterr().out.strip().splitlines()
+    assert len(rows) == 6 and rows[0].startswith("1\tT1")
+    assert main(["--lake", lake_dir, "list-targets", "--tdl", "Tclin"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+    assert main(["--lake", lake_dir, "idgfam-counts"]) == 0
+    assert capsys.readouterr().out.strip()
+
+    assert main(["--lake", lake_dir, "info"]) == 0
+    assert "target" in capsys.readouterr().out
+
+
+def test_cli_find_by_xref(spark, lake_dir, capsys):
+    from pyspark.sql import functions as F
+
+    from tools.tcrd_query import main
+
+    # pick a real protein-attached xref from the fixture
+    xr = (
+        spark.read.parquet(f"{lake_dir}/xref.parquet")
+        .filter(F.col("protein_id").isNotNull())
+        .select("xtype", "value")
+        .first()
+    )
+    assert main(["--lake", lake_dir, "find-targets-by-xref", xr.xtype, xr.value]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(line.isdigit() for line in out)

@@ -32,10 +32,22 @@ def main(argv: list[str] | None = None) -> int:
     ft = sub.add_parser("find-targets")
     ft.add_argument("criteria", nargs="+", help="key=value pairs")
 
+    fx = sub.add_parser("find-targets-by-xref")
+    fx.add_argument("xtype")
+    fx.add_argument("value")
+
     gt = sub.add_parser("get-target")
     gt.add_argument("target_id", type=int)
 
     sub.add_parser("beans")
+    sub.add_parser("info")
+    sub.add_parser("tdl-counts")
+    sub.add_parser("idgfam-counts")
+    sub.add_parser("list-xref-types")
+
+    lt = sub.add_parser("list-targets")
+    lt.add_argument("--tdl", default=None)
+    lt.add_argument("--idgfam", default=None)
 
     ex = sub.add_parser("export")
     ex.add_argument("--out", default="-", help="CSV path or - for stdout")
@@ -50,11 +62,50 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     lake = load_lake(spark, args.lake)
 
+    from pyspark.sql import functions as F
+
     if args.cmd == "find-targets":
         criteria = dict(kv.split("=", 1) for kv in args.criteria)
         ids = adaptor.find_targets(lake, **criteria)
         for r in ids.orderBy("target_id").collect():
             print(r.target_id)
+    elif args.cmd == "find-targets-by-xref":
+        ids = adaptor.find_targets_by_xref(lake, args.xtype, args.value)
+        for r in ids.orderBy("target_id").collect():
+            print(r.target_id)
+    elif args.cmd == "info":
+        # --info dashboard (`python/tcrd_app.py:102`): per-table counts,
+        # the count_report oracle the build logs print
+        from tcrd_spark.quality.provenance import count_report
+
+        for r in count_report(lake).orderBy("table_name").collect():
+            print(f"{r.table_name}\t{r.ct}")
+    elif args.cmd == "tdl-counts":
+        # `python/tcrd_app.py:104` --tdl_counts
+        t = lake["target"].groupBy("tdl").count()
+        for r in t.orderBy(F.desc("count"), F.asc("tdl")).collect():
+            print(f"{r.tdl or 'None'}\t{r['count']}")
+    elif args.cmd == "idgfam-counts":
+        # `python/tcrd_app.py:105` --idgfam_counts
+        t = lake["target"].groupBy("fam").count()
+        for r in t.orderBy(F.desc("count"), F.asc("fam")).collect():
+            print(f"{r.fam or 'None'}\t{r['count']}")
+    elif args.cmd == "list-xref-types":
+        # `python/tcrd_app.py:108` --list_xref_types → DISTINCT xtype
+        # from the data (`loaders/TCRD.py:2610-2633`)
+        for r in (
+            lake["xref"].select("xtype").distinct().orderBy("xtype").collect()
+        ):
+            print(r.xtype)
+    elif args.cmd == "list-targets":
+        # `python/tcrd_app.py:107` --list_targets with --tdl/--idgfam
+        t = lake["target"]
+        if args.tdl:
+            t = t.filter(F.col("tdl") == args.tdl)
+        if args.idgfam:
+            t = t.filter(F.col("fam") == args.idgfam)
+        for r in t.select("id", "name", "tdl", "fam").orderBy("id").collect():
+            print(f"{r.id}\t{r.name}\t{r.tdl or ''}\t{r.fam or ''}")
     elif args.cmd == "get-target":
         docs = adaptor.target_documents(lake, target_ids=[args.target_id])
         for row in docs.toJSON().collect():
