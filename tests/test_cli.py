@@ -88,3 +88,15 @@ def test_cli_find_by_xref(spark, lake_dir, capsys):
     assert main(["--lake", lake_dir, "find-targets-by-xref", xr.xtype, xr.value]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out and all(line.isdigit() for line in out)
+
+
+def test_cli_find_targets_batch(spark, lake_dir, capsys, tmp_path):
+    from tools.tcrd_query import main
+
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("SYM2\nNOPE\nSYM5\n")
+    assert main(
+        ["--lake", lake_dir, "find-targets-batch", str(qfile), "--qtype", "sym"]
+    ) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["SYM2\t2", "NOPE\tNOTFOUND", "SYM5\t5"]

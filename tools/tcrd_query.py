@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     ft = sub.add_parser("find-targets")
     ft.add_argument("criteria", nargs="+", help="key=value pairs")
 
+    fb = sub.add_parser("find-targets-batch")
+    fb.add_argument("qfile", help="file of query values, one per line")
+    fb.add_argument("--qtype", default="sym", help="lookup key (default sym)")
+
     fx = sub.add_parser("find-targets-by-xref")
     fx.add_argument("xtype")
     fx.add_argument("value")
@@ -69,6 +73,25 @@ def main(argv: list[str] | None = None) -> int:
         ids = adaptor.find_targets(lake, **criteria)
         for r in ids.orderBy("target_id").collect():
             print(r.target_id)
+    elif args.cmd == "find-targets-batch":
+        # --qfile batch mode (`python/tcrd_app.py:133-146`): resolve
+        # every query in ONE join instead of a per-line lookup loop
+        with open(args.qfile) as fin:
+            qs = [ln.strip() for ln in fin if ln.strip()]
+        qdf = spark.createDataFrame([(q,) for q in qs], "q string")
+        p = lake["protein"].select(
+            F.col(args.qtype).cast("string").alias("q"), F.col("id")
+        )
+        hits = (
+            qdf.join(p, "q", "left")
+            .join(lake["t2tc"].withColumnRenamed("protein_id", "id"), "id", "left")
+            .groupBy("q")
+            .agg(F.sort_array(F.collect_set("target_id")).alias("tids"))
+        )
+        found = {r.q: r.tids for r in hits.collect()}
+        for q in qs:  # preserve input order, like the reference loop
+            tids = found.get(q) or []
+            print(f"{q}\t" + (",".join(map(str, tids)) if tids else "NOTFOUND"))
     elif args.cmd == "find-targets-by-xref":
         ids = adaptor.find_targets_by_xref(lake, args.xtype, args.value)
         for r in ids.orderBy("target_id").collect():
