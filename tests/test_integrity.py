@@ -1,0 +1,51 @@
+"""FK-integrity audit tests (`tcrd_spark/quality/integrity.py`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def lake(spark):
+    from tests.tcrd_fixtures import build_lake
+
+    return build_lake(spark)
+
+
+def test_fixture_lake_is_clean(lake):
+    from tcrd_spark.quality.integrity import assert_clean, fk_orphans
+
+    rep = fk_orphans(lake)
+    assert rep.count() > 10  # plenty of edges actually audited
+    assert rep.filter("orphan_ct > 0").count() == 0
+    assert_clean(lake)  # no raise
+
+
+def test_orphans_detected_and_reported(spark, lake):
+    from tcrd_spark.quality.integrity import assert_clean, fk_orphans
+
+    broken = dict(lake)
+    extra = spark.createDataFrame(
+        [(999, 888, "Ensembl", "ENSGX")],
+        "id long, protein_id long, xtype string, value string",
+    )
+    broken["xref"] = lake["xref"].select(
+        "id", "protein_id", "xtype", "value"
+    ).unionByName(extra)
+    rep = {
+        (r.child_table, r.fk_col): r.orphan_ct
+        for r in fk_orphans(broken).collect()
+    }
+    assert rep[("xref", "protein_id")] == 1
+    with pytest.raises(AssertionError, match="xref"):
+        assert_clean(broken)
+
+
+def test_del_target_leaves_clean_lake(lake):
+    """The cascade and the audit agree: deleting a target leaves no
+    dangling FK anywhere."""
+    from tcrd_spark.api.adaptor_mut import del_target
+    from tcrd_spark.quality.integrity import assert_clean
+
+    assert_clean(del_target(lake, 1))
