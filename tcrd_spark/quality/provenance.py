@@ -75,3 +75,43 @@ def count_report(lake: dict[str, DataFrame]) -> DataFrame:
     from tcrd_spark.api.adaptor import get_beans
 
     return get_beans(lake).orderBy("table_name", "type")
+
+
+def diff_reports(before: DataFrame, after: DataFrame) -> DataFrame:
+    """The 'Inserted N rows' line of every reference build log
+    (`doc/README_v6.txt` throughout), computed as a report diff:
+    per (table, type), the count delta between two count_report
+    snapshots. Full-outer join so tables appearing or vanishing show
+    as pure inserts/deletes; unchanged rows are dropped."""
+    b = before.select(
+        F.col("table_name").alias("tb"),
+        F.col("type").alias("yb"),
+        F.col("ct").alias("ct_before"),
+    )
+    a = after.select(
+        F.col("table_name").alias("ta"),
+        F.col("type").alias("ya"),
+        F.col("ct").alias("ct_after"),
+    )
+    return (
+        # eqNullSafe: a NULL type key must match itself, or every
+        # unchanged untyped row shows as a spurious +N/-N pair
+        b.join(
+            a,
+            (F.col("tb") == F.col("ta"))
+            & F.col("yb").eqNullSafe(F.col("ya")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("tb", "ta").alias("table_name"),
+            F.coalesce("yb", "ya").alias("type"),
+            F.coalesce("ct_before", F.lit(0)).alias("ct_before"),
+            F.coalesce("ct_after", F.lit(0)).alias("ct_after"),
+            (
+                F.coalesce("ct_after", F.lit(0))
+                - F.coalesce("ct_before", F.lit(0))
+            ).alias("delta"),
+        )
+        .filter(F.col("delta") != 0)
+        .orderBy("table_name", "type")
+    )

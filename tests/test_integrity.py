@@ -49,3 +49,22 @@ def test_del_target_leaves_clean_lake(lake):
     from tcrd_spark.quality.integrity import assert_clean
 
     assert_clean(del_target(lake, 1))
+
+
+def test_diff_reports_insert_signal(spark, lake):
+    """count_report diffing reproduces the build log's 'Inserted N
+    rows' signal: appending rows to one table shows exactly that
+    table's delta, everything unchanged is suppressed."""
+    from tcrd_spark.api.adaptor_mut import ins_rows
+    from tcrd_spark.quality.provenance import count_report, diff_reports
+
+    before = count_report(lake)
+    add = spark.createDataFrame(
+        [(901, 11, "KEGG", "pw-a"), (902, 12, "KEGG", "pw-b")],
+        "id long, protein_id long, pwtype string, name string",
+    )
+    after_lake = dict(lake)
+    after_lake["pathway"] = ins_rows(lake, "pathway", add)
+    deltas = diff_reports(before, count_report(after_lake)).collect()
+    assert all(r.table_name == "pathway" for r in deltas)
+    assert sum(r.delta for r in deltas) >= 2  # 2 rows, per-type split
