@@ -109,6 +109,81 @@ def compute_tdl(features: DataFrame) -> DataFrame:
     return features.withColumn("tdl", tdl).withColumn("bump_flag", bump)
 
 
+def tdl_refresh(
+    lake: dict[str, DataFrame],
+    person: str = "tcrd_spark",
+    application: str = "load-TDLs",
+    app_version: str | None = None,
+    asof: str | None = None,
+) -> dict[str, DataFrame]:
+    """The complete load-TDLs refresh cycle as one pipeline
+    (`loaders/load-TDLs.py:44-76`): recompute every target's TDL from
+    the lake, overwrite target.tdl (the reference's per-target
+    upd_target loop), emit tdl_update_log audit rows for targets whose
+    classification CHANGED, and produce the printed tally (per-TDL
+    counts + bumped count) the build log records as its oracle
+    (`doc/README_v6.txt:430-436`).
+
+    Returns {'target', 'tdl_update_log', 'tdl_counts'}. Deterministic:
+    log ids are surrogates of (target_id, old, new), and `asof` (the
+    log timestamp) is injectable for reproducible runs.
+    """
+    from tcrd_spark.schema.tables import surrogate_id
+
+    new = compute_tdl(features_from_lake(lake)).select(
+        F.col("target_id").alias("nid"),
+        F.col("tdl").alias("_new_tdl"),
+        "bump_flag",
+    )
+    # `new` derives FROM lake["target"] (entity join), so this is a
+    # self-join — qualify explicitly to dodge ambiguous-column analysis
+    joined = (
+        lake["target"]
+        .alias("t")
+        .join(new.alias("n"), F.col("t.id") == F.col("n.nid"), "left")
+        .select("t.*", "n._new_tdl", "n.bump_flag")
+    )
+    target = joined.withColumn(
+        "tdl", F.coalesce("_new_tdl", "tdl")
+    ).drop("_new_tdl", "bump_flag")
+    changed = joined.filter(
+        ~F.col("_new_tdl").eqNullSafe(F.col("tdl"))
+        & F.col("_new_tdl").isNotNull()
+    )
+    log_rows = changed.select(
+        surrogate_id(
+            F.concat_ws("|", F.col("id"), F.coalesce("tdl", F.lit("")),
+                        F.col("_new_tdl"))
+        ).alias("id"),
+        F.col("id").alias("target_id"),
+        F.col("tdl").alias("old_tdl"),
+        F.col("_new_tdl").alias("new_tdl"),
+        F.lit(person).alias("person"),
+        (
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+            if asof is None
+            else F.lit(asof)
+        ).alias("datetime"),
+        F.lit(None).cast("string").alias("explanation"),
+        F.lit(application).alias("application"),
+        F.lit(app_version).cast("string").alias("app_version"),
+    )
+    log = lake["tdl_update_log"].unionByName(
+        log_rows, allowMissingColumns=True
+    )
+    counts = (
+        new.groupBy(F.col("_new_tdl").alias("tdl"))
+        .agg(
+            F.count("*").alias("ct"),
+            F.sum(F.when(F.col("bump_flag"), 1).otherwise(0)).alias(
+                "bumped_ct"
+            ),
+        )
+        .orderBy("tdl")
+    )
+    return {"target": target, "tdl_update_log": log, "tdl_counts": counts}
+
+
 def sql_tdl_case(
     moa="moa_drug_ct", drug="drug_ct", cmpd="cmpd_ct",
     pms="pms", rif="rif_ct", ab="ab_ct", efl="efl_goa",

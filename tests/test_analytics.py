@@ -184,3 +184,42 @@ def test_tau_cut2_ties_share_bins(spark):
     assert cut2["flat"] == 0.0          # ties share the single bin
     assert ntile["flat"] > 0.4          # the documented ntile deviation
     assert cut2["spec"] == 1.0          # 9 zero-bins + 1 top bin
+
+
+def test_tdl_refresh_cycle(spark, tmp_path):
+    """Full load-TDLs refresh: every fixture target reclassifies from
+    its null stored tdl, audit rows land for each change, and the
+    tally matches the per-branch fixture design (T1 Tclin, T2+T3
+    Tchem, T4 Tdark, T5 bumped Tbio, T6 Tbio)."""
+    from tests.tcrd_fixtures import build_lake
+
+    from tcrd_spark.analytics.tdl import tdl_refresh
+
+    lake = build_lake(spark)
+    out = tdl_refresh(lake, asof="2026-01-01 00:00:00")
+    tdls = {r.id: r.tdl for r in out["target"].select("id", "tdl").collect()}
+    assert tdls == {1: "Tclin", 2: "Tchem", 3: "Tchem", 4: "Tdark",
+                    5: "Tbio", 6: "Tbio"}
+    counts = {
+        r.tdl: (r.ct, r.bumped_ct) for r in out["tdl_counts"].collect()
+    }
+    assert counts == {"Tclin": (1, 0), "Tchem": (2, 0), "Tbio": (2, 1),
+                      "Tdark": (1, 0)}
+    # audit rows: one per changed target, appended to the existing log
+    log = out["tdl_update_log"]
+    added = log.filter("datetime = '2026-01-01 00:00:00'")
+    assert added.count() == 6
+    row = added.filter("target_id = 4").collect()[0]
+    assert row.old_tdl is None and row.new_tdl == "Tdark"
+    assert log.count() == lake["tdl_update_log"].count() + 6
+    # re-running on the refreshed lake changes nothing (fixpoint).
+    # A real cycle overwrites the parquet tables between runs, so
+    # round-trip the mutated frames the same way (also breaks the
+    # derived-lineage self-join Spark's analyzer rejects).
+    lake2 = dict(lake)
+    for name in ("target", "tdl_update_log"):
+        p = str(tmp_path / f"{name}.parquet")
+        (out[name] if name == "target" else log).write.parquet(p)
+        lake2[name] = spark.read.parquet(p)
+    out2 = tdl_refresh(lake2, asof="2026-01-02 00:00:00")
+    assert out2["tdl_update_log"].count() == log.count()
