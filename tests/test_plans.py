@@ -178,3 +178,16 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_blocked_matmul_shuffle_budget(spark, sf_dir):
+    """The blocked embedding matmul's only shuffles are the (bi,bj)
+    co-location of the two union branches — at most 2 hash exchanges
+    regardless of corpus size; the grid rides broadcasts."""
+    from tcrd_spark.pipeline.testdata_queries import q_dedup_embedding_cosine
+
+    df = q_dedup_embedding_cosine(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "FlatMapGroupsInPandas" in plan
