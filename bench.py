@@ -105,6 +105,7 @@ def main():
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "reps": reps,  # per-query timing = min of this many runs
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
