@@ -356,3 +356,72 @@ def test_streaming_exact_dedup_first_seen(spark, stream_dirs):
         assert twin == {1, 2, 7} == set(got.values())
     finally:
         q.stop()
+
+
+def test_streaming_running_topk_converges_to_batch(spark, sf_dir, tmp_path):
+    """Continuous retrieval: replay the embeddings corpus as a stream;
+    after all chunks, the per-query running top-k must equal the batch
+    brute-force top-k over the same corpus. State per query is exactly
+    k rows regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.similarity import brute_force_topk
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.streaming.jobs import run_to_memory_sink
+    from tcrd_spark.streaming.search import streaming_running_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    queries = emb.filter(F.col("c_id") < 3).select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+    # stage the corpus as 3 stream chunks (reuse the replay staging on
+    # a synthetic ts ordering by id)
+    src = str(tmp_path / "corpus")
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    _os.makedirs(src)
+    parts_dir = str(tmp_path / "_parts")
+    emb.repartitionByRange(3, "c_id").write.parquet(parts_dir)
+    base = _time.time() - 600
+    for i, p in enumerate(sorted(_glob.glob(parts_dir + "/part-*.parquet"))):
+        dst = _os.path.join(src, f"chunk_{i:04d}.parquet")
+        _shutil.copy(p, dst)
+        _os.utime(dst, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("c_id long, c_vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"tk_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(
+        streaming_running_topk(stream, queries, dim=64, k=5),
+        name,
+        "update",
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        assert n_batches >= 3  # genuinely incremental
+        # memory sink in update mode accumulates every update; the
+        # FINAL state per (q_id, rank) is the last row written
+        rows = spark.sql(
+            f"SELECT * FROM {name}"
+        ).collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # memory sink appends in batch order
+        final[(r.q_id, r.rank)] = (r.c_id, r.score)
+    batch = {
+        (r.q_id, r.rank): (r.c_id, r.score)
+        for r in brute_force_topk(queries, emb, dim=64, k=5).collect()
+    }
+    assert final == batch
