@@ -125,8 +125,10 @@ def tdl_refresh(
     (`doc/README_v6.txt:430-436`).
 
     Returns {'target', 'tdl_update_log', 'tdl_counts'}. Deterministic:
-    log ids are surrogates of (target_id, old, new), and `asof` (the
-    log timestamp) is injectable for reproducible runs.
+    log ids are surrogates of (target_id, old, new, refresh timestamp)
+    — the timestamp keeps ids unique when a target repeats the same
+    transition in a later cycle — and `asof` (the log timestamp) is
+    injectable for reproducible runs.
     """
     from tcrd_spark.schema.tables import surrogate_id
 
@@ -150,20 +152,24 @@ def tdl_refresh(
         ~F.col("_new_tdl").eqNullSafe(F.col("tdl"))
         & F.col("_new_tdl").isNotNull()
     )
+    # the refresh timestamp folds into the surrogate so a target
+    # repeating the same transition across refresh cycles (A→B, B→A,
+    # A→B) gets DISTINCT log ids in the append-only log
+    stamp = (
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
+        if asof is None
+        else F.lit(asof)
+    )
     log_rows = changed.select(
         surrogate_id(
             F.concat_ws("|", F.col("id"), F.coalesce("tdl", F.lit("")),
-                        F.col("_new_tdl"))
+                        F.col("_new_tdl"), stamp)
         ).alias("id"),
         F.col("id").alias("target_id"),
         F.col("tdl").alias("old_tdl"),
         F.col("_new_tdl").alias("new_tdl"),
         F.lit(person).alias("person"),
-        (
-            F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss")
-            if asof is None
-            else F.lit(asof)
-        ).alias("datetime"),
+        stamp.alias("datetime"),
         F.lit(None).cast("string").alias("explanation"),
         F.lit(application).alias("application"),
         F.lit(app_version).cast("string").alias("app_version"),

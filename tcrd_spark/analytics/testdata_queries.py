@@ -35,8 +35,14 @@ _SQL_LEVEL = (
 
 # ------------------------------------------------------------------ TDL
 
-def _tdl_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tdl_features(
+    spark: SparkSession, sf_dir: str, ship_before: str | None = None
+) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    if ship_before is not None:
+        # "previous load" snapshot: only evidence shipped before the
+        # cutoff existed at last refresh (incremental-cycle replay)
+        li = li.filter(F.col("l_shipdate") < F.lit(ship_before))
     sup = load_table(spark, sf_dir, "supplier")
     raw = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.sum(
@@ -76,6 +82,33 @@ def _tdl_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(
         F.broadcast(sup.select(F.col("s_suppkey").alias("suppkey"))), "suppkey"
     ).withColumn("efl_goa", F.col("suppkey") % 3 == 0)
+
+
+def q_tdl_refresh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental refresh cycle's observable: classify under the
+    PREVIOUS load's evidence (lineitems shipped before the cutoff —
+    the data that existed at last refresh) and under the current load,
+    then emit the TDL transition matrix — exactly what tdl_refresh
+    logs per changed target and what the reference's build notes tally
+    between releases (`loaders/load-TDLs.py:44-76`,
+    `doc/README_v6.txt:430-436`). Suppliers with no prior evidence
+    surface as 'Tnone' → X (the reference's null stored tdl before
+    first classification)."""
+    old = tdl.compute_tdl(
+        _tdl_features(spark, sf_dir, ship_before="1998-01-01")
+    ).select("suppkey", F.col("tdl").alias("old_tdl"))
+    new = tdl.compute_tdl(_tdl_features(spark, sf_dir)).select(
+        "suppkey", F.col("tdl").alias("new_tdl")
+    )
+    return (
+        new.join(old, "suppkey", "left")
+        .select(
+            F.coalesce("old_tdl", F.lit("Tnone")).alias("old_tdl"),
+            "new_tdl",
+        )
+        .groupBy("old_tdl", "new_tdl")
+        .agg(F.count("*").alias("ct"))
+    )
 
 
 def q_tdl_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,6 +284,7 @@ QUERIES = {
     "tinx_novelty": q_tinx_novelty,
     "tinx_importance": q_tinx_importance,
     "tinx_pmid_rankings": q_tinx_pmid_rankings,
+    "tdl_refresh_delta": q_tdl_refresh_delta,
 }
 
 _TDL_CASE, _TDL_BUMP = tdl.sql_tdl_case()
@@ -261,7 +295,31 @@ _FOLD_SUM = (
     "(acc, v) -> acc + v)"
 )
 
+# previous-load snapshot: identical features over the pre-cutoff slice
+_SQL_TDL_FEATURES_OLD = _SQL_TDL_FEATURES.replace(
+    "FROM lineitem GROUP BY 1",
+    "FROM lineitem WHERE l_shipdate < '1998-01-01' GROUP BY 1",
+)
+
 ORACLE = {
+    "tdl_refresh_delta": f"""
+        WITH feats_new AS ({{FN}}),
+        fnew AS (
+          SELECT feats_new.*, (suppkey % 3 = 0) AS efl_goa
+          FROM feats_new JOIN supplier ON s_suppkey = suppkey
+        ),
+        cnew AS (SELECT suppkey, {{CASE}} AS new_tdl FROM fnew),
+        feats_old AS ({{FO}}),
+        fold AS (
+          SELECT feats_old.*, (suppkey % 3 = 0) AS efl_goa
+          FROM feats_old JOIN supplier ON s_suppkey = suppkey
+        ),
+        cold AS (SELECT suppkey, {{CASE}} AS old_tdl FROM fold)
+        SELECT coalesce(old_tdl, 'Tnone') AS old_tdl, new_tdl,
+               count(*) AS ct
+        FROM cnew LEFT JOIN cold USING (suppkey)
+        GROUP BY 1, 2
+    """,
     "tdl_classification": f"""
         WITH feats AS ({_SQL_TDL_FEATURES}),
         f AS (
@@ -467,3 +525,11 @@ ORACLE = {
         WHERE pid % 10 = 0 AND did % 10 = 0
     """,
 }
+
+# stitch the long shared fragments into the refresh-delta oracle
+ORACLE["tdl_refresh_delta"] = (
+    ORACLE["tdl_refresh_delta"]
+    .replace("{FN}", _SQL_TDL_FEATURES)
+    .replace("{FO}", _SQL_TDL_FEATURES_OLD)
+    .replace("{CASE}", _TDL_CASE)
+)

@@ -147,20 +147,45 @@ def del_target(lake: Lake, target_id: int) -> Lake:
     out["protein"] = lake["protein"].join(
         pids.withColumnRenamed("protein_id", "id"), "id", "left_anti"
     )
+    # Child-FK sweep driven by TWO sources kept in sync by
+    # construction: (a) the generic column-name convention
+    # (target_id / protein_id), and (b) quality/integrity.FK_EDGES —
+    # the SAME edge list the FK audit uses — which adds the
+    # non-standard FK columns MySQL's ON DELETE CASCADE also removes
+    # (kegg_distance.pid1/pid2, kegg_nearest_tclin.tclin_id;
+    # `SQL/create-TCRDv7.sql:1022-1023,1052-1053`). Sharing one edge
+    # list means del_target followed by assert_clean can never
+    # disagree about what counts as a child reference.
+    from tcrd_spark.quality.integrity import FK_EDGES
+
+    fk_cols: dict[str, set[tuple[str, str]]] = {}
     for name, df in lake.items():
         if name in _CASCADE_EXEMPT:
             continue
         cols = set(df.columns)
-        new = df
         if "target_id" in cols:
-            new = new.filter(
-                F.col("target_id").isNull()
-                | (F.col("target_id") != target_id)
-            )
+            fk_cols.setdefault(name, set()).add(("target_id", "target"))
         if "protein_id" in cols:
-            new = new.join(pids, "protein_id", "left_anti")
-        if new is not df:
-            out[name] = new
+            fk_cols.setdefault(name, set()).add(("protein_id", "protein"))
+    for child, fk, parent, _key in FK_EDGES:
+        if child in _CASCADE_EXEMPT or child not in lake:
+            continue
+        if parent in ("target", "protein") and fk in lake[child].columns:
+            fk_cols.setdefault(child, set()).add((fk, parent))
+    for name, edges in fk_cols.items():
+        new = lake[name]
+        for fk, parent in sorted(edges):
+            if parent == "target":
+                new = new.filter(
+                    F.col(fk).isNull() | (F.col(fk) != target_id)
+                )
+            else:
+                new = new.join(
+                    pids.withColumnRenamed("protein_id", fk),
+                    fk,
+                    "left_anti",
+                )
+        out[name] = new
     return out
 
 

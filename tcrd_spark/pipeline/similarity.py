@@ -129,6 +129,29 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
+def lloyd_mean_update(
+    assigned: DataFrame, dim: int, round_to: int | None = None
+) -> DataFrame:
+    """One Lloyd mean-update: element-wise mean per cell over the
+    assignment — dim scalar aggregates, one shuffle of (cell, dim
+    doubles) map-side-combined partials; the corpus never reshuffles.
+    `round_to` rounds each mean to N decimals, which pins the doubles
+    to values both engines represent identically — the
+    oracle-reproducible path (`kmeans_assign` driver query); the
+    training loop passes None and keeps full precision."""
+    aggs = []
+    for i in range(dim):
+        a = F.avg(F.element_at("c_vec", i + 1))
+        if round_to is not None:
+            a = F.round(a, round_to)
+        aggs.append(a.alias(f"m{i}"))
+    means = assigned.groupBy("cell_id").agg(*aggs)
+    return means.select(
+        "cell_id",
+        F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cell_vec"),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     dim: int,
@@ -165,12 +188,22 @@ def kmeans_centroids(
     ).localCheckpoint(eager=False)
 
     # Farthest-first init runs k sequential passes — bound them to a
-    # deterministic sample pool (min(corpus, 200·k) smallest-id rows)
-    # so init cost is k scans of O(k) rows, not k full-corpus scans.
+    # deterministic sample pool of the max(200·k, 1000) smallest-id
+    # rows (i.e. the whole corpus when it is smaller than that) so
+    # init cost is k scans of a bounded pool, not k full-corpus scans.
     # Lloyd itself then refines against the whole corpus.
     pool = (
         c.orderBy("c_id").limit(max(200 * k, 1000)).localCheckpoint(eager=True)
     )
+    n_pool = pool.count()
+    if n_pool == 0:
+        raise ValueError("kmeans_centroids: empty corpus")
+    if k > n_pool:
+        # fewer distinct points than requested cells — farthest-first
+        # would re-pick exhausted seeds and emit duplicate centroids
+        raise ValueError(
+            f"kmeans_centroids: k={k} exceeds corpus size {n_pool}"
+        )
     seeds = [pool.orderBy("c_id").select("c_id", "c_vec").first()]
     for _ in range(k - 1):
         chosen = F.array(
@@ -196,7 +229,11 @@ def kmeans_centroids(
             )
         )
         far = (
-            pool.withColumn("_near", nearest)
+            # exclude chosen ids: if every remaining point duplicates a
+            # seed vector (all ties at similarity 1.0), the min-id
+            # tie-break could otherwise re-pick a seed row itself
+            pool.filter(~F.col("c_id").isin([s["c_id"] for s in seeds]))
+            .withColumn("_near", nearest)
             .orderBy(F.asc("_near"), F.asc("c_id"))
             .select("c_id", "c_vec")
             .first()
@@ -211,18 +248,7 @@ def kmeans_centroids(
         assigned = assign_cells(
             c.select("c_id", "c_vec"), cents, dim
         )
-        # element-wise mean per cell: dim scalar aggregates, one shuffle
-        # of (cell, 64 doubles) partials — map-side combined
-        means = assigned.groupBy("cell_id").agg(
-            *[
-                F.avg(F.element_at("c_vec", i + 1)).alias(f"m{i}")
-                for i in range(dim)
-            ]
-        )
-        new = means.select(
-            "cell_id",
-            F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("cell_vec"),
-        )
+        new = lloyd_mean_update(assigned, dim)
         # empty cells vanish from the groupBy — retain previous centroid
         cents = (
             cents.select("cell_id", F.col("cell_vec").alias("prev"))
@@ -251,10 +277,30 @@ def ivf_topk(
     the oracle replicates the same algorithm, so results still
     hash-match."""
     assigned = assign_cells(corpus, centroids, dim)
+    probes = _probe_cells(queries, centroids, dim, n_probe)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    # the probe list (queries × n_probe) is the SMALL side by contract —
+    # broadcast it explicitly, else the centroid broadcast hint inside
+    # `assigned` propagates and Catalyst broadcasts the corpus
+    return (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .select("q_id", "c_id", _pair_score("q_vec", "c_vec", dim).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "score", "rank")
+    )
+
+
+def _probe_cells(
+    queries: DataFrame, centroids: DataFrame, dim: int, n_probe: int
+) -> DataFrame:
+    """(q_id, q_vec, q_vec_nrm, cell_id): each query's n_probe nearest
+    cells — the shared probe-selection stage of ivf_topk and the
+    persisted-index search."""
     q = _with_norm(queries, "q_id", "q_vec", dim)
     cent = _with_norm(centroids, "cell_id", "cell_vec", dim)
     wq = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("cell_id"))
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cent))
         .select(
             "q_id",
@@ -267,12 +313,49 @@ def ivf_topk(
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "q_vec", "q_vec_nrm", "cell_id")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame, centroids: DataFrame, dim: int, path: str
+) -> None:
+    """Persist the IVF inverted lists as a cell_id-PARTITIONED parquet
+    table — the real at-scale index layout (each cell is a partition
+    directory; norms precomputed at build time). `ivf_topk` recomputes
+    the assignment per search; a stored index makes a probe a
+    partition-PRUNED scan of n_probe/n_cells of the data — at 10^9
+    vectors the search never touches the unprobed 1 - n_probe/n_cells
+    of the corpus."""
+    assigned = assign_cells(corpus, centroids, dim)
+    (
+        assigned.select("c_id", "c_vec", "c_vec_nrm", "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search a build_ivf_index table. Identical results to ivf_topk
+    over the same centroids; the difference is the scan: the probed
+    cell ids (|queries| × n_probe distinct values — small by the same
+    contract that broadcasts the query panel) become a STATIC
+    partition filter, so the parquet scan shows PartitionFilters and
+    reads only the probed cells' files (plan-tested,
+    tests/test_plans.py)."""
+    spark = queries.sparkSession
+    probes = _probe_cells(queries, centroids, dim, n_probe)
+    cells = [int(r.cell_id) for r in probes.select("cell_id").distinct().collect()]
+    index = spark.read.parquet(index_path).filter(F.col("cell_id").isin(cells))
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
-    # the probe list (queries × n_probe) is the SMALL side by contract —
-    # broadcast it explicitly, else the centroid broadcast hint inside
-    # `assigned` propagates and Catalyst broadcasts the corpus
     return (
-        assigned.join(F.broadcast(probes), "cell_id")
+        index.join(F.broadcast(probes), "cell_id")
         .select("q_id", "c_id", _pair_score("q_vec", "c_vec", dim).alias("score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

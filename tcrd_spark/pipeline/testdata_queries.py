@@ -181,6 +181,65 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(qs, corpus, centroids, EMB_DIM, k=10, n_probe=2)
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration of the REAL k-means IVF build path
+    (kmeans_centroids' own stages): assign under the deterministic
+    first-8 seed, 6dp-rounded mean update (rounding pins the averaged
+    doubles to values both engines represent identically), re-assign
+    every vector under the updated centroids. Oracle-adjudicates the
+    assign→mean→assign machinery the trained build runs per iteration."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cents0 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    a0 = similarity.assign_cells(corpus, cents0, EMB_DIM).select(
+        "c_id", "c_vec", "cell_id"
+    )
+    cents1 = similarity.lloyd_mean_update(a0, EMB_DIM, round_to=6)
+    return similarity.assign_cells(
+        corpus.select("c_id", "c_vec"), cents1, EMB_DIM
+    ).select("c_id", "cell_id")
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the PERSISTED cell_id-partitioned index —
+    same centroids/probes as ann_ivf, so identical results; the scan
+    is partition-pruned to the probed cells. The index builds once per
+    process per sf_dir (the write is the build step, not the query)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    key = os.path.realpath(sf_dir)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        tag = hashlib.md5(key.encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"tcrd_ivf_index_{tag}"
+        )
+        similarity.build_ivf_index(corpus, centroids, EMB_DIM, path)
+        _IVF_INDEX_CACHE[key] = path
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk_indexed(
+        qs, path, centroids, EMB_DIM, k=10, n_probe=2
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_clean_pii": q_text_clean_pii,
@@ -196,6 +255,8 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
+    "kmeans_assign": q_kmeans_assign,
 }
 
 
@@ -481,6 +542,45 @@ ORACLE = {
         SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 10
     """,
 }
+
+# ann_ivf_indexed: same centroids, same probes, same inverted lists —
+# the persisted index changes the SCAN (partition-pruned), not the math
+ORACLE["ann_ivf_indexed"] = ORACLE["ann_ivf"]
+
+# one Lloyd iteration: assign under first-8 seed → 6dp-rounded
+# element-wise means → re-assign (identical arithmetic to
+# q_kmeans_assign; the rounding pins the averaged doubles)
+_MEAN_VEC = "[" + ", ".join(
+    f"round(avg(v[{i+1}]), 6)" for i in range(EMB_DIM)
+) + "]"
+
+ORACLE["kmeans_assign"] = f"""
+    WITH e AS ({_EMB_NORMED}),
+    c AS (SELECT vec_id AS c_id, v, nrm FROM e),
+    cent0 AS (SELECT vec_id AS cell_id, v, nrm FROM e WHERE vec_id < 8),
+    a0 AS (
+      SELECT c_id, v, cell_id FROM (
+        SELECT c.c_id, c.v, cent0.cell_id,
+               row_number() OVER (
+                 PARTITION BY c.c_id
+                 ORDER BY {_sql_pair_score('c', 'cent0')} DESC,
+                          cent0.cell_id ASC) AS rn
+        FROM c CROSS JOIN cent0
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT cell_id, {_MEAN_VEC} AS v FROM a0 GROUP BY cell_id),
+    cent1 AS (
+      SELECT cell_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM m
+    )
+    SELECT c_id, cell_id FROM (
+      SELECT c.c_id, cent1.cell_id,
+             row_number() OVER (
+               PARTITION BY c.c_id
+               ORDER BY {_sql_pair_score('c', 'cent1')} DESC,
+                        cent1.cell_id ASC) AS rn
+      FROM c CROSS JOIN cent1
+    ) WHERE rn = 1
+"""
 
 # stitch the minhash signature into its oracle (too long to inline above)
 ORACLE["dedup_minhash_lsh"] = ORACLE["dedup_minhash_lsh"].replace(

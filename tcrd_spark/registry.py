@@ -14,78 +14,18 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 # The driver adjudicates only the FIRST 50 registry entries against the
-# DuckDB oracle, so ordering is evidence budget. Rounds 1+2 together
-# drove every one of the 65 registered queries green at least once;
-# round 3 rotates ten twice-green micro-queries out of the cap in
-# favor of the round-1-only entries, so every query's LATEST
-# adjudication is at most one round old (VERDICT r2 next-step #7).
-# The three round-2 hash-typed queries (consensus_expression,
-# dedup_simhash, nested_document) stay in-cap so their oracle-cast
-# fixes get adjudicated.
+# DuckDB oracle, so ordering is evidence budget. Round-4 rotation
+# (VERDICT r3 next-step #1): the 16 entries whose latest green row is
+# r1/r2 (incl. the never-adjudicated text_clean_pii) move INSIDE the
+# cap, together with this round's three new queries (kmeans_assign,
+# ann_ivf_indexed, tdl_refresh_delta); the 19 rotated-out entries are
+# all r3-green simple relational queries in operators/ modules whose
+# code is UNCHANGED since r3 (they stay pytest- and tools/check.py-
+# covered). With this cap, union(r1..r4) adjudicates all 69 registered
+# queries, none older than two rounds.
 PRIORITY = (
-    # scans / filters / joins
-    "scan_project_filter",
-    "three_way_entity_join",
-    "semi_join",
-    "anti_join_notfnd",
-    "union_dedup",
-    "fallback_join_cascade",
-    "filter_like_null",
-    "keyset_pagination",
-    "lookup_point_join",
-    "self_join_common",
-    "bridge_m2n_join",
-    # aggregation
-    "pricing_summary",
-    "beans_counts",
-    "rollup_counts",
-    "group_sum",
-    "mode_consensus",
-    "min_tie_expansion",
-    "pivot_wide",
-    "grouped_set_agg",
-    # windows / set ops / dedup
-    "rank_compound_order",
-    "topk_per_group",
-    "decile_bucketing",
-    "frank_level_buckets",
-    "intersect_sets",
-    "except_sets",
-    "distinct_projection",
-    "dedup_composite_key",
-    # scalar function families
-    "string_math_funcs",
-    "json_case_funcs",
-    # graph / recursive
-    "apsp_min_merge",
-    "nearest_flagged",
-    "ancestor_closure",
-    # business-logic analytics
-    "tdl_classification",
-    "tau_continuous",
-    "consensus_expression",
-    "hgram_cdf",
-    "tinx_novelty",
-    "tinx_importance",
-    # text / LLM pipeline (the prefix-filtered/banded dedup family and
-    # the REWRITTEN blocked embedding plan keep their slots; the pure
-    # column-expression text queries rotate out)
-    "corpus_clean",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "ann_ivf",
-    "multimodal_features",
-    # streaming window semantics (batch-equivalent)
-    "window_tumbling",
-    "window_session",
-    # API lifecycles (the reference's two most important entry points)
-    "nested_document",
-    "wide_export",
-    # ---- past the driver's 50-query cap: all green in r01/r02 under
-    # unchanged code; every operator also pytest-covered ----
+    # never / least-recently adjudicated (rotated IN this round)
+    "text_clean_pii",
     "qualitative_levels",
     "type_histogram",
     "median_per_group",
@@ -101,7 +41,71 @@ PRIORITY = (
     "dedup_exact",
     "ann_bruteforce",
     "window_sliding",
-    "text_clean_pii",
+    # NEW this round: trained-IVF build-path adjudication, persisted
+    # partition-pruned index, incremental TDL refresh
+    "kmeans_assign",
+    "ann_ivf_indexed",
+    "tdl_refresh_delta",
+    # joins / aggregation with code touched or non-trivial plans
+    "fallback_join_cascade",
+    "self_join_common",
+    "mode_consensus",
+    "min_tie_expansion",
+    "pivot_wide",
+    "grouped_set_agg",
+    # windows
+    "rank_compound_order",
+    "topk_per_group",
+    "decile_bucketing",
+    "frank_level_buckets",
+    # graph / recursive
+    "apsp_min_merge",
+    "nearest_flagged",
+    "ancestor_closure",
+    # business-logic analytics
+    "tdl_classification",
+    "tau_continuous",
+    "consensus_expression",
+    "hgram_cdf",
+    "tinx_novelty",
+    "tinx_importance",
+    # text / LLM pipeline
+    "corpus_clean",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "ann_ivf",
+    "multimodal_features",
+    # streaming window semantics (batch-equivalent)
+    "window_tumbling",
+    "window_session",
+    # API lifecycles (the reference's two most important entry points)
+    "nested_document",
+    "wide_export",
+    # ---- past the driver's 50-query cap: all green in r03 under code
+    # unchanged since; every operator also pytest-covered and checked
+    # by tools/check.py locally each round ----
+    "scan_project_filter",
+    "three_way_entity_join",
+    "semi_join",
+    "anti_join_notfnd",
+    "union_dedup",
+    "filter_like_null",
+    "keyset_pagination",
+    "lookup_point_join",
+    "bridge_m2n_join",
+    "pricing_summary",
+    "beans_counts",
+    "rollup_counts",
+    "group_sum",
+    "intersect_sets",
+    "except_sets",
+    "distinct_projection",
+    "dedup_composite_key",
+    "string_math_funcs",
+    "json_case_funcs",
 )
 
 

@@ -88,7 +88,11 @@ def streaming_running_topk(
             out = []
             for j, qid in enumerate(ids_q):
                 col = sims[:, j]
-                top = np.argsort(-col, kind="stable")[:k]
+                # (-score, c_id) lexsort so per-batch pruning uses the
+                # SAME tie order as _topk_merge / brute_force_topk —
+                # score-only argsort could drop the smallest-c_id row of
+                # a tie straddling the k cutoff (duplicate vectors)
+                top = np.lexsort((c_ids, -col))[:k]
                 out.append(
                     pd.DataFrame(
                         {"q_id": qid, "c_id": c_ids[top], "score": col[top]}

@@ -236,6 +236,17 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
     kegg_nearest_tclin = [
         dict(id=1, protein_id=11, tclin_id=12, direction="downstream",
              distance=2),
+        # protein 12 survives del_target(1) but its nearest Tclin is
+        # protein 11 — exercises the tclin_id cascade edge
+        dict(id=2, protein_id=12, tclin_id=11, direction="upstream",
+             distance=3),
+        dict(id=3, protein_id=13, tclin_id=12, direction="upstream",
+             distance=1),
+    ]
+    kegg_distance = [
+        dict(id=1, pid1=11, pid2=12, distance=2),
+        dict(id=2, pid1=12, pid2=13, distance=1),
+        dict(id=3, pid1=13, pid2=11, distance=3),
     ]
     tdl_update_log = [
         dict(id=1, target_id=1, old_tdl="Tbio", new_tdl="Tchem",
@@ -301,6 +312,7 @@ def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
         gene_attribute=gene_attribute, tinx_novelty=tinx_novelty_rows,
         tinx_disease=tinx_disease, tinx_importance=tinx_importance,
         kegg_nearest_tclin=kegg_nearest_tclin,
+        kegg_distance=kegg_distance,
         tdl_update_log=tdl_update_log,
         nhprotein=nhprotein, gtex=gtex, clinvar=clinvar,
         clinvar_phenotype=clinvar_phenotype, uberon=uberon,

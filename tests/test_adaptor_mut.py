@@ -93,6 +93,21 @@ def test_del_target_cascade(lake):
         lake["tdl_info"].filter("protein_id = 12").count()
     # dictionaries/lineage are exempt from the sweep
     assert out["dataset"].count() == lake["dataset"].count()
+    # non-standard FK columns (kegg_distance.pid1/pid2,
+    # kegg_nearest_tclin.tclin_id) are swept via integrity.FK_EDGES —
+    # the reference's ON DELETE CASCADE (SQL/create-TCRDv7.sql:1022,1052)
+    assert out["kegg_distance"].filter(
+        "pid1 = 11 OR pid2 = 11"
+    ).count() == 0
+    assert out["kegg_distance"].filter("pid1 = 12").count() == 1  # survives
+    assert out["kegg_nearest_tclin"].filter(
+        "protein_id = 11 OR tclin_id = 11"
+    ).count() == 0
+    assert out["kegg_nearest_tclin"].filter("id = 3").count() == 1
+    # and the lake passes its own FK audit after the cascade
+    from tcrd_spark.quality.integrity import assert_clean
+
+    assert_clean(out)
 
 
 def test_tdl_update_log_history_and_append(spark, lake):

@@ -223,3 +223,20 @@ def test_tdl_refresh_cycle(spark, tmp_path):
         lake2[name] = spark.read.parquet(p)
     out2 = tdl_refresh(lake2, asof="2026-01-02 00:00:00")
     assert out2["tdl_update_log"].count() == log.count()
+
+
+def test_tdl_refresh_repeated_transition_unique_ids(spark):
+    """A target repeating the SAME transition in a later refresh cycle
+    (A→B … B→A … A→B) must get a distinct log id each time — the
+    refresh timestamp folds into the surrogate."""
+    from tests.tcrd_fixtures import build_lake
+
+    from tcrd_spark.analytics.tdl import tdl_refresh
+
+    lake = build_lake(spark)
+    a = tdl_refresh(lake, asof="2026-01-01 00:00:00")["tdl_update_log"]
+    b = tdl_refresh(lake, asof="2026-02-01 00:00:00")["tdl_update_log"]
+    ids_a = {r.id for r in a.filter("datetime = '2026-01-01 00:00:00'").collect()}
+    ids_b = {r.id for r in b.filter("datetime = '2026-02-01 00:00:00'").collect()}
+    assert len(ids_a) == len(ids_b) == 6
+    assert ids_a.isdisjoint(ids_b)

@@ -191,3 +191,99 @@ def test_blocked_matmul_shuffle_budget(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_ivf_indexed_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The persisted IVF index is cell_id-partitioned parquet; a search
+    must read ONLY the probed cells — the probe list becomes a static
+    PartitionFilters entry on the scan and the files actually read all
+    belong to the probed partitions."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline import similarity
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
+    )
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(corpus, cents, dim=64, path=path)
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    df = similarity.ivf_topk_indexed(qs, path, cents, dim=64, k=5, n_probe=2)
+    plan = plan_of(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "cell_id" in pf[0], plan
+    # the static IN-list on the partition column must be EXACTLY the
+    # probed cells (≤ 2 queries × 2 probes) — Spark prunes the listing
+    # to those partition dirs before any task launches
+    import re
+
+    m = re.search(r"cell_id#\d+ IN \(([\d,]+)\)", pf[0])
+    assert m, pf[0]
+    pruned_to = {int(x) for x in m.group(1).split(",")}
+    probed = {
+        int(r.cell_id)
+        for r in similarity._probe_cells(qs, cents, 64, 2)
+        .select("cell_id").distinct().collect()
+    }
+    assert pruned_to == probed, (pruned_to, probed)
+    assert len(pruned_to) <= 4
+
+
+def test_salted_join_balances_hot_key(spark):
+    """SURVEY §4 hub-key skew (ppi/lincs hub proteins): with one key
+    holding 30% of the fact side, the plain shuffle funnels it into
+    one task; salting spreads it over n_salts tasks. Asserts (a) the
+    salted join returns exactly the plain join's rows, (b) simulated
+    shuffle-partition sizes (pmod(hash(keys), P) — the same Murmur3
+    HashPartitioning Catalyst plans) show max/median ≤ 3 salted vs
+    ≥ 5 unsalted."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.operators.joins import salted_join
+
+    n, nparts, n_salts = 60_000, 32, 16
+    hot = int(n * 0.3)
+    fact = spark.range(n).select(
+        F.when(F.col("id") < hot, 0)
+        .otherwise(F.pmod(F.col("id"), 49) + 1)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dval")
+    )
+    out = salted_join(fact, dim, "k", n_salts=n_salts)
+    plain = fact.join(dim, "k")
+    assert out.count() == n
+    agg_s = out.agg(
+        F.sum("payload").alias("sp"), F.sum("dval").alias("sd")
+    ).collect()[0]
+    agg_p = plain.agg(
+        F.sum("payload").alias("sp"), F.sum("dval").alias("sd")
+    ).collect()[0]
+    assert (agg_s.sp, agg_s.sd) == (agg_p.sp, agg_p.sd)
+
+    def max_over_median(df, *cols):
+        sizes = sorted(
+            r["count"]
+            for r in df.groupBy(
+                F.pmod(F.hash(*cols), F.lit(nparts)).alias("p")
+            ).count().collect()
+        )
+        return sizes[-1] / sizes[len(sizes) // 2]
+
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
+    salted_fact = fact.withColumn("_salt", salt)
+    assert max_over_median(fact, "k") >= 5          # the skew is real
+    assert max_over_median(salted_fact, "k", "_salt") <= 3  # and salted away
+    # the salted plan really joins on (key, salt): both exchanges hash
+    # two columns
+    plan = plan_of(salted_join(fact, dim, "k", n_salts=n_salts))
+    assert "_salt" in plan

@@ -425,3 +425,44 @@ def test_streaming_running_topk_converges_to_batch(spark, sf_dir, tmp_path):
         for r in brute_force_topk(queries, emb, dim=64, k=5).collect()
     }
     assert final == batch
+
+
+def test_streaming_topk_tie_break_at_cutoff(spark, tmp_path):
+    """Per-batch candidate pruning must use the SAME (-score, c_id)
+    tie order as the merge: with >k duplicate vectors tied at the
+    cutoff inside ONE micro-batch, the smallest c_ids survive —
+    score-only argsort would keep whatever batch row order said."""
+    from tcrd_spark.streaming.jobs import run_to_memory_sink
+    from tcrd_spark.streaming.search import streaming_running_topk
+
+    vec = [1.0, 0.0, 2.0, 0.5]
+    # arrival order deliberately NOT id order; all six score 1.0
+    arrival = [10, 2, 7, 1, 9, 3]
+    corpus = spark.createDataFrame(
+        [(i, vec) for i in arrival], "c_id long, c_vec array<double>"
+    ).coalesce(1)
+    src = str(tmp_path / "corpus")
+    corpus.write.parquet(src)
+    queries = spark.createDataFrame(
+        [(0, vec)], "q_id long, q_vec array<double>"
+    )
+    stream = (
+        spark.readStream.schema("c_id long, c_vec array<double>")
+        .parquet(src)
+    )
+    name = f"tie_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(
+        streaming_running_topk(stream, queries, dim=4, k=3),
+        name,
+        "update",
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:
+        final[r.rank] = r.c_id
+    assert final == {1: 1, 2: 2, 3: 3}
