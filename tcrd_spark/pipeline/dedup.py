@@ -177,13 +177,38 @@ def ngram_jaccard_pairs(
         .cache()
     )
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    # prefix inverted index WITH positions: PPJoin's positional filter
+    # (Xiao et al. '08) prunes a g-match at 1-based positions (pa, pb)
+    # when 1 + min(|a|-pa, |b|-pb) — the best still-possible overlap —
+    # can't reach the required α = ⌈τ/(1+τ)·(|a|+|b|)⌉; the length
+    # filter (min/max ≥ τ) prunes size-incompatible pairs before that.
+    # Both are exactness-preserving; together they cut the candidate
+    # set the verify join must ship arrays for — the dominant cost at
+    # scale once the per-doc array table outgrows broadcast range.
     pinv = grouped.select(
-        id_col, F.explode(F.slice(F.col("hs"), 1, prefix_len)).alias("g")
+        id_col,
+        "n_sh",
+        F.posexplode(F.slice(F.col("hs"), 1, prefix_len)).alias("pos", "g"),
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos") - 1,
+        F.col("b.n_sh") - F.col("b.pos") - 1,
     )
     cand = (
         pinv.alias("a")
         .join(pinv.alias("b"), "g")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
+            )
+            & (ubound >= alpha)
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

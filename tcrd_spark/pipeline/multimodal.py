@@ -148,32 +148,49 @@ def resize_images(
 ) -> DataFrame:
     """mapInPandas image resize: (id, payload) → (id, resized payload,
     new dims, source dims). The Spark plumbing — binary in AND binary
-    out through Arrow, bounded-memory batch iteration — is real; the
-    pixel work is the deterministic fake (payload truncated/repeated to
-    the target byte budget) until an image library is installed."""
+    out through Arrow, bounded-memory batch iteration — is real. With
+    real_decode, pixels go through PIL when installed, else the
+    pure-Python PNG codec (functions/png.py, nearest-neighbor);
+    real_decode=False keeps the deterministic fake (payload
+    truncated/repeated to the byte budget) for plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         budget = max(1, width * height // 8)
         for pdf in batches:
             if real_decode:
-                if not _have_pil():
-                    # header parsing gives dims (_real_decode) but
-                    # pixel resampling genuinely needs a codec
-                    raise NotImplementedError(
-                        "real resize requires Pillow for pixel "
-                        "resampling; header-only decode cannot resize"
-                    )
-                import io
+                if _have_pil():
+                    import io
 
-                from PIL import Image
+                    from PIL import Image
 
-                src, out = [], []
-                for p in pdf["payload"]:
-                    with Image.open(io.BytesIO(p)) as im:
-                        src.append(im.size)
-                        buf = io.BytesIO()
-                        im.resize((width, height)).save(buf, format="PNG")
-                        out.append(buf.getvalue())
+                    src, out = [], []
+                    for p in pdf["payload"]:
+                        with Image.open(io.BytesIO(p)) as im:
+                            src.append(im.size)
+                            buf = io.BytesIO()
+                            im.resize((width, height)).save(
+                                buf, format="PNG"
+                            )
+                            out.append(buf.getvalue())
+                else:
+                    # no PIL: the pure-Python PNG codec covers the
+                    # common case (8-bit non-interlaced PNG, nearest-
+                    # neighbor); other formats still fail loudly
+                    from tcrd_spark.functions.png import resize_png
+
+                    src, out = [], []
+                    for p in pdf["payload"]:
+                        if not bytes(p).startswith(b"\x89PNG"):
+                            raise NotImplementedError(
+                                "real resize without Pillow supports "
+                                "PNG only (functions/png.py); install "
+                                "Pillow for other formats"
+                            )
+                        resized, sw, sh = resize_png(
+                            bytes(p), width, height
+                        )
+                        src.append((sw, sh))
+                        out.append(resized)
             else:
                 src = [_fake_decode(p) for p in pdf["payload"]]
                 out = [

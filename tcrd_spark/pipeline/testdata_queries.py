@@ -226,7 +226,9 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = os.path.realpath(sf_dir)
     path = _IVF_INDEX_CACHE.get(key)
     if path is None:
-        tag = hashlib.md5(key.encode()).hexdigest()[:12]
+        # pid in the tag: concurrent processes (bench + check) must not
+        # race overwrite-writes against each other's reads
+        tag = hashlib.md5(f"{key}:{os.getpid()}".encode()).hexdigest()[:12]
         path = os.path.join(
             tempfile.gettempdir(), f"tcrd_ivf_index_{tag}"
         )

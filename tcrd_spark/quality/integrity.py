@@ -53,27 +53,42 @@ def fk_orphans(
 ) -> DataFrame:
     """One row per FK edge present in the lake: child table, fk
     column, parent table, and the count of non-null child FK values
-    with no matching parent row. 0 everywhere = clean lake."""
+    with no matching parent row. 0 everywhere = clean lake.
+
+    All edges audit in ONE plan (a union of per-edge anti-join
+    counts), so the whole audit is a single action — one job wave
+    across the cluster instead of one sequential job per edge (E jobs
+    dominated the audit's wall-clock; at scale each would be its own
+    full scan round-trip)."""
+    from functools import reduce
+
     spark = next(iter(lake.values())).sparkSession
-    rows = []
+    per_edge = []
     for child, fk, parent, key in edges:
         if child not in lake or parent not in lake:
             continue
         cdf = lake[child]
         if fk not in cdf.columns:
             continue
-        orphans = (
+        per_edge.append(
             cdf.filter(F.col(fk).isNotNull())
             .select(F.col(fk).alias(key))
             .join(lake[parent].select(key), key, "left_anti")
-            .count()
+            .agg(F.count("*").alias("orphan_ct"))
+            .select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_col"),
+                F.lit(parent).alias("parent_table"),
+                "orphan_ct",
+            )
         )
-        rows.append((child, fk, parent, orphans))
-    return spark.createDataFrame(
-        rows,
-        "child_table string, fk_col string, parent_table string, "
-        "orphan_ct long",
-    )
+    if not per_edge:
+        return spark.createDataFrame(
+            [],
+            "child_table string, fk_col string, parent_table string, "
+            "orphan_ct long",
+        )
+    return reduce(lambda a, b: a.unionByName(b), per_edge)
 
 
 def assert_clean(lake: dict[str, DataFrame]) -> None:

@@ -157,10 +157,10 @@ def test_real_decode_png_gif_jpeg(spark):
     assert dims == {1: (1, 1), 2: (640, 480), 3: (3, 2), 4: (32, 16)}
 
 
-def test_real_decode_via_pil_when_installed(spark):
-    """Full-decode path: only runs where Pillow exists (not this
-    container); the stdlib header path above covers the default env."""
-    pytest.importorskip("PIL.Image")
+def test_real_resize_png_without_pil(spark):
+    """Full-decode resize runs in THIS container: PIL when installed,
+    else the pure-Python PNG codec (functions/png.py) — either way a
+    real pixel path, no fake."""
     from tcrd_spark.pipeline.multimodal import extract_features, resize_images
 
     media = spark.createDataFrame(
@@ -172,3 +172,68 @@ def test_real_decode_via_pil_when_installed(spark):
     out = resize_images(media, 2, 2, "doc_id", real_decode=True).collect()
     assert (out[0].src_width, out[0].src_height) == (4, 3)
     assert (out[0].width, out[0].height) == (2, 2)
+    # the resized payload is itself a decodable PNG with the new dims
+    from tcrd_spark.functions.png import decode_png
+
+    w, h, ch, px = decode_png(bytes(out[0].payload))
+    assert (w, h, ch) == (2, 2, 1)
+    assert bytes(px) == b"\x7f" * 4  # uniform source stays uniform
+
+
+def test_png_codec_roundtrip_filters():
+    """decode_png handles every scanline filter the spec defines; the
+    encode→decode round-trip is pixel-exact for all channel counts."""
+    import struct
+    import zlib
+
+    from tcrd_spark.functions.png import decode_png, encode_png, resize_png
+
+    for ch in (1, 2, 3, 4):
+        w, h = 5, 4
+        px = bytes((x * 37 + c * 11) % 256 for x in range(w * h) for c in range(ch))
+        data = encode_png(w, h, ch, px)
+        w2, h2, ch2, px2 = decode_png(data)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert bytes(px2) == px
+    # hand-build a grayscale PNG using filters 1-4 (one per row)
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    w, h = 4, 4
+    rows = [bytes([10, 20, 30, 40]), bytes([5, 5, 5, 5]),
+            bytes([7, 9, 11, 13]), bytes([1, 2, 3, 4])]
+    # encode each row with filter y+1 (Sub, Up, Average, Paeth)
+    enc = bytearray()
+    prev = bytes(w)
+    for y, row in enumerate(rows):
+        f = y + 1
+        enc.append(f)
+        for i in range(w):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if f == 1:
+                enc.append((row[i] - a) & 0xFF)
+            elif f == 2:
+                enc.append((row[i] - b) & 0xFF)
+            elif f == 3:
+                enc.append((row[i] - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((row[i] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(enc))) + chunk(b"IEND", b""))
+    w2, h2, ch2, px2 = decode_png(data)
+    assert bytes(px2) == b"".join(rows)
+    # nearest-neighbor upscale picks source pixels, never invents values
+    up, sw, sh = resize_png(data, 8, 8)
+    w3, h3, _ch3, px3 = decode_png(up)
+    assert (sw, sh, w3, h3) == (4, 4, 8, 8)
+    assert set(px3) <= set(b"".join(rows))

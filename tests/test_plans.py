@@ -51,33 +51,35 @@ def test_topk_uses_window_group_limit(spark, sf_dir, queries):
     assert "WindowGroupLimit" in plan, plan
 
 
-def test_no_python_udf_in_relational_paths(spark, sf_dir, queries):
-    """Everything except the declared pandas/arrow paths must compile
-    to JVM expressions — BatchEvalPython in a plan means a Python
-    row-loop snuck into the hot path."""
+def test_all_query_plans_are_scale_clean(spark, sf_dir, queries):
+    """One plan-build pass over every registered query, two gates:
+
+    (a) No Python in relational paths — everything except the declared
+    pandas/arrow queries must compile to JVM expressions
+    (BatchEvalPython in a plan means a Python row-loop snuck into the
+    hot path).
+
+    (b) No partition-less window — a windowspec ordering the WHOLE
+    dataset funnels every row through ONE task; fine at sf0.01, fatal
+    at 100 TB. A windowspecdefinition whose first argument carries
+    ASC/DESC has ordering but no partition columns; reject that.
+
+    (Merged into one test: building all ~70 plans dominates the
+    wall-clock, so each plan is built once and checked for both.)"""
     python_ok = {
         "apsp_min_merge", "nearest_flagged",      # applyInPandas BFS
         "multimodal_features",                    # mapInPandas decode
         "dedup_embedding_cosine",                 # mapInPandas block matmul
     }
     for name, q in queries.items():
-        if name in python_ok:
-            continue
         plan = plan_of(q(spark, sf_dir))
-        assert "BatchEvalPython" not in plan, f"{name} uses Python UDF"
-        assert "ArrowEvalPython" not in plan, f"{name} uses pandas UDF"
-        assert "FlatMapGroupsInPandas" not in plan, f"{name} uses applyInPandas"
-        assert "MapInPandas" not in plan, f"{name} uses mapInPandas"
-
-
-def test_no_partitionless_window(spark, sf_dir, queries):
-    """No registered query may run a window over the WHOLE dataset:
-    a partition-less windowspec funnels every row through ONE task —
-    fine at sf0.01, fatal at 100 TB. A windowspecdefinition whose
-    first argument carries ASC/DESC has ordering but no partition
-    columns; that's the signature we reject."""
-    for name, q in queries.items():
-        plan = plan_of(q(spark, sf_dir))
+        if name not in python_ok:
+            assert "BatchEvalPython" not in plan, f"{name} uses Python UDF"
+            assert "ArrowEvalPython" not in plan, f"{name} uses pandas UDF"
+            assert "FlatMapGroupsInPandas" not in plan, (
+                f"{name} uses applyInPandas"
+            )
+            assert "MapInPandas" not in plan, f"{name} uses mapInPandas"
         for chunk in plan.split("windowspecdefinition(")[1:]:
             first_arg = chunk.split(",", 1)[0]
             assert " ASC" not in first_arg and " DESC" not in first_arg, (
@@ -287,3 +289,56 @@ def test_salted_join_balances_hot_key(spark):
     # two columns
     plan = plan_of(salted_join(fact, dim, "k", n_salts=n_salts))
     assert "_salt" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The OTHER half of the skew story (SURVEY §4): when the hot key
+    only shows up at shuffle time, AQE's skew-join splits the oversized
+    partition at runtime — the executed plan must carry
+    SortMergeJoin(skew=true) with a 'coalesced and skewed'
+    AQEShuffleRead on the fact side. (salted_join handles skew the
+    planner can see; AQE handles skew it can't.)"""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB"
+        )
+        n = 200_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") < n * 3 // 10, 0)
+            .otherwise(F.pmod(F.col("id"), 199) + 1)
+            .alias("k"),
+            F.col("id").alias("pay"),
+        )
+        other = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+        )
+        j = fact.join(other, "k")
+        assert len(j.collect()) == n
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "coalesced and skewed" in plan, plan
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -12,7 +12,10 @@ def test_all_schemas_roundtrip_parquet(spark, tmp_path):
     # all 77 reference v7 tables (`SQL/create-TCRDv7.sql`) plus the six
     # loader-defined ones (tiga/tiga_provenance/grant/virus/viral_*)
     assert len(TABLE_SCHEMAS) == 83
-    for name, schema in TABLE_SCHEMAS.items():
+    from concurrent.futures import ThreadPoolExecutor
+
+    def roundtrip(item):
+        name, schema = item
         df = spark.createDataFrame([], schema)
         path = str(tmp_path / f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
@@ -21,6 +24,12 @@ def test_all_schemas_roundtrip_parquet(spark, tmp_path):
         got = [(f.name, f.dataType) for f in back.schema.fields]
         want = [(f.name, f.dataType) for f in schema.fields]
         assert got == want, name
+
+    # 83 independent write+read jobs: submit concurrently (Spark
+    # schedules jobs from multiple threads fine) — the test is
+    # commit-latency-bound, not work-bound
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(roundtrip, TABLE_SCHEMAS.items()))
 
 
 NUMERIC_ID_COLS = {
