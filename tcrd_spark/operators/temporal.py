@@ -1,0 +1,294 @@
+"""Temporal joins Spark lacks as builtins: as-of join and range join.
+
+Training-data pipelines and event analytics need both constantly
+(feature-as-of-time joins, interval overlap); kdb/TimescaleDB/DuckDB
+ship them natively, Spark does not. Both are expressed here as
+compositions of existing DataFrame ops — no UDF, no driver loop — with
+the distributed shape chosen for 100 TB:
+
+- asof_join: the classic sorted-merge "most recent right row at or
+  before the left row's time, per key". NOT a join at all in the
+  physical plan: both sides union into one frame, one shuffle by key,
+  and a running `last(right_payload, ignorenulls)` window fills each
+  left row from the latest preceding right row. One exchange, no
+  row-pair explosion, no range predicate for the optimizer to botch
+  into a nested-loop join. (DuckDB spells the same semantics as
+  ASOF JOIN; the oracle spells it with an explicit window so the
+  tie-break rule is pinned, not engine-defined.)
+
+- range_join: interval-overlap equi-ization by binning. Each interval
+  lands in ⌈len/W⌉ bins of width W; candidates join on (keys, bin)
+  and the exact overlap predicate verifies. The first-overlap-bin
+  guard (emit only where the joined bin is the FIRST bin both
+  intervals share) makes each true pair appear exactly once — no
+  distinct/dedup shuffle. Bin width trades replication (short W) vs
+  candidate fan-out (long W); pick W ≈ median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_order: str | None = None,
+    tolerance_seconds: float | None = None,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join (inclusive): every left row, plus
+    `right_cols` from the right row with the greatest `right_ts` ≤
+    the left row's `left_ts` within the same `on` keys — NULLs when no
+    such row exists (left-outer semantics).
+
+    Ties on right_ts break deterministically by `right_order`
+    (ascending; the LAST one wins → max order value), so results are
+    reproducible and oracle-checkable. `tolerance_seconds` voids
+    matches older than the window (rows keep NULLs instead), the kdb
+    `wj`/pandas `merge_asof(tolerance=...)` behavior.
+
+    Scale: one hash exchange on `on` + one sort within partitions —
+    the same cost as a single shuffle join, regardless of how many
+    right rows precede each left row. Skewed keys salt/AQE-split the
+    same way any single-key shuffle does.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        F.lit(0).alias("_is_r"),
+        F.col(left_ts).alias("_t"),
+        F.lit(None).cast("double").alias("_ro"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}")
+            for c in right_cols
+        ],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{prefix}{right_ts}"),
+    )
+    tagged_r = right.select(
+        *on,  # join keys must carry the same names on both sides
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        F.lit(1).alias("_is_r"),
+        F.col(right_ts).alias("_t"),
+        (
+            F.col(right_order).cast("double")
+            if right_order is not None
+            else F.lit(0.0)
+        ).alias("_ro"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.col(right_ts).alias(f"{prefix}{right_ts}"),
+    )
+    # right rows sort BEFORE left rows at equal time (inclusive ≤);
+    # among equal-time right rows the largest right_order sorts last,
+    # so `last(...)` picks it — the pinned tie-break
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_is_r").desc(), F.col("_ro").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_l.unionByName(tagged_r).select(
+        *on,
+        *[c for c in lcols if c not in on],
+        "_is_r",
+        "_t",
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_cols + [right_ts]
+        ],
+    )
+    out = filled.filter(F.col("_is_r") == 0)
+    if tolerance_seconds is not None:
+        in_window = (
+            F.col("_t").cast("double")
+            - F.col(f"{prefix}{right_ts}").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.select(
+            *on,
+            *[c for c in lcols if c not in on],
+            "_is_r",
+            "_t",
+            *[
+                F.when(in_window, F.col(f"{prefix}{c}"))
+                .otherwise(F.lit(None))
+                .alias(f"{prefix}{c}")
+                for c in right_cols + [right_ts]
+            ],
+        )
+    return out.drop("_is_r", "_t")
+
+
+def range_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    on: list[str] | None = None,
+    bin_width: float = 1.0,
+    how_overlap: str = "closed",
+) -> DataFrame:
+    """Interval-overlap join: all (a, b) row pairs whose
+    [start, end] intervals overlap (closed: touching endpoints count),
+    optionally within equal `on` keys. Column names must be disjoint
+    across a and b (alias before calling).
+
+    Equi-ization: explode each interval into its covering bins of
+    `bin_width`, hash-join on (on, bin), verify the exact predicate.
+    The first-overlap-bin guard emits each qualifying pair exactly
+    once — max(floor(a_start/W), floor(b_start/W)) is the same number
+    computed on both sides of the join, so no distinct() shuffle.
+    Candidate count = true pairs + same-bin non-overlaps; replication
+    factor per row = interval length / W.
+    """
+    on = on or []
+    W = float(bin_width)
+
+    def binned(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+        return df.withColumn(
+            tag,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / W).cast("long"),
+                    F.floor(F.col(end) / W).cast("long"),
+                )
+            ),
+        )
+    ba = binned(a, a_start, a_end, "_bin")
+    bb = binned(b, b_start, b_end, "_bin")
+    if how_overlap == "closed":
+        overlap = (F.col(a_start) <= F.col(b_end)) & (
+            F.col(b_start) <= F.col(a_end)
+        )
+    elif how_overlap == "open":
+        overlap = (F.col(a_start) < F.col(b_end)) & (
+            F.col(b_start) < F.col(a_end)
+        )
+    else:
+        raise ValueError(f"range_join: how_overlap={how_overlap!r}")
+    first_shared_bin = F.greatest(
+        F.floor(F.col(a_start) / W).cast("long"),
+        F.floor(F.col(b_start) / W).cast("long"),
+    )
+    return (
+        ba.join(bb, on + ["_bin"])
+        .where(overlap & (F.col("_bin") == first_shared_bin))
+        .drop("_bin")
+    )
+
+
+# ------------------------------------------------- driver queries
+
+def q_asof_join_events(spark, sf_dir):
+    """Feature-as-of-time: each click event joined to the SAME user's
+    most recent purchase at or before it (141 clicks at sf0.01 have no
+    prior purchase → NULL branch exercised). The engine runs the
+    union+window sorted-merge plan; the oracle spells the identical
+    rule (max ts, ties to max event_id) with an explicit window."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+    )
+
+
+def q_range_join_events(spark, sf_dir):
+    """Interval-overlap: same-user (view, click) pairs whose value
+    intervals [value, value+20] overlap — the binned equi-join with
+    the first-overlap-bin guard (one output row per true pair, no
+    dedup shuffle)."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("value").alias("v_lo"),
+        (F.col("value") + 20.0).alias("v_hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_lo"),
+        (F.col("value") + 20.0).alias("c_hi"),
+    )
+    out = range_join(
+        views,
+        clicks.withColumnRenamed("c_user", "user_id"),
+        "v_lo",
+        "v_hi",
+        "c_lo",
+        "c_hi",
+        on=["user_id"],
+        bin_width=20.0,
+    )
+    return out.select("user_id", "v_id", "c_id", "v_lo", "c_lo")
+
+
+QUERIES = {
+    "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
+}
+
+ORACLE = {
+    "asof_join_events": """
+        WITH c AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'
+        ),
+        m AS (
+          SELECT c.event_id,
+                 p.event_id AS pid, p.value AS pval, p.ts AS pts,
+                 row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY p.ts DESC, p.event_id DESC) AS rn
+          FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+        )
+        SELECT c.user_id, c.event_id, c.ts, c.value,
+               m.pid AS r_event_id, m.pval AS r_value, m.pts AS r_ts
+        FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          USING (event_id)
+    """,
+    "range_join_events": """
+        WITH v AS (
+          SELECT user_id, event_id AS v_id, value AS v_lo,
+                 value + 20.0 AS v_hi
+          FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+          SELECT user_id, event_id AS c_id, value AS c_lo,
+                 value + 20.0 AS c_hi
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT v.user_id, v_id, c_id, v_lo, c_lo
+        FROM v JOIN c ON v.user_id = c.user_id
+         AND v_lo <= c_hi AND c_lo <= v_hi
+    """,
+}

@@ -42,17 +42,17 @@ PRIORITY = (
     "ann_bruteforce",
     "window_sliding",
     # NEW this round: trained-IVF build-path adjudication, persisted
-    # partition-pruned index, incremental TDL refresh
+    # partition-pruned index, incremental TDL refresh, temporal joins
     "kmeans_assign",
     "ann_ivf_indexed",
     "tdl_refresh_delta",
+    "asof_join_events",
+    "range_join_events",
     # joins / aggregation with code touched or non-trivial plans
     "fallback_join_cascade",
     "self_join_common",
     "mode_consensus",
     "min_tie_expansion",
-    "pivot_wide",
-    "grouped_set_agg",
     # windows
     "rank_compound_order",
     "topk_per_group",
@@ -87,6 +87,8 @@ PRIORITY = (
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "pivot_wide",
+    "grouped_set_agg",
     "scan_project_filter",
     "three_way_entity_join",
     "semi_join",
@@ -110,10 +112,17 @@ PRIORITY = (
 
 
 def _collect():
-    from tcrd_spark.operators import aggregates, joins, scans, setops, windows
+    from tcrd_spark.operators import (
+        aggregates,
+        joins,
+        scans,
+        setops,
+        temporal,
+        windows,
+    )
     from tcrd_spark.functions import scalars
 
-    mods = [scans, joins, aggregates, windows, setops, scalars]
+    mods = [scans, joins, aggregates, windows, setops, temporal, scalars]
     for name in ("graph",):
         try:
             from tcrd_spark.operators import graph as _g

@@ -102,3 +102,69 @@ def load_lake(spark: SparkSession, lake_dir: str) -> dict[str, DataFrame]:
                 os.path.join(lake_dir, fn)
             )
     return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str | None = None,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for a parquet table (optionally
+    hive-partitioned by `partition_col`): rewrite to
+    ⌈bytes/target⌉ files (per partition when partitioned), preserving
+    data, schema, and partition layout.
+
+    Streaming sinks are the canonical producer of the problem —
+    `stream_ivf_append` lands one file per micro-batch per cell, and
+    at 100 TB a scan's task count (and the namenode/listing load) is
+    file-count-bound, so periodic compaction is part of the index's
+    maintenance loop, not an afterthought. The rewrite stages into a
+    sibling `<path>.__compact__` directory and swaps via two renames —
+    the table is never half-written in place (readers racing the swap
+    on an object store should read through a catalog/manifest; the
+    swap is atomic on HDFS/POSIX renames).
+
+    Returns {"files_before": n, "files_after": m}.
+    """
+    import glob
+    import shutil
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"),
+                               recursive=True)
+            if not os.path.basename(f).startswith("_")
+        )
+
+    def _bytes(p: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"),
+                               recursive=True)
+        )
+
+    before = _count_files(path)
+    total = max(1, _bytes(path))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    if partition_col is None:
+        n_files = max(1, -(-total // target_bytes_per_file))
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    else:
+        # one write, partition-local file counts: repartition by the
+        # partition column so each partition directory compacts to few
+        # files without a global shuffle per partition
+        n_files = max(1, -(-total // target_bytes_per_file))
+        (
+            df.repartition(n_files, partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count_files(path)}

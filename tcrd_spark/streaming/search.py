@@ -108,3 +108,40 @@ def streaming_running_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_ivf_append(
+    corpus_stream: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    index_path: str,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Streaming IVF index maintenance: vectors arriving on a stream
+    are assigned to their nearest cell (the same row-local broadcast
+    argmax as the batch build — assign_cells works unchanged on a
+    streaming frame because it has no shuffle) and APPENDED into the
+    cell_id-partitioned parquet index that ivf_topk_indexed searches.
+
+    This closes the loop a real retrieval system needs: the index is
+    not a one-shot artifact but an append-only table the ingest
+    pipeline keeps current; searches stay partition-pruned regardless
+    of how many micro-batches have landed. Parquet sink + checkpoint
+    give exactly-once appends across restarts. Returns the started
+    StreamingQuery.
+    """
+    from tcrd_spark.pipeline.similarity import assign_cells
+
+    assigned = assign_cells(corpus_stream, centroids, dim)
+    writer = (
+        assigned.select("c_id", "c_vec", "c_vec_nrm", "cell_id")
+        .writeStream.format("parquet")
+        .option("path", index_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("cell_id")
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

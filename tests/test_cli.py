@@ -9,9 +9,23 @@ from tests.tcrd_fixtures import build_lake
 
 @pytest.fixture(scope="module")
 def lake_dir(spark, tmp_path_factory):
+    from concurrent.futures import ThreadPoolExecutor
+
     d = tmp_path_factory.mktemp("lake")
-    for name, df in build_lake(spark).items():
-        df.write.mode("overwrite").parquet(str(d / f"{name}.parquet"))
+
+    def write(item):
+        name, df = item
+        # coalesce(1): a 6-row local DataFrame otherwise writes as 32
+        # near-empty tasks, and each such job monopolizes the local
+        # scheduler — 1 task per write lets the jobs truly overlap
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"{name}.parquet")
+        )
+
+    # ~45 independent tiny writes: submit concurrently — commit
+    # latency, not work, dominates
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(write, build_lake(spark).items()))
     return str(d)
 
 

@@ -164,3 +164,44 @@ def test_rgd(spark, tmp_path):
     t = out.rat_term.first()
     assert t.term_id == "DOID:10763" and t.qualifier is None
     assert t.evidence == "IAGP" and t.ontology == "Disease Ontology"
+
+
+def test_compact_table_plain_and_partitioned(spark, tmp_path):
+    """compact_table collapses a many-small-file table (the streaming
+    sink shape) into few files while preserving rows and, for
+    partitioned tables, the partition directory layout."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.sources.lake import compact_table
+
+    # plain table: 40 tiny files
+    p1 = str(tmp_path / "plain")
+    spark.range(4000).repartition(40).write.parquet(p1)
+    r1 = compact_table(spark, p1, target_bytes_per_file=1 << 30)
+    assert r1["files_before"] >= 40
+    assert r1["files_after"] == 1
+    assert spark.read.parquet(p1).count() == 4000
+    assert not os.path.exists(p1 + ".__compact__")
+    assert not os.path.exists(p1 + ".__old__")
+
+    # partitioned table: many files per partition → few, layout kept
+    p2 = str(tmp_path / "parts")
+    df = spark.range(3000).select(
+        F.pmod(F.col("id"), 3).alias("cell_id"), F.col("id").alias("v")
+    )
+    for _ in range(5):  # five appends = five files per partition
+        df.coalesce(1).write.mode("append").partitionBy("cell_id").parquet(p2)
+    r2 = compact_table(
+        spark, p2, partition_col="cell_id", target_bytes_per_file=1 << 30
+    )
+    assert r2["files_before"] >= 15
+    assert r2["files_after"] <= 3  # at most one per partition here
+    back = spark.read.parquet(p2)
+    assert back.count() == 15000
+    assert sorted(
+        os.path.basename(d)
+        for d in glob.glob(p2 + "/cell_id=*")
+    ) == ["cell_id=0", "cell_id=1", "cell_id=2"]

@@ -16,7 +16,7 @@ def test_all_schemas_roundtrip_parquet(spark, tmp_path):
 
     def roundtrip(item):
         name, schema = item
-        df = spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], schema).coalesce(1)
         path = str(tmp_path / f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)
         back = spark.read.parquet(path)

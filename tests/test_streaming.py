@@ -466,3 +466,58 @@ def test_streaming_topk_tie_break_at_cutoff(spark, tmp_path):
     for r in rows:
         final[r.rank] = r.c_id
     assert final == {1: 1, 2: 2, 3: 3}
+
+
+def test_stream_ivf_append_matches_batch_index(spark, sf_dir, tmp_path):
+    """Index maintenance loop: replaying the embeddings corpus through
+    stream_ivf_append must produce an index over which
+    ivf_topk_indexed returns EXACTLY the batch ivf_topk results — the
+    streamed index is the batch index, just built incrementally."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.similarity import ivf_topk, ivf_topk_indexed
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.streaming.search import stream_ivf_append
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").cast("array<double>").alias("cell_vec"),
+    )
+    src = str(tmp_path / "arrivals")
+    corpus.repartitionByRange(3, "c_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema("c_id long, c_vec array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "ivf_index")
+    q = stream_ivf_append(
+        stream, cents, dim=64, index_path=idx,
+        checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True,
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    streamed = {
+        (r.q_id, r.rank): (r.c_id, r.score)
+        for r in ivf_topk_indexed(
+            queries, idx, cents, dim=64, k=5, n_probe=2
+        ).collect()
+    }
+    batch = {
+        (r.q_id, r.rank): (r.c_id, r.score)
+        for r in ivf_topk(
+            queries, corpus, cents, dim=64, k=5, n_probe=2
+        ).collect()
+    }
+    assert streamed == batch

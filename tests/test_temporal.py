@@ -1,0 +1,141 @@
+"""As-of join and range join: semantics (ties, tolerance, null branch,
+touching endpoints) and the scale-defining plan shapes (as-of is one
+exchange and ZERO join nodes; range join is an equi hash join, never a
+nested-loop)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcrd_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    # the classic finance shape: trades as-of latest quote
+    quotes = spark.createDataFrame(
+        [
+            ("A", 1.0, 10.0, 1),
+            ("A", 3.0, 11.0, 2),
+            ("A", 3.0, 12.0, 3),   # tie at t=3 → id 3 wins
+            ("A", 7.0, 13.0, 4),
+            ("B", 5.0, 50.0, 5),
+        ],
+        "sym string, t double, px double, qid long",
+    )
+    trades = spark.createDataFrame(
+        [
+            ("A", 0.5, 1),   # before any quote → null
+            ("A", 3.0, 2),   # equal time → inclusive, tie-broken
+            ("A", 6.9, 3),
+            ("A", 9.0, 4),
+            ("B", 4.0, 5),   # B has no quote until 5.0 → null
+            ("C", 1.0, 6),   # key with no right rows at all
+        ],
+        "sym string, t double, tid long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_semantics(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px", "qid"], right_order="qid",
+    )
+    got = {r.tid: (r.r_px, r.r_qid) for r in out.collect()}
+    assert got == {
+        1: (None, None),
+        2: (12.0, 3),     # inclusive ≤ and tie → max qid
+        3: (12.0, 3),     # latest quote at/before 6.9 is t=3 pair
+        4: (13.0, 4),
+        5: (None, None),
+        6: (None, None),
+    }
+    assert out.count() == trades.count()  # left-outer: every left row
+
+
+def test_asof_tolerance(quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], right_order="qid", tolerance_seconds=2.0,
+    )
+    got = {r.tid: r.r_px for r in out.collect()}
+    # trade 4 at t=9: latest quote t=7 is 2.0 away → kept;
+    # trade 3 at t=6.9: latest quote t=3 is 3.9 away → voided
+    assert got[4] == 13.0
+    assert got[3] is None
+    assert got[2] == 12.0
+
+
+def test_asof_plan_is_one_exchange_no_join(quotes_trades):
+    """The as-of plan must be union → ONE hash exchange → window —
+    no join operator at all (the reason it survives unbounded right
+    cardinality at scale)."""
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], right_order="qid",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_range_join_pairs_and_endpoints(spark):
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 30.0), (3, 45.0, 46.0)],
+        "aid long, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0, 15.0), (2, 31.0, 40.0), (3, 44.0, 47.0), (4, 5.0, 21.0)],
+        "bid long, b_lo double, b_hi double",
+    )
+    closed = range_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=7.0)
+    pairs = {(r.aid, r.bid) for r in closed.collect()}
+    # (1,1): touching at 10 counts (closed); (1,4),(2,4) overlap;
+    # (3,3) contained; (2,2) touching? 30 vs 31 — no
+    assert pairs == {(1, 1), (1, 4), (2, 4), (3, 3)}
+    opened = range_join(
+        a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=7.0,
+        how_overlap="open",
+    )
+    assert {(r.aid, r.bid) for r in opened.collect()} == {
+        (1, 4), (2, 4), (3, 3)
+    }
+
+
+def test_range_join_each_pair_exactly_once(spark):
+    """Long intervals span many bins; the first-overlap-bin guard must
+    still emit each qualifying pair exactly once (no distinct in the
+    plan)."""
+    a = spark.createDataFrame(
+        [(i, float(i), float(i) + 50.0) for i in range(40)],
+        "aid long, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(j, float(j) + 25.0, float(j) + 26.0) for j in range(40)],
+        "bid long, b_lo double, b_hi double",
+    )
+    out = range_join(a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=5.0)
+    rows = [(r.aid, r.bid) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # exactly once each
+    # brute-force truth
+    brute = {
+        (x, y)
+        for x in range(40)
+        for y in range(40)
+        if x <= y + 26.0 and y + 25.0 <= x + 50.0
+    }
+    assert set(rows) == brute
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_range_join_rejects_bad_mode(spark):
+    a = spark.createDataFrame([(1, 0.0, 1.0)], "aid long, a_lo double, a_hi double")
+    with pytest.raises(ValueError, match="how_overlap"):
+        range_join(a, a.selectExpr("aid bid", "a_lo b_lo", "a_hi b_hi"),
+                   "a_lo", "a_hi", "b_lo", "b_hi", how_overlap="half")
