@@ -1,0 +1,320 @@
+"""Corpus-construction operators for a large-scale training-data
+pipeline: near-dup GROUP resolution (connected components), dedup
+against an existing corpus (incremental near-dups), deterministic
+sharding / interleaving, stratified sampling, global-quantile
+filtering, and fixed-token-budget sequence packing.
+
+The reference (unmtransinfo/TCRD) has no corpus tooling — these are
+the LLM-data-pipeline extension surface (BASELINE.json north star),
+built scale-first:
+
+- every hash is the portable ``hash60`` (functions/hashing.py), so a
+  DuckDB oracle reproduces results bit-identically;
+- connected components is the alternating large-star/small-star
+  algorithm (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14) — O(log n) rounds, each round two key-grouped
+  shuffles, never any driver-side graph state;
+- sharding / sampling / packing are pure window + hash expressions
+  (whole-stage codegen, one hash-partitioned exchange each).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tcrd_spark.functions.hashing import hash60
+from tcrd_spark.operators.graph import _truncate
+
+
+# ------------------------------------------------------- connected components
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Undirected edge list → (node, component), component = min node
+    id reachable. Only nodes that appear in ``edges`` are returned
+    (callers left-join isolated nodes back, label = self).
+
+    Alternating large-star / small-star (Kiveris et al. SoCC'14 §3):
+    each round rewires edges toward per-neighborhood minima; the edge
+    set converges to a star forest rooted at each component's min in
+    O(log n) rounds. Per round: two groupBy shuffles on node id, both
+    map-side combinable (MIN). Nothing ever touches the driver except
+    the O(1) convergence test; lineage is truncated per round so
+    Catalyst analysis stays O(1) per iteration. At 100 TB this is the
+    standard formulation: no component is ever materialized as a
+    single task's worth of state, so hub components (a viral document
+    duplicated everywhere) spread across the cluster instead of OOMing
+    one executor.
+    """
+    def _sig(df: DataFrame) -> tuple:
+        # O(1)-output convergence signature: (edge count, checksum).
+        # One job instead of count + exceptAll (a full shuffle join);
+        # xxhash64 is used ONLY for change detection, never in results.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("s"),
+        ).first()
+        return (row["n"], row["s"])
+
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = _truncate(e)
+    prev = _sig(e)
+    # per-neighborhood minima via an unordered window (min over the
+    # whole u-partition): ONE exchange per star step, versus the
+    # textbook groupBy+self-join formulation's three — the window and
+    # the emit read the same shuffled partition
+    wu = Window.partitionBy("u")
+    for _ in range(max_iter):
+        # --- large-star: for each node n, m = min(Γ(n) ∪ {n});
+        #     emit (v, m) for every neighbor v > n
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        # --- small-star: orient edges high→low; for each node n,
+        #     m = min(Γ(n)); emit (v, m) for v ∈ Γ(n) plus (n, m)
+        o = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).withColumn("m", F.min("v").over(wu))
+        ss = (
+            o.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(o.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        ss = _truncate(ss)
+        # converged ⇔ the edge set is unchanged (a star forest is a
+        # fixpoint of both rewrites)
+        cur = _sig(ss)
+        e = ss
+        if cur == prev:
+            break
+        prev = cur
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+
+def dedup_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve near-dup PAIRS into transitive GROUPS, one row per doc:
+    (doc_id, group_id, group_sz). group_id = min doc id of the group
+    (isolated docs form their own group); the canonical "keep one
+    representative per duplicate cluster" step that follows any pair
+    detector — pairs alone under-remove: A~B, B~C must all collapse
+    even when A~C scored below threshold.
+    """
+    cc = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("group_id"),
+        )
+    )
+    sizes = labeled.groupBy("group_id").agg(F.count("*").alias("group_sz"))
+    return labeled.join(sizes, "group_id").select(id_col, "group_id", "group_sz")
+
+
+# ------------------------------------------------- incremental (batch) dedup
+
+def incremental_near_dups(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Dedup an incoming BATCH against an existing CORPUS without
+    re-pairing the corpus with itself — the production shape: the
+    corpus's shingle index is precomputed/persisted once and each
+    ingest batch probes it.
+
+    Returns one row per batch doc: (doc_id, exact_src, near_src,
+    verdict) where exact_src = min corpus doc with identical text,
+    near_src = min corpus doc with n-gram Jaccard ≥ threshold, and
+    verdict ∈ {'exact', 'near', 'new'}. Candidate generation is a
+    shared-shingle equi-join batch→corpus (inverted-index probe: cost
+    ∝ batch size × avg postings, never corpus²); verify is exact
+    Jaccard on candidates only.
+    """
+    from tcrd_spark.pipeline.dedup import hashed_shingles
+
+    b_hash = batch.select(
+        F.col(id_col).alias("b_id"), hash60(F.col(text_col)).alias("th")
+    )
+    c_hash = corpus.select(
+        F.col(id_col).alias("c_id"), hash60(F.col(text_col)).alias("th")
+    )
+    exact = (
+        b_hash.join(c_hash, "th")
+        .groupBy("b_id")
+        .agg(F.min("c_id").alias("exact_src"))
+    )
+
+    b_sh = hashed_shingles(batch, id_col, text_col, n).select(
+        F.col(id_col).alias("b_id"), F.col("hs").alias("hs_b")
+    ).cache()
+    c_sh = hashed_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("c_id"), F.col("hs").alias("hs_c")
+    ).cache()
+    b_inv = b_sh.select("b_id", F.explode("hs_b").alias("g"))
+    c_inv = c_sh.select("c_id", F.explode("hs_c").alias("g"))
+    cand = b_inv.join(c_inv, "g").select("b_id", "c_id").distinct()
+    near = (
+        cand.join(b_sh, "b_id")
+        .join(c_sh, "c_id")
+        .select(
+            "b_id",
+            "c_id",
+            (
+                F.size(F.array_intersect("hs_b", "hs_c"))
+                / (
+                    F.size("hs_b")
+                    + F.size("hs_c")
+                    - F.size(F.array_intersect("hs_b", "hs_c"))
+                )
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("c_id").alias("near_src"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("b_id"))
+        .join(exact, "b_id", "left")
+        .join(near, "b_id", "left")
+        .select(
+            F.col("b_id").alias(id_col),
+            "exact_src",
+            "near_src",
+            F.when(F.col("exact_src").isNotNull(), F.lit("exact"))
+            .when(F.col("near_src").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+# ------------------------------------------------- sharding / interleaving
+
+def shard_assign(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Deterministic shard + interleaved position per row: shard =
+    hash60(id) mod n_shards; pos = rank of hash60 within the shard.
+
+    Hash-ordered positions interleave the source ordering (adjacent
+    input rows land far apart in every shard) — the training-data
+    write-out contract: any prefix of any shard is an unbiased sample.
+    One hash-partitioned exchange (the window); the hash itself is
+    md5-based and engine-portable, so shard layouts are reproducible
+    anywhere, not an artifact of Spark's internal hash.
+    """
+    h = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the ``quota`` rows with
+    the smallest hash60(id) per stratum (corpus balancing: equal-sized
+    language/source slices regardless of raw skew). Hash-ranking makes
+    the sample uniform-at-random w.r.t. any input correlate yet stable
+    across runs/engines — no RNG state, no seed plumbing. One window
+    exchange on the stratum key; strata far above quota can pre-prune
+    with an approx per-stratum hash cutoff before the exact window at
+    extreme skew.
+    """
+    h = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy("h", id_col)
+    return (
+        df.select(strata_col, F.col(id_col), h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select(id_col, strata_col, F.col("rn").alias("sample_rank"))
+    )
+
+
+def quantile_filter(
+    df: DataFrame, id_col: str, score_col: str, q: float
+) -> DataFrame:
+    """Keep rows with score ≥ the global q-quantile (linear
+    interpolation, exact). The scalar threshold is computed once and
+    broadcast-joined (literally a 1-row cross join — Catalyst turns it
+    into BroadcastNestedLoopJoin with a single-row build side); the
+    filter then runs map-side. The exact percentile is a single-pass
+    typed agg; at extreme scale swap for approx_percentile with a
+    documented error bound.
+    """
+    thr = df.agg(
+        F.round(F.percentile(F.col(score_col), F.lit(q)), 6).alias("thr")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(score_col) >= F.col("thr"))
+        .select(F.col(id_col), F.col(score_col), F.col("thr"))
+    )
+
+
+# --------------------------------------------------------- sequence packing
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    n_shards: int,
+    budget: int,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training chunks:
+    documents are sharded and interleaved deterministically (hash
+    order), then each shard is split greedily into contiguous chunks —
+    a document starts a new chunk when the shard-running token total
+    would cross the next budget boundary mid-document... here the
+    simpler offset-bin rule: chunk = floor(tokens_before_doc / budget),
+    i.e. a document belongs to the chunk its first token falls in under
+    the running concatenation. Pure prefix-sum semantics (one window
+    over the shard), so both engines agree exactly and the plan is a
+    single exchange; exact first-fit (reset at each boundary) is
+    sequential per shard and buys <budget/doc_len fewer padding tokens
+    — not worth losing the closed-form plan.
+
+    Returns (doc_id, shard, chunk, n_tok, chunk_off): chunk_off = token
+    offset of the doc inside the running shard stream.
+    """
+    h = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    cum = F.sum(tok_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), F.col(tok_col).alias("n_tok"), h.alias("h"))
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("cum", cum.cast("long"))
+        .select(
+            id_col,
+            "shard",
+            F.floor((F.col("cum") - F.col("n_tok")) / budget).alias("chunk"),
+            "n_tok",
+            (F.col("cum") - F.col("n_tok")).alias("chunk_off"),
+        )
+    )

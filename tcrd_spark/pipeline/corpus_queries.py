@@ -1,0 +1,246 @@
+"""Driver-facing queries for the corpus-construction operators
+(pipeline/corpus.py): near-dup group resolution, incremental dedup,
+sharding, stratified sampling, quantile filtering, sequence packing —
+each with a DuckDB oracle reproducing the identical algorithm (the
+portable md5-based hash60 makes shard/sample/pack layouts and the
+recursive-CTE component labels engine-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcrd_spark.functions.hashing import sql_hash60
+from tcrd_spark.pipeline import corpus, dedup, text
+from tcrd_spark.pipeline.testdata_queries import _JACCARD_PAIRS, _TOKS
+from tcrd_spark.sources.lake import load_table
+
+N_SHARDS = 8
+PACK_SHARDS = 4
+PACK_BUDGET = 2048
+STRATA_QUOTA = 50
+QUANTILE = 0.75
+
+# batch/corpus split for incremental dedup: every 5th doc is the
+# "incoming batch", the rest the standing corpus (a Column expression
+# needs an active session, hence a thunk not a constant)
+def _batch_pred():
+    return F.col("doc_id") % 5 == 0
+
+
+def q_dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS (exact n-gram Jaccard ≥ 0.3) resolved into
+    transitive GROUPS via distributed connected components
+    (large-star/small-star) — the keep-one-representative step."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return corpus.dedup_groups(docs, pairs, "doc_id")
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming batch deduped against the standing corpus: exact-hash
+    and near-dup (Jaccard ≥ 0.3) provenance plus a keep/drop verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.incremental_near_dups(
+        docs.filter(_batch_pred()),
+        docs.filter(~_batch_pred()),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.3,
+    )
+
+
+def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding + interleaved per-shard positions
+    (the training-data write-out layout)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.shard_assign(docs, "doc_id", N_SHARDS)
+    return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sample (corpus balancing), deterministic via
+    hash-ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.stratified_sample(docs, "lang", "doc_id", STRATA_QUOTA)
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above the global 75th-percentile quality
+    score (exact interpolated percentile, broadcast threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(text.quality_score(F.col("text")), 6).alias("quality")
+    )
+    return corpus.quantile_filter(scored, "doc_id", "quality", QUANTILE)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget chunks per shard
+    (BPE-ish token counts, hash-interleaved order, prefix-sum bins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(text.BPE_TOKEN_RE), 0)
+        ).cast("long").alias("n_tok"),
+    )
+    return corpus.sequence_pack(
+        toks, "doc_id", "n_tok", PACK_SHARDS, PACK_BUDGET
+    )
+
+
+QUERIES = {
+    "dedup_groups_cc": q_dedup_groups_cc,
+    "dedup_incremental": q_dedup_incremental,
+    "corpus_shard_assign": q_corpus_shard_assign,
+    "sample_stratified": q_sample_stratified,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "sequence_pack": q_sequence_pack,
+}
+
+
+# ------------------------------------------------------------- oracles
+
+_HID = sql_hash60("doc_id::VARCHAR")
+
+_SHINGLE_SETS = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+             list_distinct(list_transform(range(greatest(len(w) - 2, 0)),
+                 i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3]))),
+             s -> {sql_hash60('s')})) AS hs
+  FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
+"""
+
+_QUALITY = f"""
+  SELECT doc_id,
+         round((CASE WHEN len({_TOKS}) BETWEEN 20 AND 1000
+                     THEN 0.5 ELSE 0 END)
+               + (CASE WHEN len(regexp_extract_all(text, '[^\\w\\s]'))
+                            * 1.0 / length(text) < 0.1
+                       THEN 0.25 ELSE 0 END)
+               + (len(list_intersect(list_distinct({_TOKS}),
+                      ['the', 'a', 'and', 'of', 'to', 'is'])) * 1.0 / 6)
+                 * 0.25, 6) AS quality
+  FROM documents
+"""
+
+ORACLE = {
+    # transitive min-label closure over the same exact-Jaccard edges;
+    # UNION (not ALL) bounds the walk to distinct (node, label) pairs
+    "dedup_groups_cc": f"""
+        WITH RECURSIVE
+        pairs AS (
+          SELECT id_a, id_b FROM ({_JACCARD_PAIRS}) WHERE jaccard >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(lbl) AS group_id FROM walk GROUP BY 1
+        )
+        SELECT l.doc_id, l.group_id, s.group_sz
+        FROM labels l
+        JOIN (SELECT group_id, count(*) AS group_sz
+              FROM labels GROUP BY 1) s USING (group_id)
+    """,
+    "dedup_incremental": f"""
+        WITH sh AS ({_SHINGLE_SETS}),
+        b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+        exact AS (
+          SELECT b.doc_id, min(c.doc_id) AS exact_src
+          FROM b JOIN c
+            ON {sql_hash60('b.text')} = {sql_hash60('c.text')}
+          GROUP BY 1
+        ),
+        bsh AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+        csh AS (SELECT * FROM sh WHERE doc_id % 5 != 0),
+        inv_b AS (SELECT doc_id AS b_id, unnest(hs) AS g FROM bsh),
+        inv_c AS (SELECT doc_id AS c_id, unnest(hs) AS g FROM csh),
+        cand AS (
+          SELECT DISTINCT b_id, c_id FROM inv_b JOIN inv_c USING (g)
+        ),
+        near AS (
+          SELECT b_id AS doc_id, min(c_id) AS near_src FROM (
+            SELECT cand.b_id, cand.c_id,
+                   len(list_intersect(bs.hs, cs.hs)) * 1.0
+                   / (len(bs.hs) + len(cs.hs)
+                      - len(list_intersect(bs.hs, cs.hs))) AS j
+            FROM cand
+            JOIN bsh bs ON bs.doc_id = cand.b_id
+            JOIN csh cs ON cs.doc_id = cand.c_id
+          ) WHERE j >= 0.3 GROUP BY 1
+        )
+        SELECT b.doc_id, e.exact_src, n.near_src,
+               CASE WHEN e.exact_src IS NOT NULL THEN 'exact'
+                    WHEN n.near_src IS NOT NULL THEN 'near'
+                    ELSE 'new' END AS verdict
+        FROM b
+        LEFT JOIN exact e ON e.doc_id = b.doc_id
+        LEFT JOIN near n ON n.doc_id = b.doc_id
+    """,
+    "corpus_shard_assign": f"""
+        WITH h AS (SELECT doc_id, {_HID} AS h FROM documents)
+        SELECT doc_id,
+               CAST(h % {N_SHARDS} AS INTEGER) AS shard,
+               row_number() OVER (PARTITION BY h % {N_SHARDS}
+                                  ORDER BY h, doc_id) AS pos
+        FROM h
+    """,
+    "sample_stratified": f"""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY {_HID}, doc_id) AS sample_rank
+          FROM documents
+        )
+        SELECT doc_id, lang, sample_rank FROM r
+        WHERE sample_rank <= {STRATA_QUOTA}
+    """,
+    "quality_quantile_filter": f"""
+        WITH s AS ({_QUALITY}),
+        t AS (SELECT round(quantile_cont(quality, {QUANTILE}), 6) AS thr
+              FROM s)
+        SELECT doc_id, quality, thr
+        FROM s CROSS JOIN t WHERE quality >= thr
+    """,
+    "sequence_pack": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok,
+                 {_HID} AS h
+          FROM documents
+        ),
+        packed AS (
+          SELECT doc_id,
+                 CAST(h % {PACK_SHARDS} AS INTEGER) AS shard,
+                 n_tok,
+                 sum(n_tok) OVER (PARTITION BY h % {PACK_SHARDS}
+                                  ORDER BY h, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+          FROM toks
+        )
+        SELECT doc_id, shard,
+               CAST(floor((cum - n_tok) * 1.0 / {PACK_BUDGET}) AS BIGINT)
+                 AS chunk,
+               n_tok,
+               cum - n_tok AS chunk_off
+        FROM packed
+    """,
+}

@@ -48,6 +48,15 @@ PRIORITY = (
     "tdl_refresh_delta",
     "asof_join_events",
     "range_join_events",
+    # NEW this round: corpus-construction surface (pipeline/corpus.py)
+    # — CC dedup groups, batch-vs-corpus dedup, sharding, stratified
+    # sampling, quantile gate, sequence packing
+    "dedup_groups_cc",
+    "dedup_incremental",
+    "corpus_shard_assign",
+    "sample_stratified",
+    "quality_quantile_filter",
+    "sequence_pack",
     # joins / aggregation with code touched or non-trivial plans
     "fallback_join_cascade",
     "self_join_common",
@@ -73,20 +82,18 @@ PRIORITY = (
     "corpus_clean",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "ann_ivf",
-    "multimodal_features",
-    # streaming window semantics (batch-equivalent)
-    "window_tumbling",
-    "window_session",
-    # API lifecycles (the reference's two most important entry points)
-    "nested_document",
-    "wide_export",
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "dedup_simhash",
+    "multimodal_features",
+    "window_tumbling",
+    "window_session",
+    "nested_document",
+    "wide_export",
     "pivot_wide",
     "grouped_set_agg",
     "scan_project_filter",
@@ -131,6 +138,7 @@ def _collect():
         except ImportError:
             pass
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
+                    "pipeline.corpus_queries",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries"):
         try:

@@ -1,0 +1,171 @@
+"""Unit tests for pipeline/corpus.py: connected components against a
+reference union-find, group resolution, incremental dedup consistency
+with the batch pair detector, and the determinism/shape invariants of
+sharding, sampling, and packing. Oracle parity for the six registered
+queries is covered by tests/test_operators.py's sweep.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tcrd_spark.pipeline import corpus
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_connected_components_basic(spark):
+    # chain 1-2-3-4, pair 10-11; 7 isolated (not in edges → absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in corpus.connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert got == {2: 1, 3: 1, 4: 1, 11: 10}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = random.Random(7)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = _uf_components(n, edges)
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in corpus.connected_components(df, "id_a", "id_b").collect()
+    }
+    for u, v in edges:
+        assert got.get(u, u) == expected[u]
+        assert got.get(v, v) == expected[v]
+
+
+def test_dedup_groups_labels_and_sizes(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"]
+    )
+    rows = corpus.dedup_groups(docs, pairs, "doc_id").collect()
+    lbl = {r["doc_id"]: (r["group_id"], r["group_sz"]) for r in rows}
+    assert lbl[0] == (0, 3) and lbl[3] == (0, 3) and lbl[5] == (0, 3)
+    assert lbl[1] == (1, 2) and lbl[2] == (1, 2)
+    for iso in (4, 6, 7):
+        assert lbl[iso] == (iso, 1)
+
+
+def test_incremental_matches_full_pair_detector(spark, sf_dir):
+    """A batch doc is 'near' iff the full-corpus exact-Jaccard pair
+    detector links it to some corpus doc; near_src is the min such."""
+    from tcrd_spark.pipeline.dedup import ngram_jaccard_pairs
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    rest = docs.filter(F.col("doc_id") % 5 != 0)
+    out = {
+        r["doc_id"]: r
+        for r in corpus.incremental_near_dups(
+            batch, rest, "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    assert len(out) == batch.count()
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    cross = {}
+    for r in pairs.collect():
+        a, b = r["id_a"], r["id_b"]
+        for x, y in ((a, b), (b, a)):
+            if x % 5 == 0 and y % 5 != 0:
+                cross.setdefault(x, set()).add(y)
+    for doc_id, srcs in cross.items():
+        assert out[doc_id]["near_src"] == min(srcs)
+    for doc_id, r in out.items():
+        if r["near_src"] is not None:
+            assert doc_id in cross
+        assert r["verdict"] in ("exact", "near", "new")
+
+
+def test_shard_assign_shape_and_determinism(spark, sf_dir):
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = corpus.shard_assign(docs, "doc_id", 8).collect()
+    b = corpus.shard_assign(docs, "doc_id", 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == docs.count()
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_stratified_sample_quota(spark, sf_dir):
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    quota = 5
+    out = corpus.stratified_sample(docs, "lang", "doc_id", quota).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r["sample_rank"])
+    avail = {
+        r["lang"]: r["ct"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("ct")).collect()
+    }
+    for lang, ranks in per.items():
+        assert len(ranks) == min(quota, avail[lang])
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Every doc lands in exactly one chunk; chunk = the budget bin of
+    its start offset; offsets are the per-shard running concatenation."""
+    from tcrd_spark.sources.lake import load_table
+
+    budget = 500
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_tok")
+    )
+    out = corpus.sequence_pack(docs, "doc_id", "n_tok", 4, budget).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["chunk_off"])
+        run = 0
+        for r in rows:
+            assert r["chunk_off"] == run
+            assert r["chunk"] == run // budget
+            run += r["n_tok"]
+
+
+def test_quantile_filter_threshold(spark):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["id", "score"]
+    )
+    rows = corpus.quantile_filter(df, "id", "score", 0.9).collect()
+    # exact interpolated p90 of 1..100 = 90.1 → keep 91..100
+    assert sorted(r["id"] for r in rows) == list(range(91, 101))
+    assert all(abs(r["thr"] - 90.1) < 1e-9 for r in rows)
