@@ -26,8 +26,23 @@ def _df(spark: SparkSession, table: str, rows: list[dict]) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
+_LAKE_CACHE: dict[int, dict[str, DataFrame]] = {}
+
+
 def build_lake(spark: SparkSession) -> dict[str, DataFrame]:
-    """6 targets exercising every TDL branch and both xref branches."""
+    """6 targets exercising every TDL branch and both xref branches.
+
+    Memoized per session (the ~80 createDataFrame calls dominate
+    several test modules' setup); callers receive a shallow copy so
+    reassigning keys never leaks across tests — the DataFrames
+    themselves are immutable."""
+    key = id(spark)
+    if key not in _LAKE_CACHE:
+        _LAKE_CACHE[key] = _build_lake(spark)
+    return dict(_LAKE_CACHE[key])
+
+
+def _build_lake(spark: SparkSession) -> dict[str, DataFrame]:
     targets = [
         dict(id=i, name=f"T{i}", ttype="Single Protein", idg=False)
         for i in range(1, 7)

@@ -342,3 +342,57 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_is_index_probe_not_cartesian(spark, sf_dir):
+    """Batch-vs-corpus dedup must candidate-generate through the
+    shared-shingle equi-join (inverted-index probe) — a nested-loop /
+    cartesian anywhere means the batch was paired with the whole
+    corpus, the corpus² shape the operator exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.corpus import incremental_near_dups
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = incremental_near_dups(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shard_and_pack_have_single_exchange(spark, sf_dir):
+    """shard_assign / sequence_pack are one-exchange plans: the hash
+    partition for the per-shard window is the only shuffle (the write
+    layout op must not cost more than the write itself)."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.corpus import sequence_pack, shard_assign
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(shard_assign(docs, "doc_id", 8))
+    assert plan.count("Exchange (") == 1, plan
+    toks = docs.select("doc_id", F.length("text").cast("long").alias("n_tok"))
+    plan = plan_of(sequence_pack(toks, "doc_id", "n_tok", 4, 512))
+    assert plan.count("Exchange (") == 1, plan
+
+
+def test_quantile_filter_broadcasts_scalar_threshold(spark, sf_dir):
+    """The percentile threshold joins as a broadcast single-row build
+    side; the score column must never shuffle for the comparison."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.corpus import quantile_filter
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", F.length("text").cast("double").alias("s"))
+    plan = plan_of(quantile_filter(scored, "doc_id", "s", 0.75))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -28,7 +28,7 @@ def test_all_schemas_roundtrip_parquet(spark, tmp_path):
     # 83 independent write+read jobs: submit concurrently (Spark
     # schedules jobs from multiple threads fine) — the test is
     # commit-latency-bound, not work-bound
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(32) as ex:
         list(ex.map(roundtrip, TABLE_SCHEMAS.items()))
 
 
