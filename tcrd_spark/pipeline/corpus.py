@@ -208,6 +208,85 @@ def incremental_near_dups(
     )
 
 
+# ------------------------------------------------------- vocab / contamination
+
+def vocab_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens with
+    term frequency and document frequency (tokenizer/vocab seeding).
+    Classic wordcount — explode → groupBy(token) with map-side partial
+    aggregation; the global top-k is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps, no full
+    sort, no global window). Ties break lexicographically so the
+    result is deterministic.
+    """
+    from tcrd_spark.pipeline.text import ws_tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .filter(F.col("tf") >= min_count)
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def decontaminate(
+    corpus_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word n-gram with a benchmark/eval set (the train-test-overlap
+    scrub every pretraining pipeline runs before training).
+
+    The benchmark shingle set is small by construction (eval suites
+    are thousands of docs, not billions) — it broadcasts, so the scan
+    of the 100 TB corpus side stays shuffle-free: explode → broadcast
+    hash join → groupBy doc. Returns one row per corpus doc:
+    (doc_id, bench_hits, contaminated 0/1).
+    """
+    from tcrd_spark.pipeline.dedup import hashed_shingles
+
+    c_inv = hashed_shingles(corpus_df, id_col, text_col, n).select(
+        id_col, F.explode("hs").alias("g")
+    )
+    b_set = (
+        hashed_shingles(bench_df, id_col, text_col, n)
+        .select(F.explode("hs").alias("g"))
+        .distinct()
+    )
+    hits = (
+        c_inv.join(F.broadcast(b_set), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("bench_hits"))
+    )
+    return (
+        corpus_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("bench_hits", F.lit(0)).alias("bench_hits"),
+            (F.coalesce("bench_hits", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------- sharding / interleaving
 
 def shard_assign(

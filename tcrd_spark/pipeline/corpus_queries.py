@@ -95,7 +95,29 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 whitespace tokens by term frequency
+    (with doc frequency), min_count 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.vocab_topk(docs, "doc_id", "text", min_count=2, k=100)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id ≥ 10) sharing any
+    word 5-gram with the benchmark set (doc_id < 10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.decontaminate(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
 QUERIES = {
+    "vocab_topk": q_vocab_topk,
+    "decontaminate": q_decontaminate,
     "dedup_groups_cc": q_dedup_groups_cc,
     "dedup_incremental": q_dedup_incremental,
     "corpus_shard_assign": q_corpus_shard_assign,
@@ -131,7 +153,41 @@ _QUALITY = f"""
   FROM documents
 """
 
+# 5-gram shingle sets (decontamination granularity)
+_SHINGLE5 = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+             list_distinct(list_transform(range(greatest(len(w) - 4, 0)),
+                 i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ',
+                             w[i+4], ' ', w[i+5]))),
+             s -> {sql_hash60('s')})) AS hs
+  FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
+"""
+
 ORACLE = {
+    "vocab_topk": f"""
+        SELECT token, tf, df FROM (
+          SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+          GROUP BY 1
+        ) WHERE tf >= 2
+        ORDER BY tf DESC, token ASC LIMIT 100
+    """,
+    "decontaminate": f"""
+        WITH sh AS ({_SHINGLE5}),
+        c AS (SELECT doc_id, unnest(hs) AS g FROM sh WHERE doc_id >= 10),
+        b AS (SELECT DISTINCT unnest(hs) AS g FROM sh WHERE doc_id < 10),
+        hits AS (
+          SELECT doc_id, count(*) AS bench_hits
+          FROM c JOIN b USING (g) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(h.bench_hits, 0) AS bench_hits,
+               CASE WHEN coalesce(h.bench_hits, 0) > 0
+                    THEN 1 ELSE 0 END AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        LEFT JOIN hits h USING (doc_id)
+    """,
     # transitive min-label closure over the same exact-Jaccard edges;
     # UNION (not ALL) bounds the walk to distinct (node, label) pairs
     "dedup_groups_cc": f"""

@@ -57,6 +57,8 @@ PRIORITY = (
     "sample_stratified",
     "quality_quantile_filter",
     "sequence_pack",
+    "vocab_topk",
+    "decontaminate",
     # joins / aggregation with code touched or non-trivial plans
     "fallback_join_cascade",
     "self_join_common",
@@ -79,8 +81,6 @@ PRIORITY = (
     "tinx_novelty",
     "tinx_importance",
     # text / LLM pipeline
-    "corpus_clean",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
@@ -88,6 +88,8 @@ PRIORITY = (
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "corpus_clean",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "multimodal_features",
     "window_tumbling",

@@ -234,3 +234,48 @@ def run_to_memory_sink(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+):
+    """Dedup an unbounded DOCUMENT INGEST STREAM against a standing
+    corpus: each micro-batch probes the corpus's shingle inverted
+    index (pipeline/corpus.incremental_near_dups) and appends per-doc
+    provenance verdicts (exact/near/new) to a parquet sink.
+
+    foreachBatch is the deliberate choice over a continuous
+    stream-static join: the probe is a multi-step plan (hash join +
+    inverted-index candidate join + verify + two left joins) that
+    Structured Streaming cannot express in one continuous query, and
+    foreachBatch gives exactly-once appends via the checkpointed batch
+    id. The static side stays a plain DataFrame — at 100 TB it is the
+    persisted, bucketed shingle index table, re-read per batch only
+    as metadata (parquet footers), not recomputed. Verdicts are
+    against the CORPUS only, by design: intra-stream duplicates are
+    the job of streaming_exact_dedup upstream.
+    """
+    from tcrd_spark.pipeline.corpus import incremental_near_dups
+
+    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
+        (
+            incremental_near_dups(
+                batch_df, corpus, id_col, text_col, n=n, threshold=threshold
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

@@ -169,3 +169,39 @@ def test_quantile_filter_threshold(spark):
     # exact interpolated p90 of 1..100 = 90.1 → keep 91..100
     assert sorted(r["id"] for r in rows) == list(range(91, 101))
     assert all(abs(r["thr"] - 90.1) < 1e-9 for r in rows)
+
+
+def test_vocab_topk_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "z")], ["doc_id", "text"]
+    )
+    rows = corpus.vocab_topk(docs, "doc_id", "text", min_count=2, k=10).collect()
+    got = {r["token"]: (r["tf"], r["df"]) for r in rows}
+    assert got == {"a": (3, 2), "b": (3, 2)}  # c, z below min_count
+
+
+def test_vocab_topk_limit_tie_break(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x y q q")], ["doc_id", "text"]
+    )
+    rows = corpus.vocab_topk(docs, "doc_id", "text", min_count=2, k=2).collect()
+    # all three tie at tf=2 → lexicographic tie-break keeps q, x
+    assert sorted(r["token"] for r in rows) == ["q", "x"]
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    clean = "one two three four five six seven"
+    dirty = "intro alpha beta gamma delta epsilon outro"
+    docs = spark.createDataFrame(
+        [(10, clean), (11, dirty)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate(docs, bench, "doc_id", "text", n=5).collect()
+    }
+    assert rows[10]["contaminated"] == 0 and rows[10]["bench_hits"] == 0
+    # dirty shares exactly one 5-gram: "alpha beta gamma delta epsilon"
+    assert rows[11]["contaminated"] == 1 and rows[11]["bench_hits"] == 1

@@ -521,3 +521,56 @@ def test_stream_ivf_append_matches_batch_index(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, stream_dirs, tmp_path, sf_dir):
+    """The ingest-stream probe (foreachBatch incremental_near_dups
+    against the static corpus) must produce, over all micro-batches,
+    exactly the batch operator's verdicts for the same doc set —
+    per-doc verdicts depend only on the standing corpus, so chunking
+    must not change them."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.corpus import incremental_near_dups
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.streaming.jobs import streaming_incremental_dedup
+
+    src, ckpt = stream_dirs
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    rows = [r.asDict() for r in batch.collect()]
+    third = max(1, len(rows) // 3)
+    for i in range(0, len(rows), third):
+        _write_batch(src, rows[i : i + third], f"chunk_{i:04d}")
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out_path = str(tmp_path / "verdicts")
+    q = streaming_incremental_dedup(stream, corpus, out_path, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: (r["exact_src"], r["near_src"], r["verdict"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        r["doc_id"]: (r["exact_src"], r["near_src"], r["verdict"])
+        for r in incremental_near_dups(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
