@@ -208,6 +208,118 @@ def incremental_near_dups(
     )
 
 
+def build_dedup_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_prefix: str,
+    n: int = 3,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the standing corpus's dedup probe assets as BUCKETED
+    tables (the asset `incremental_near_dups` recomputes per call):
+
+    - ``<prefix>_th``   (c_id, th)  bucketed by th   — exact-hash probe
+    - ``<prefix>_inv``  (g, c_id)   bucketed by g    — shingle postings
+    - ``<prefix>_sets`` (c_id, hs)  bucketed by c_id — verify arrays
+
+    Bucketing is the point: a batch probe join against a bucketed
+    side shuffles ONLY the batch (Spark reads the bucketed side's
+    buckets in place), so per-ingest cost is proportional to the
+    batch, while the corpus-sized shuffle happened once, at build
+    time. Same layout philosophy as build_ivf_index's cell_id
+    partitioning (pipeline/similarity.py).
+    """
+    from tcrd_spark.pipeline.dedup import hashed_shingles
+    from tcrd_spark.sources.lake import write_bucketed
+
+    hashes = corpus_df.select(
+        F.col(id_col).alias("c_id"), hash60(F.col(text_col)).alias("th")
+    )
+    write_bucketed(hashes, f"{table_prefix}_th", "th", n_buckets)
+    sh = hashed_shingles(corpus_df, id_col, text_col, n).select(
+        F.col(id_col).alias("c_id"), F.col("hs")
+    )
+    write_bucketed(
+        sh.select(F.explode("hs").alias("g"), "c_id"),
+        f"{table_prefix}_inv",
+        "g",
+        n_buckets,
+    )
+    write_bucketed(sh, f"{table_prefix}_sets", "c_id", n_buckets)
+
+
+def incremental_near_dups_indexed(
+    batch: DataFrame,
+    table_prefix: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """incremental_near_dups against a persisted build_dedup_index —
+    identical results; the difference is the corpus side is read, not
+    recomputed, and its bucketing keeps every probe join's exchange on
+    the batch side only."""
+    from tcrd_spark.pipeline.dedup import hashed_shingles
+
+    spark = batch.sparkSession
+    c_hash = spark.table(f"{table_prefix}_th")
+    c_inv = spark.table(f"{table_prefix}_inv")
+    c_sets = spark.table(f"{table_prefix}_sets").withColumnRenamed("hs", "hs_c")
+
+    b_hash = batch.select(
+        F.col(id_col).alias("b_id"), hash60(F.col(text_col)).alias("th")
+    )
+    exact = (
+        b_hash.join(c_hash, "th")
+        .groupBy("b_id")
+        .agg(F.min("c_id").alias("exact_src"))
+    )
+    b_sh = hashed_shingles(batch, id_col, text_col, n).select(
+        F.col(id_col).alias("b_id"), F.col("hs").alias("hs_b")
+    ).cache()
+    cand = (
+        b_sh.select("b_id", F.explode("hs_b").alias("g"))
+        .join(c_inv, "g")
+        .select("b_id", "c_id")
+        .distinct()
+    )
+    near = (
+        cand.join(b_sh, "b_id")
+        .join(c_sets, "c_id")
+        .select(
+            "b_id",
+            "c_id",
+            (
+                F.size(F.array_intersect("hs_b", "hs_c"))
+                / (
+                    F.size("hs_b")
+                    + F.size("hs_c")
+                    - F.size(F.array_intersect("hs_b", "hs_c"))
+                )
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .groupBy("b_id")
+        .agg(F.min("c_id").alias("near_src"))
+    )
+    return (
+        batch.select(F.col(id_col).alias("b_id"))
+        .join(exact, "b_id", "left")
+        .join(near, "b_id", "left")
+        .select(
+            F.col("b_id").alias(id_col),
+            "exact_src",
+            "near_src",
+            F.when(F.col("exact_src").isNotNull(), F.lit("exact"))
+            .when(F.col("near_src").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
 # ------------------------------------------------------- vocab / contamination
 
 def vocab_topk(

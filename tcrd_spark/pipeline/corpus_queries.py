@@ -52,6 +52,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_INDEX_CACHE: dict[str, str] = {}
+
+
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same verdicts as dedup_incremental, but probing the PERSISTED
+    bucketed shingle/hash index (build_dedup_index) — the build is the
+    one-off cost (once per process per sf_dir), every probe join's
+    exchange stays on the batch side."""
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = os.path.realpath(sf_dir)
+    prefix = _DEDUP_INDEX_CACHE.get(key)
+    if prefix is None:
+        tag = hashlib.md5(f"{key}:{os.getpid()}".encode()).hexdigest()[:12]
+        prefix = f"dedup_idx_{tag}"
+        corpus.build_dedup_index(
+            docs.filter(~_batch_pred()), "doc_id", "text", prefix, n=3
+        )
+        _DEDUP_INDEX_CACHE[key] = prefix
+    return corpus.incremental_near_dups_indexed(
+        docs.filter(_batch_pred()), prefix, "doc_id", "text", n=3, threshold=0.3
+    )
+
+
 def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-sharding + interleaved per-shard positions
     (the training-data write-out layout)."""
@@ -120,6 +146,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dedup_groups_cc": q_dedup_groups_cc,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_indexed": q_dedup_incremental_indexed,
     "corpus_shard_assign": q_corpus_shard_assign,
     "sample_stratified": q_sample_stratified,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -300,3 +327,7 @@ ORACLE = {
         FROM packed
     """,
 }
+
+# indexed variant: same algorithm, persisted/bucketed corpus side —
+# identical verdicts, so the oracle is shared (like ann_ivf_indexed)
+ORACLE["dedup_incremental_indexed"] = ORACLE["dedup_incremental"]

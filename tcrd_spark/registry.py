@@ -53,6 +53,7 @@ PRIORITY = (
     # sampling, quantile gate, sequence packing
     "dedup_groups_cc",
     "dedup_incremental",
+    "dedup_incremental_indexed",
     "corpus_shard_assign",
     "sample_stratified",
     "quality_quantile_filter",
@@ -83,11 +84,11 @@ PRIORITY = (
     # text / LLM pipeline
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
     "ann_ivf",
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "dedup_embedding_cosine",
     "corpus_clean",
     "dedup_ngram_jaccard",
     "dedup_simhash",

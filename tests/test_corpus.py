@@ -205,3 +205,39 @@ def test_decontaminate_flags_overlap(spark):
     assert rows[10]["contaminated"] == 0 and rows[10]["bench_hits"] == 0
     # dirty shares exactly one 5-gram: "alpha beta gamma delta epsilon"
     assert rows[11]["contaminated"] == 1 and rows[11]["bench_hits"] == 1
+
+
+def test_incremental_indexed_matches_unindexed(spark, sf_dir, tmp_path):
+    """The persisted bucketed index must give identical verdicts to the
+    recompute path, and the candidate probe join must keep the corpus
+    (bucketed) side exchange-free — the exchange budget of an ingest
+    probe is the batch side only."""
+    import uuid
+
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    rest = docs.filter(F.col("doc_id") % 5 != 0)
+    prefix = f"dedup_idx_test_{uuid.uuid4().hex[:8]}"
+    corpus.build_dedup_index(rest, "doc_id", "text", prefix, n=3)
+    try:
+        indexed = corpus.incremental_near_dups_indexed(
+            batch, prefix, "doc_id", "text", n=3, threshold=0.3
+        )
+        plain = corpus.incremental_near_dups(
+            batch, rest, "doc_id", "text", n=3, threshold=0.3
+        )
+        assert sorted(map(tuple, indexed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        # the inverted-index probe scan reads the bucketed table:
+        # its side of the join must carry NO exchange (SelectedBucketsCount
+        # proves the bucketed layout was used, not a plain file scan)
+        from tests.test_plans import plan_of
+
+        plan = plan_of(indexed)
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        for t in ("th", "inv", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

@@ -168,7 +168,11 @@ def _replicate_documents(con, src, dest, factor):
             "n_chars": pa.array(n_chars, pa.int64()),
         }
     )
-    pq.write_table(out, os.path.join(dest, "documents.parquet"))
+    # splittable row groups: a single 50k-row group would pin every
+    # downstream text scan to ONE task (Spark assigns row groups to
+    # input splits) — the scaled corpus must scale scan parallelism too
+    pq.write_table(out, os.path.join(dest, "documents.parquet"),
+                   row_group_size=max(2000, out.num_rows // 32))
     print(f"documents: {len(ids)} rows")
 
 
@@ -200,7 +204,8 @@ def _replicate_embeddings(con, src, dest, factor):
             "label": pa.array(labels, pa.int32()),
         }
     )
-    pq.write_table(out, os.path.join(dest, "embeddings.parquet"))
+    pq.write_table(out, os.path.join(dest, "embeddings.parquet"),
+                   row_group_size=max(1000, out.num_rows // 32))
     print(f"embeddings: {len(ids)} rows")
 
 
