@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from tcrd_spark.functions.hashing import sql_hash60
 from tcrd_spark.pipeline import corpus, dedup, text
-from tcrd_spark.pipeline.testdata_queries import _JACCARD_PAIRS, _TOKS
+from tcrd_spark.pipeline.testdata_queries import (
+    _BEST,
+    _JACCARD_PAIRS,
+    _LANG_SCORE,
+    _TOKS,
+)
 from tcrd_spark.sources.lake import load_table
 
 N_SHARDS = 8
@@ -141,7 +146,56 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build, one adjudicated query: exact-dedup
+    reps → near-dup GROUP reps (connected components over Jaccard ≥
+    0.3 pairs) → benchmark decontamination (5-gram overlap vs doc_id <
+    10) → language gate (en) → quality ≥ the survivors' 25th
+    percentile → deterministic shard + interleaved position. Output:
+    (doc_id, shard, pos) — the final write layout of the kept corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # 1-2: duplicate-cluster representatives (exact groups collapse
+    # inside CC groups for shingled docs; the exact stage additionally
+    # catches <n-token duplicates that have no shingles)
+    exact_reps = dedup.exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    cc_reps = (
+        corpus.dedup_groups(docs, pairs, "doc_id")
+        .filter(F.col("doc_id") == F.col("group_id"))
+        .select("doc_id")
+    )
+    # 3: decontamination (corpus side excludes the benchmark docs)
+    decon = corpus.decontaminate(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        "doc_id",
+        "text",
+        n=5,
+    ).filter(F.col("contaminated") == 0).select("doc_id")
+    # 4: language + quality-quantile gate over the surviving set
+    survivors = (
+        docs.join(exact_reps, "doc_id", "left_semi")
+        .join(cc_reps, "doc_id", "left_semi")
+        .join(decon, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            text.lang_id(F.col("text")).alias("pred_lang"),
+            F.round(text.quality_score(F.col("text")), 6).alias("quality"),
+        )
+        .filter(F.col("pred_lang") == "en")
+    )
+    kept = corpus.quantile_filter(survivors, "doc_id", "quality", 0.25)
+    # 5: write layout
+    return corpus.shard_assign(kept, "doc_id", PACK_SHARDS).select(
+        "doc_id", "shard", F.col("pos").cast("long").alias("pos")
+    )
+
+
 QUERIES = {
+    "corpus_pipeline": q_corpus_pipeline,
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
     "dedup_groups_cc": q_dedup_groups_cc,
@@ -331,3 +385,72 @@ ORACLE = {
 # indexed variant: same algorithm, persisted/bucketed corpus side —
 # identical verdicts, so the oracle is shared (like ann_ivf_indexed)
 ORACLE["dedup_incremental_indexed"] = ORACLE["dedup_incremental"]
+
+# the end-to-end corpus build: every stage reuses the per-stage oracle
+# fragments, so a mismatch localizes to the stage that diverged
+_LANG_CASE = f"""
+    CASE
+      WHEN {_BEST} > 0 AND {_LANG_SCORE['en']} = {_BEST} THEN 'en'
+      WHEN {_BEST} > 0 AND {_LANG_SCORE['de']} = {_BEST} THEN 'de'
+      WHEN {_BEST} > 0 AND {_LANG_SCORE['fr']} = {_BEST} THEN 'fr'
+      WHEN {_BEST} > 0 AND {_LANG_SCORE['es']} = {_BEST} THEN 'es'
+      ELSE 'und'
+    END
+"""
+
+ORACLE["corpus_pipeline"] = f"""
+    WITH RECURSIVE
+    exact_reps AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY {sql_hash60('text')}
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM ({_JACCARD_PAIRS}) WHERE jaccard >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    cc_reps AS (
+      SELECT node AS doc_id FROM walk GROUP BY node HAVING min(lbl) = node
+    ),
+    sh5 AS ({_SHINGLE5}),
+    c5 AS (SELECT doc_id, unnest(hs) AS g FROM sh5 WHERE doc_id >= 10),
+    b5 AS (SELECT DISTINCT unnest(hs) AS g FROM sh5 WHERE doc_id < 10),
+    dirty AS (SELECT DISTINCT doc_id FROM c5 JOIN b5 USING (g)),
+    decon AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 10
+        AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    ),
+    scored AS (
+      SELECT doc_id, {_LANG_CASE} AS pred_lang,
+             (SELECT quality FROM ({_QUALITY}) q
+              WHERE q.doc_id = documents.doc_id) AS quality
+      FROM documents
+    ),
+    surv AS (
+      SELECT s.doc_id, s.quality
+      FROM scored s
+      JOIN exact_reps er ON er.doc_id = s.doc_id
+      JOIN cc_reps cr ON cr.doc_id = s.doc_id
+      JOIN decon de ON de.doc_id = s.doc_id
+      WHERE s.pred_lang = 'en'
+    ),
+    thr AS (SELECT round(quantile_cont(quality, 0.25), 6) AS thr FROM surv),
+    kept AS (
+      SELECT doc_id FROM surv CROSS JOIN thr WHERE quality >= thr
+    ),
+    h AS (SELECT doc_id, {_HID} AS h FROM kept)
+    SELECT doc_id,
+           CAST(h % {PACK_SHARDS} AS INTEGER) AS shard,
+           row_number() OVER (PARTITION BY h % {PACK_SHARDS}
+                              ORDER BY h, doc_id) AS pos
+    FROM h
+"""

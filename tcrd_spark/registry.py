@@ -60,6 +60,7 @@ PRIORITY = (
     "sequence_pack",
     "vocab_topk",
     "decontaminate",
+    "corpus_pipeline",
     # joins / aggregation with code touched or non-trivial plans
     "fallback_join_cascade",
     "self_join_common",
@@ -82,12 +83,12 @@ PRIORITY = (
     "tinx_novelty",
     "tinx_importance",
     # text / LLM pipeline
-    "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "ann_ivf",
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "corpus_clean",
     "dedup_ngram_jaccard",
