@@ -186,6 +186,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(text.quality_score(F.col("text")), 6).alias("quality"),
         )
         .filter(F.col("pred_lang") == "en")
+        # quantile_filter reads survivors twice (threshold agg + the
+        # gate); without the cache the whole dedup/CC/decon lineage
+        # above would execute twice
+        .cache()
     )
     kept = corpus.quantile_filter(survivors, "doc_id", "quality", 0.25)
     # 5: write layout
@@ -377,7 +381,7 @@ ORACLE = {
                CAST(floor((cum - n_tok) * 1.0 / {PACK_BUDGET}) AS BIGINT)
                  AS chunk,
                n_tok,
-               cum - n_tok AS chunk_off
+               CAST(cum - n_tok AS BIGINT) AS chunk_off
         FROM packed
     """,
 }

@@ -275,3 +275,91 @@ ORACLE = {
         FROM documents
     """,
 }
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, channels int, "
+    "bits int, n_samples long, duration_ms double, rms double"
+)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM — pure stdlib (struct over
+    the RIFF chunk list), no codec library needed: header fields plus
+    an RMS amplitude over the PCM samples (8-bit unsigned / 16-bit
+    signed little-endian, the formats a training corpus's WAV slice
+    actually carries). Compressed formats (MP3/Opus/FLAC) raise — the
+    honest stub boundary, same contract as _real_decode for images."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "real audio decode: only RIFF/WAVE PCM is stdlib-parseable; "
+            "install an audio library for compressed formats"
+        )
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("real audio decode: malformed WAV")
+    audio_fmt, channels, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"real audio decode: non-PCM ({audio_fmt}) or {bits}-bit WAV"
+        )
+    if bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: n * 2])
+        scale = 32768.0
+    else:
+        samples = tuple(b - 128 for b in data)
+        scale = 128.0
+    n_frames = len(samples) // channels if channels else 0
+    rms = (
+        (sum((s / scale) ** 2 for s in samples) / len(samples)) ** 0.5
+        if samples
+        else 0.0
+    )
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n_frames,
+        "duration_ms": (n_frames * 1000.0 / rate) if rate else 0.0,
+        "rms": rms,
+    }
+
+
+def extract_audio_features(
+    media: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas audio feature extraction (binary in, scalars out):
+    same bounded-memory Arrow-batch shape as extract_features — the
+    payload never enters a shuffle, only the scalar features do."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
+                    "bits": [f["bits"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                    "duration_ms": [f["duration_ms"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)

@@ -17,12 +17,15 @@ _MODULES = []
 # DuckDB oracle, so ordering is evidence budget. Round-4 rotation
 # (VERDICT r3 next-step #1): the 16 entries whose latest green row is
 # r1/r2 (incl. the never-adjudicated text_clean_pii) move INSIDE the
-# cap, together with this round's three new queries (kmeans_assign,
-# ann_ivf_indexed, tdl_refresh_delta); the 19 rotated-out entries are
-# all r3-green simple relational queries in operators/ modules whose
-# code is UNCHANGED since r3 (they stay pytest- and tools/check.py-
-# covered). With this cap, union(r1..r4) adjudicates all 69 registered
-# queries, none older than two rounds.
+# cap, together with every query NEW this round — the trained-IVF
+# build path (kmeans_assign), the persisted indexes (ann_ivf_indexed,
+# dedup_incremental_indexed), tdl_refresh_delta, the temporal joins,
+# and the corpus-construction surface (dedup_groups_cc,
+# dedup_incremental, shard/sample/quantile/pack, vocab_topk,
+# decontaminate, corpus_pipeline). Every rotated-out entry is r3-green
+# under code unchanged since (pytest's oracle sweep still covers all
+# of them every run). With this cap, union(r1..r4) adjudicates all 81
+# registered queries.
 PRIORITY = (
     # never / least-recently adjudicated (rotated IN this round)
     "text_clean_pii",

@@ -24,7 +24,7 @@ def lake_dir(spark, tmp_path_factory):
 
     # ~45 independent tiny writes: submit concurrently — commit
     # latency, not work, dominates
-    with ThreadPoolExecutor(8) as ex:
+    with ThreadPoolExecutor(24) as ex:
         list(ex.map(write, build_lake(spark).items()))
     return str(d)
 

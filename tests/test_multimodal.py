@@ -237,3 +237,47 @@ def test_png_codec_roundtrip_filters():
     w3, h3, _ch3, px3 = decode_png(up)
     assert (sw, sh, w3, h3) == (4, 4, 8, 8)
     assert set(px3) <= set(b"".join(rows))
+
+
+def _wav(rate=8000, channels=1, bits=16, samples=None) -> bytes:
+    """Minimal RIFF/WAVE PCM builder (pure struct, mirrors nothing in
+    the implementation — an independent encoder for the test)."""
+    import struct
+
+    if samples is None:
+        samples = [0, 16384, -16384, 0] * 10
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * align, align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_features_real_wav(spark):
+    from tcrd_spark.pipeline.multimodal import extract_audio_features
+
+    wav = _wav(rate=8000, bits=16)
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert row["sample_rate"] == 8000
+    assert row["channels"] == 1 and row["bits"] == 16
+    assert row["n_samples"] == 40
+    assert abs(row["duration_ms"] - 5.0) < 1e-9
+    # rms of the 0, +0.5, -0.5, 0 pattern = sqrt(0.5*0.25) = ~0.3536
+    assert abs(row["rms"] - (0.125) ** 0.5) < 1e-6
+
+
+def test_audio_features_rejects_compressed(spark):
+    import pytest as _pytest
+
+    from tcrd_spark.pipeline.multimodal import _decode_wav
+
+    with _pytest.raises(NotImplementedError, match="audio"):
+        _decode_wav(b"\xff\xfb\x90\x00 not a wav")
