@@ -399,6 +399,66 @@ def decontaminate(
     )
 
 
+def boilerplate_line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal: a LINE that occurs (identically)
+    in more than ``max_doc_freq`` distinct documents is boilerplate —
+    navigation chrome, cookie banners, licence footers — and is
+    dropped from every document; remaining lines are reassembled in
+    their original order. Returns (id, clean_text, n_lines_kept,
+    n_lines_dropped).
+
+    Plan: posexplode lines → hash60 per line (8-byte shuffle key, the
+    line body never shuffles twice) → distinct-doc counts per hash →
+    broadcast-able "common" set is WRONG at 100 TB (boilerplate
+    cardinality is corpus-sized), so it stays a shuffled anti-join on
+    the hash → groupBy doc reassembles with array_sort over (pos,
+    line) structs. Two shuffles total (line-hash agg + doc regroup).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", hash60(F.col("line")))
+    common = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") > max_doc_freq)
+        .select("lh")
+    )
+    kept = lines.join(common, "lh", "left_anti")
+    dropped_ct = (
+        lines.join(common, "lh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_lines_dropped"))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count("*").alias("n_lines_kept"),
+        )
+        .join(df.select(id_col), id_col, "right")
+        .join(dropped_ct, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
+        )
+    )
+
+
 # ------------------------------------------------- sharding / interleaving
 
 def shard_assign(
@@ -464,6 +524,40 @@ def quantile_filter(
         df.crossJoin(F.broadcast(thr))
         .filter(F.col(score_col) >= F.col("thr"))
         .select(F.col(id_col), F.col(score_col), F.col("thr"))
+    )
+
+
+def write_corpus_shards(
+    docs: DataFrame,
+    layout: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the training-data write-out: join documents to their
+    shard_assign layout and write a shard-partitioned parquet tree,
+    each shard's rows position-sorted within its files (one file per
+    shard here; at scale repartition by shard first and the sort holds
+    per file, which is the contract sequential trainers read by).
+
+    The partition directory IS the shard: a reader streams shard=K in
+    pos order with a partition-pruned scan and zero shuffle.
+    """
+    (
+        docs.join(layout, id_col)
+        .repartition("shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_corpus_shard(spark, path: str, shard: int) -> DataFrame:
+    """Partition-pruned read of one shard, in training order."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .sortWithinPartitions("pos")
     )
 
 

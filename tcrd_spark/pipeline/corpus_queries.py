@@ -146,6 +146,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal: group every 10 words into a
+    'line' (deterministic regex, identical on both engines), drop any
+    line occurring in more than 3 distinct docs, reassemble the rest
+    in order."""
+    docs = load_table(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){9}\S+) ", "$1\n").alias("text"),
+    )
+    return corpus.boilerplate_line_dedup(
+        lined, "doc_id", "text", max_doc_freq=3
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus build, one adjudicated query: exact-dedup
     reps → near-dup GROUP reps (connected components over Jaccard ≥
@@ -199,6 +214,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "line_dedup": q_line_dedup,
     "corpus_pipeline": q_corpus_pipeline,
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
@@ -457,4 +473,50 @@ ORACLE["corpus_pipeline"] = f"""
            row_number() OVER (PARTITION BY h % {PACK_SHARDS}
                               ORDER BY h, doc_id) AS pos
     FROM h
+"""
+
+# line_dedup: 10-word line grouping (regex verified byte-identical on
+# both engines), df>3 lines dropped, ordered reassembly. DuckDB's
+# zipped-unnest pairs each line with its position.
+ORACLE["line_dedup"] = f"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\\S+ ){{9}}\\S+) ',
+                            '\\1' || chr(10), 'g') AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(range(len(l))) AS pos,
+             unnest(l) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined)
+    ),
+    hashed AS (
+      SELECT doc_id, pos, line, {sql_hash60('line')} AS lh FROM lines
+    ),
+    common AS (
+      SELECT lh FROM hashed GROUP BY lh
+      HAVING count(DISTINCT doc_id) > 3
+    ),
+    kept AS (
+      SELECT * FROM hashed WHERE lh NOT IN (SELECT lh FROM common)
+    ),
+    dropped AS (
+      SELECT doc_id, count(*) AS n_lines_dropped
+      FROM hashed WHERE lh IN (SELECT lh FROM common)
+      GROUP BY 1
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_lines_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+           coalesce(dr.n_lines_dropped, 0) AS n_lines_dropped
+    FROM documents d
+    LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+    LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
 """

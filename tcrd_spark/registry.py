@@ -63,6 +63,7 @@ PRIORITY = (
     "sequence_pack",
     "vocab_topk",
     "decontaminate",
+    "line_dedup",
     "corpus_pipeline",
     # joins / aggregation with code touched or non-trivial plans
     "fallback_join_cascade",
@@ -86,11 +87,11 @@ PRIORITY = (
     "tinx_novelty",
     "tinx_importance",
     # text / LLM pipeline
-    "dedup_simhash_pairs",
     "ann_ivf",
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "dedup_simhash_pairs",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "corpus_clean",

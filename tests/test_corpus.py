@@ -241,3 +241,78 @@ def test_incremental_indexed_matches_unindexed(spark, sf_dir, tmp_path):
     finally:
         for t in ("th", "inv", "sets"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_boilerplate_line_dedup(spark):
+    """Lines shared by >max_doc_freq docs vanish everywhere; unique
+    lines survive in original order; a doc of pure boilerplate comes
+    back empty (not missing)."""
+    footer = "all rights reserved"
+    cookie = "accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n{footer}\n{cookie}"),
+            (2, f"{footer}\nbeta two\n{cookie}"),
+            (3, f"{cookie}\ngamma three\n{footer}"),
+            (4, f"{footer}\n{cookie}"),
+            (5, "delta four"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in corpus.boilerplate_line_dedup(
+            docs, "doc_id", "text", max_doc_freq=3
+        ).collect()
+    }
+    assert rows[1]["clean_text"] == "alpha one"
+    assert rows[2]["clean_text"] == "beta two"
+    assert rows[3]["clean_text"] == "gamma three"
+    assert rows[4]["clean_text"] == "" and rows[4]["n_lines_kept"] == 0
+    assert rows[4]["n_lines_dropped"] == 2
+    assert rows[5]["clean_text"] == "delta four"
+    assert rows[5]["n_lines_dropped"] == 0
+    # order preservation with interleaved boilerplate
+    docs2 = spark.createDataFrame(
+        [(i, f"u{i} first\n{footer}\nu{i} last") for i in range(1, 6)],
+        ["doc_id", "text"],
+    )
+    out2 = corpus.boilerplate_line_dedup(
+        docs2, "doc_id", "text", max_doc_freq=3
+    ).collect()
+    for r in out2:
+        i = r["doc_id"]
+        assert r["clean_text"] == f"u{i} first\nu{i} last"
+
+
+def test_write_and_read_corpus_shards(spark, sf_dir, tmp_path):
+    """Round-trip the write layout: the partition tree is the shard,
+    every doc lands exactly once, each shard reads back complete and
+    in position order with a partition-pruned scan."""
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    layout = corpus.shard_assign(docs, "doc_id", 4)
+    out = str(tmp_path / "corpus")
+    corpus.write_corpus_shards(docs, layout, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    want = {
+        r["doc_id"]: (r["shard"], r["pos"]) for r in layout.collect()
+    }
+    seen = set()
+    for shard in range(4):
+        rows = corpus.read_corpus_shard(spark, out, shard).collect()
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss)
+        for r in rows:
+            assert want[r["doc_id"]] == (shard, r["pos"])
+            seen.add(r["doc_id"])
+    assert seen == set(want)
+    # partition pruning proof: the scan for one shard reports a
+    # partition filter, not a full-tree read
+    from tests.test_plans import plan_of
+
+    plan = plan_of(corpus.read_corpus_shard(spark, out, 2))
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
