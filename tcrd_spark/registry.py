@@ -65,11 +65,11 @@ PRIORITY = (
     "decontaminate",
     "line_dedup",
     "corpus_pipeline",
+    "profile_documents",
     # joins / aggregation with code touched or non-trivial plans
     "fallback_join_cascade",
     "self_join_common",
     "mode_consensus",
-    "min_tie_expansion",
     # windows
     "rank_compound_order",
     "topk_per_group",
@@ -91,6 +91,7 @@ PRIORITY = (
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "min_tie_expansion",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
@@ -148,7 +149,7 @@ def _collect():
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries",
                     "pipeline.multimodal", "streaming.testdata_queries",
-                    "api.testdata_queries"):
+                    "api.testdata_queries", "quality.testdata_queries"):
         try:
             import importlib
 

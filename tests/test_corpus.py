@@ -316,3 +316,21 @@ def test_write_and_read_corpus_shards(spark, sf_dir, tmp_path):
 
     plan = plan_of(corpus.read_corpus_shard(spark, out, 2))
     assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+
+
+def test_profile_table_values(spark):
+    from tcrd_spark.quality.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", 5.0), (2, None, 7.0)],
+        "id long, s string, v double",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["id"]["n_rows"] == 3 and rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 2
+    assert rows["id"]["min_value"] == "1" and rows["id"]["max_value"] == "2"
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
+    assert rows["v"]["n_nulls"] == 1
+    # numeric min/max computed in the native type, then cast
+    assert rows["v"]["min_value"] == "5.0" and rows["v"]["max_value"] == "7.0"
