@@ -208,3 +208,58 @@ def test_lsh_embedding_dedup_subset_of_exact(spark, sf_dir):
         embedding_near_dups_lsh(
             emb, "vec_id", "embedding", 64, n_planes=16, n_bands=5
         )
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=40),
+    budget=st.integers(min_value=50, max_value=600),
+)
+@SETTINGS
+def test_sequence_pack_partitions_every_doc_once(spark, toks, budget):
+    """Packing is a partition of the input: every doc in exactly one
+    (shard, chunk); per-shard offsets are the exact running
+    concatenation; chunk ids are the budget bins of the offsets."""
+    from tcrd_spark.pipeline.corpus import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    rows = sequence_pack(df, "doc_id", "n_tok", 3, budget).collect()
+    assert len(rows) == len(toks)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["chunk_off"])
+        run = 0
+        for r in rows_:
+            assert r["chunk_off"] == run
+            assert r["chunk"] == run // budget
+            run += r["n_tok"]
+
+
+@given(
+    labels=st.lists(st.sampled_from(["en", "de", "fr"]), min_size=1, max_size=30),
+    quota=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_stratified_sample_is_quota_capped_prefix(spark, labels, quota):
+    """Sample size per stratum = min(quota, stratum size); ranks are
+    dense; rerun is identical (pure function of ids)."""
+    from tcrd_spark.pipeline.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(labels)], "doc_id long, lang string"
+    )
+    out = stratified_sample(df, "lang", "doc_id", quota).collect()
+    again = stratified_sample(df, "lang", "doc_id", quota).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r["sample_rank"])
+    from collections import Counter
+
+    avail = Counter(labels)
+    for lang, ranks in per.items():
+        assert len(ranks) == min(quota, avail[lang])
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
