@@ -411,7 +411,9 @@ def boilerplate_line_dedup(
     navigation chrome, cookie banners, licence footers — and is
     dropped from every document; remaining lines are reassembled in
     their original order. Returns (id, clean_text, n_lines_kept,
-    n_lines_dropped).
+    n_lines_dropped). ``sep`` is used both as a split REGEX and a
+    join literal — pass plain separators (newline, tab), not regex
+    metacharacters.
 
     Plan: posexplode lines → hash60 per line (8-byte shuffle key, the
     line body never shuffles twice) → distinct-doc counts per hash →

@@ -22,10 +22,11 @@ _MODULES = []
 # dedup_incremental_indexed), tdl_refresh_delta, the temporal joins,
 # and the corpus-construction surface (dedup_groups_cc,
 # dedup_incremental, shard/sample/quantile/pack, vocab_topk,
-# decontaminate, corpus_pipeline). Every rotated-out entry is r3-green
-# under code unchanged since (pytest's oracle sweep still covers all
-# of them every run). With this cap, union(r1..r4) adjudicates all 81
-# registered queries.
+# decontaminate, line_dedup, corpus_pipeline, profile_documents).
+# Every rotated-out entry is r3-green under code unchanged since
+# (pytest's oracle sweep still covers all of them every run;
+# tests/test_registry.py enforces the green-history invariant). With
+# this cap, union(r1..r4) adjudicates all 83 registered queries.
 PRIORITY = (
     # never / least-recently adjudicated (rotated IN this round)
     "text_clean_pii",
