@@ -334,3 +334,27 @@ def test_profile_table_values(spark):
     assert rows["v"]["n_nulls"] == 1
     # numeric min/max computed in the native type, then cast
     assert rows["v"]["min_value"] == "5.0" and rows["v"]["max_value"] == "7.0"
+
+
+def test_corpus_ops_degenerate_inputs(spark):
+    """Empty edge sets, empty benchmark sets, and shingle-less docs
+    must flow through, not throw."""
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "also tiny")], ["doc_id", "text"]
+    )
+    groups = corpus.dedup_groups(docs, empty_edges, "doc_id").collect()
+    assert {(r["doc_id"], r["group_id"], r["group_sz"]) for r in groups} == {
+        (1, 1, 1),
+        (2, 2, 1),
+    }
+    empty_bench = spark.createDataFrame([], "doc_id long, text string")
+    rows = corpus.decontaminate(docs, empty_bench, "doc_id", "text").collect()
+    assert all(r["contaminated"] == 0 for r in rows) and len(rows) == 2
+    # batch docs too short to shingle: verdict 'new' (or 'exact' only)
+    out = corpus.incremental_near_dups(
+        docs, spark.createDataFrame([(9, "other corpus")], ["doc_id", "text"]),
+        "doc_id", "text",
+    ).collect()
+    assert {r["verdict"] for r in out} == {"new"}
+    assert corpus.vocab_topk(empty_bench, "doc_id", "text").collect() == []
