@@ -1,0 +1,122 @@
+"""Plan linter: build every registered query's physical plan and
+tabulate the scale-relevant facts — exchange count, join strategies,
+window/sort nodes, Python execution nodes, cartesian products — into
+one markdown report (PLAN_AUDIT.md).
+
+tests/test_plans.py asserts the load-bearing properties; this tool
+makes the WHOLE surface reviewable at a glance, so a plan regression
+in any query is visible as a diff of the committed report.
+
+Usage: python tools/plan_lint.py [sf_dir] [out.md]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NODE_PATTERNS = {
+    "exchanges": r"\bExchange\b",
+    "bhj": r"\bBroadcastHashJoin\b",
+    "smj": r"\bSortMergeJoin\b",
+    "bnlj": r"\bBroadcastNestedLoopJoin\b",
+    "cartesian": r"\bCartesianProduct\b",
+    "window": r"\bWindow\b",
+    "wgl": r"\bWindowGroupLimit\b",
+    "sort": r"\bSort\b",
+    "python": r"\b(BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)\b",
+    "agg": r"\bHashAggregate\b",
+}
+
+# Python nodes are expected ONLY here (Arrow-vectorized by design)
+PYTHON_OK = {
+    "apsp_min_merge",
+    "nearest_flagged",
+    "multimodal_features",
+    "dedup_embedding_cosine",
+}
+
+# BroadcastNestedLoopJoin is allowed ONLY where the build side is
+# bounded-small by the operator's contract (a deliberate broadcast
+# cross join, not a degraded equi join):
+BNLJ_OK = {
+    "quality_quantile_filter",  # 1-row percentile threshold
+    "corpus_pipeline",          # same threshold stage
+    "ann_bruteforce",           # broadcast query panel × corpus (by definition)
+    "ann_ivf",                  # broadcast centroid set (k rows)
+    "ann_ivf_indexed",          # broadcast centroid set (k rows)
+    "kmeans_assign",            # broadcast centroid set (k rows)
+    "decile_bucketing",         # broadcast decile edges (9 values)
+    "dedup_embedding_cosine",   # broadcast block-pair grid (B(B+1)/2 rows)
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = list(argv if argv is not None else sys.argv[1:])
+    sf_dir = args.pop(0) if args and os.path.isdir(args[0]) else (
+        "/root/testdata/sf0.001"
+    )
+    out_path = args.pop(0) if args else "PLAN_AUDIT.md"
+
+    from tcrd_spark.registry import all_queries
+    from tcrd_spark.session import get_spark
+
+    spark = get_spark("plan_lint")
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+
+    rows = []
+    flags_total = 0
+    for name, q in all_queries().items():
+        try:
+            df = q(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as exc:  # pragma: no cover - report, don't die
+            rows.append((name, {}, f"ERROR {type(exc).__name__}: {exc}"))
+            flags_total += 1
+            continue
+        # count tree nodes only (simple mode = one line per node)
+        counts = {
+            key: len(re.findall(pat, plan)) for key, pat in NODE_PATTERNS.items()
+        }
+        flags = []
+        if counts["cartesian"]:
+            flags.append("CARTESIAN")
+        if counts["python"] and name not in PYTHON_OK:
+            flags.append("PYTHON-IN-RELATIONAL")
+        if counts["bnlj"] and name not in BNLJ_OK:
+            flags.append("NESTED-LOOP")
+        flags_total += len(flags)
+        rows.append((name, counts, " ".join(flags)))
+
+    with open(out_path, "w") as f:
+        f.write(
+            "# Plan audit — one row per registered query "
+            f"(tools/plan_lint.py at {os.path.basename(sf_dir)})\n\n"
+            "Node counts from the physical plan. FLAGS is non-empty when "
+            "a plan carries a scale smell outside its documented "
+            "allowance.\n\n"
+            "| query | exch | bhj | smj | bnlj | window | wgl | agg | "
+            "python | flags |\n|---|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for name, c, flags in rows:
+            if not c:
+                f.write(f"| {name} | — | — | — | — | — | — | — | — | {flags} |\n")
+                continue
+            f.write(
+                f"| {name} | {c['exchanges']} | {c['bhj']} | {c['smj']} | "
+                f"{c['bnlj']} | {c['window']} | {c['wgl']} | {c['agg']} | "
+                f"{c['python']} | {flags} |\n"
+            )
+        f.write(f"\nTotal flagged: {flags_total}\n")
+    print(f"{out_path}: {len(rows)} queries, {flags_total} flagged")
+    return 1 if flags_total else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
