@@ -83,6 +83,23 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup with MinHash-LSH candidate generation (the
+    bounded-cost probe for skewed corpora); exact-hash dups exact,
+    near-dups at LSH recall with verify precision 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.incremental_near_dups_lsh(
+        docs.filter(_batch_pred()),
+        docs.filter(~_batch_pred()),
+        "doc_id",
+        "text",
+        n=3,
+        n_perms=32,
+        bands=16,
+        threshold=0.3,
+    )
+
+
 def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-sharding + interleaved per-shard positions
     (the training-data write-out layout)."""
@@ -221,6 +238,7 @@ QUERIES = {
     "dedup_groups_cc": q_dedup_groups_cc,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_indexed": q_dedup_incremental_indexed,
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "corpus_shard_assign": q_corpus_shard_assign,
     "sample_stratified": q_sample_stratified,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -519,4 +537,48 @@ ORACLE["line_dedup"] = f"""
     FROM documents d
     LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
     LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+"""
+
+# LSH-probed incremental dedup: identical algorithm in SQL — minhash
+# signatures + band buckets cross-set, exact-Jaccard verify
+from tcrd_spark.pipeline.testdata_queries import (  # noqa: E402
+    _BAND_KEYS,
+    _sql_minhash_sig_expr,
+)
+
+ORACLE["dedup_incremental_lsh"] = f"""
+    WITH sh0 AS ({_SHINGLE_SETS}),
+    sh AS (SELECT * FROM sh0 WHERE len(hs) > 0),
+    sig AS (SELECT doc_id, {_sql_minhash_sig_expr()} AS sig FROM sh),
+    buckets AS (
+      SELECT doc_id, unnest([{_BAND_KEYS}]) AS bucket FROM sig
+    ),
+    bb AS (SELECT doc_id AS b_id, bucket FROM buckets WHERE doc_id % 5 = 0),
+    cb AS (SELECT doc_id AS c_id, bucket FROM buckets WHERE doc_id % 5 != 0),
+    cand AS (SELECT DISTINCT b_id, c_id FROM bb JOIN cb USING (bucket)),
+    b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    exact AS (
+      SELECT b.doc_id, min(c.doc_id) AS exact_src
+      FROM b JOIN c ON {sql_hash60('b.text')} = {sql_hash60('c.text')}
+      GROUP BY 1
+    ),
+    near AS (
+      SELECT b_id AS doc_id, min(c_id) AS near_src FROM (
+        SELECT cand.b_id, cand.c_id,
+               len(list_intersect(bs.hs, cs.hs)) * 1.0
+               / (len(bs.hs) + len(cs.hs)
+                  - len(list_intersect(bs.hs, cs.hs))) AS j
+        FROM cand
+        JOIN sh bs ON bs.doc_id = cand.b_id
+        JOIN sh cs ON cs.doc_id = cand.c_id
+      ) WHERE j >= 0.3 GROUP BY 1
+    )
+    SELECT b.doc_id, e.exact_src, n.near_src,
+           CASE WHEN e.exact_src IS NOT NULL THEN 'exact'
+                WHEN n.near_src IS NOT NULL THEN 'near'
+                ELSE 'new' END AS verdict
+    FROM b
+    LEFT JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
 """

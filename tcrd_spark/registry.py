@@ -58,6 +58,7 @@ PRIORITY = (
     "dedup_groups_cc",
     "dedup_incremental",
     "dedup_incremental_indexed",
+    "dedup_incremental_lsh",
     "corpus_shard_assign",
     "sample_stratified",
     "quality_quantile_filter",
@@ -75,7 +76,6 @@ PRIORITY = (
     "rank_compound_order",
     "topk_per_group",
     "decile_bucketing",
-    "frank_level_buckets",
     # graph / recursive
     "apsp_min_merge",
     "nearest_flagged",
@@ -92,6 +92,7 @@ PRIORITY = (
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "frank_level_buckets",
     "min_tie_expansion",
     "dedup_simhash_pairs",
     "dedup_minhash_lsh",

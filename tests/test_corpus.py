@@ -358,3 +358,33 @@ def test_corpus_ops_degenerate_inputs(spark):
     ).collect()
     assert {r["verdict"] for r in out} == {"new"}
     assert corpus.vocab_topk(empty_bench, "doc_id", "text").collect() == []
+
+
+def test_incremental_lsh_subset_of_exact_probe(spark, sf_dir):
+    """LSH-probed verdicts: exact_src identical to the exact probe;
+    near_src, when present, must equal the exact probe's (verify
+    precision 1) — LSH may only MISS near-dups, never invent them."""
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    rest = docs.filter(F.col("doc_id") % 5 != 0)
+    exact = {
+        r["doc_id"]: r
+        for r in corpus.incremental_near_dups(
+            batch, rest, "doc_id", "text"
+        ).collect()
+    }
+    lsh = {
+        r["doc_id"]: r
+        for r in corpus.incremental_near_dups_lsh(
+            batch, rest, "doc_id", "text"
+        ).collect()
+    }
+    assert set(lsh) == set(exact)
+    for d, r in lsh.items():
+        assert r["exact_src"] == exact[d]["exact_src"]
+        if r["near_src"] is not None:
+            assert exact[d]["near_src"] is not None
+            # min over a subset of the exact candidate set can only be ≥
+            assert r["near_src"] >= exact[d]["near_src"]
