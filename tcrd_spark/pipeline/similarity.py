@@ -152,6 +152,133 @@ def lloyd_mean_update(
     )
 
 
+def kmeans_parallel_init(
+    corpus: DataFrame,
+    dim: int,
+    k: int,
+    l: int | None = None,
+    rounds: int = 3,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+) -> DataFrame:
+    """Deterministic k-means|| initialization (Bahmani et al., VLDB'12
+    "Scalable K-Means++") in cosine space — the DISTRIBUTED init that
+    replaces farthest-first's k sequential driver picks with O(rounds)
+    full-corpus passes:
+
+    each round oversamples ~l candidates with probability
+    l·cost(x)/Σcost (cost = 1 − nearest-candidate cosine), then the
+    small candidate set (≤ ~l·rounds) is weighted by its attraction
+    counts and reduced to k seeds driver-side by weighted
+    farthest-first. Randomness is the portable hash60 of (id, round) —
+    seeded, engine-independent, rerun-identical; no RNG state.
+
+    Per round: one broadcast-argmax pass (row-local, like
+    assign_cells), one scalar aggregate, one bounded collect (the
+    candidate sample, capped at 4·l rows in deterministic hash order).
+    Driver memory holds candidates only — never the corpus.
+    """
+    import math
+
+    from tcrd_spark.functions.hashing import hash60
+
+    l = l or 2 * k
+    c = _with_norm(
+        corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        "c_id",
+        "c_vec",
+        dim,
+    ).localCheckpoint(eager=True)
+    first = c.orderBy("c_id").select("c_id", "c_vec").first()
+    if first is None:
+        raise ValueError("kmeans_parallel_init: empty corpus")
+    cand: dict[int, list[float]] = {first["c_id"]: list(first["c_vec"])}
+
+    def _cents_df(mapping: dict[int, list[float]]) -> DataFrame:
+        return corpus.sparkSession.createDataFrame(
+            [(i, v) for i, v in sorted(mapping.items())],
+            "cell_id long, cell_vec array<double>",
+        )
+
+    for rnd in range(rounds):
+        cents = _with_norm(_cents_df(cand), "cell_id", "cell_vec", dim)
+        cent_row = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell_id", "cell_vec", "cell_vec_nrm"))
+            ).alias("cents")
+        )
+        best = F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda x: F.round(
+                    dot(F.col("c_vec"), x["cell_vec"], dim)
+                    / (F.col("c_vec_nrm") * x["cell_vec_nrm"]),
+                    6,
+                ),
+            )
+        )
+        costed = (
+            c.crossJoin(F.broadcast(cent_row))
+            .select("c_id", "c_vec", (F.lit(1.0) - best).alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+        tot_row = costed.agg(F.sum("cost").alias("tot"))
+        # u(x) ∈ [0,1): 12 low decimal digits of hash60(id:round)
+        u = (
+            hash60(F.concat_ws(":", F.col("c_id"), F.lit(str(rnd))))
+            % F.lit(1_000_000_000_000)
+        ) / F.lit(1_000_000_000_000.0)
+        picked = (
+            costed.crossJoin(F.broadcast(tot_row))
+            .filter(u * F.col("tot") < F.lit(float(l)) * F.col("cost"))
+            .orderBy("c_id")
+            .limit(4 * l)
+            .select("c_id", "c_vec")
+            .collect()
+        )
+        for r in picked:
+            cand.setdefault(r["c_id"], list(r["c_vec"]))
+
+    if len(cand) < k:
+        raise ValueError(
+            f"kmeans_parallel_init: only {len(cand)} distinct candidates "
+            f"for k={k}; corpus too small or raise l/rounds"
+        )
+    # weight candidates by attraction count (one distributed pass)
+    assigned = assign_cells(c.select("c_id", "c_vec"), _cents_df(cand), dim)
+    wrow = {
+        r["cell_id"]: r["n"]
+        for r in assigned.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    # driver-side weighted farthest-first over the SMALL candidate set
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb) if na and nb else 0.0
+
+    items = sorted(cand.items())
+    start = max(items, key=lambda kv: (wrow.get(kv[0], 0), -kv[0]))
+    chosen = [start]
+    chosen_ids = {start[0]}
+    while len(chosen) < k:
+        best_item, best_score = None, None
+        for cid, vec in items:
+            if cid in chosen_ids:
+                continue
+            d = min(1.0 - cos(vec, cv) for _, cv in chosen)
+            score = (wrow.get(cid, 0) * d, -cid)
+            if best_score is None or score > best_score:
+                best_item, best_score = (cid, vec), score
+        chosen.append(best_item)
+        chosen_ids.add(best_item[0])
+    return corpus.sparkSession.createDataFrame(
+        [(i, vec) for i, (_, vec) in enumerate(chosen)],
+        "cell_id long, cell_vec array<double>",
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     dim: int,
@@ -159,6 +286,7 @@ def kmeans_centroids(
     n_iters: int = 5,
     id_col: str = "c_id",
     vec_col: str = "c_vec",
+    init_centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed Lloyd k-means over the embedding column — the real
     IVF build step (ivf_topk's deterministic first-k-by-id centroids
@@ -186,6 +314,14 @@ def kmeans_centroids(
         "c_vec",
         dim,
     ).localCheckpoint(eager=False)
+
+    if init_centroids is not None:
+        # externally-supplied seeds (e.g. kmeans_parallel_init — the
+        # distributed k-means|| oversampling path); skip farthest-first
+        cents = init_centroids.select(
+            "cell_id", F.col("cell_vec").cast("array<double>").alias("cell_vec")
+        ).localCheckpoint(eager=True)
+        return _lloyd_iterate(c, cents, dim, n_iters)
 
     # Farthest-first init runs k sequential passes — bound them to a
     # deterministic sample pool of the max(200·k, 1000) smallest-id
@@ -244,6 +380,13 @@ def kmeans_centroids(
         [(i, list(s["c_vec"])) for i, s in enumerate(seeds)],
         "cell_id long, cell_vec array<double>",
     )
+    return _lloyd_iterate(c, cents, dim, n_iters)
+
+
+def _lloyd_iterate(
+    c: DataFrame, cents: DataFrame, dim: int, n_iters: int
+) -> DataFrame:
+    """The Lloyd refinement loop shared by both init paths."""
     for _ in range(n_iters):
         assigned = assign_cells(
             c.select("c_id", "c_vec"), cents, dim
