@@ -388,3 +388,23 @@ def test_incremental_lsh_subset_of_exact_probe(spark, sf_dir):
             assert exact[d]["near_src"] is not None
             # min over a subset of the exact candidate set can only be ≥
             assert r["near_src"] >= exact[d]["near_src"]
+
+
+def test_profile_approx_distinct_within_bound(spark, sf_dir):
+    """The documented scale switch (approx_count_distinct) stays
+    within HLL's default ±5%-ish envelope of the exact counts on the
+    real documents table — the evidence behind 'swap the flag at
+    extreme scale'."""
+    from tcrd_spark.quality.profile import profile_table
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["column"]: r["n_distinct"] for r in profile_table(docs).collect()
+    }
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile_table(docs, exact_distinct=False).collect()
+    }
+    for col, n in exact.items():
+        assert abs(approx[col] - n) <= max(2, 0.05 * n), (col, n, approx[col])
