@@ -114,3 +114,29 @@ def test_cli_find_targets_batch(spark, lake_dir, capsys, tmp_path):
     ) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out == ["SYM2\t2", "NOPE\tNOTFOUND", "SYM5\t5"]
+
+
+def test_corpus_build_cli_end_to_end(spark, tmp_path, capsys):
+    """The corpus-build CLI: staged, resumable, produces the sharded
+    tree + report; kept set equals the adjudicated corpus_pipeline
+    query's; a rerun reuses every stage (report identical)."""
+    import json
+    import os
+
+    from tools.corpus_build import build
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out = str(tmp_path / "corpus")
+    report = build(spark, sf_dir, out, n_shards=4)
+    assert report["03_layout"] > 0
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert shards.count() == report["03_layout"]
+
+    from tcrd_spark.pipeline.corpus_queries import q_corpus_pipeline
+
+    want = {r["doc_id"] for r in q_corpus_pipeline(spark, sf_dir).collect()}
+    got = {r["doc_id"] for r in shards.collect()}
+    assert got == want
+
+    report2 = build(spark, sf_dir, out, n_shards=4)
+    assert report2 == report
