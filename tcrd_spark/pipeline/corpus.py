@@ -72,6 +72,7 @@ def connected_components(
     # textbook groupBy+self-join formulation's three — the window and
     # the emit read the same shuffled partition
     wu = Window.partitionBy("u")
+    converged = False
     for _ in range(max_iter):
         # --- large-star: for each node n, m = min(Γ(n) ∪ {n});
         #     emit (v, m) for every neighbor v > n
@@ -99,8 +100,17 @@ def connected_components(
         cur = _sig(ss)
         e = ss
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # alternating stars converge in O(log n) rounds (Kiveris §4);
+        # exhausting max_iter means labels may be split mid-merge —
+        # fail loudly rather than return silently-wrong components
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "raise max_iter"
+        )
     return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
 

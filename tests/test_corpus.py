@@ -408,3 +408,13 @@ def test_profile_approx_distinct_within_bound(spark, sf_dir):
     }
     for col, n in exact.items():
         assert abs(approx[col] - n) <= max(2, 0.05 * n), (col, n, approx[col])
+
+
+def test_connected_components_raises_on_no_convergence(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        corpus.connected_components(edges, "id_a", "id_b", max_iter=1)

@@ -396,3 +396,24 @@ def test_quantile_filter_broadcasts_scalar_threshold(spark, sf_dir):
     plan = plan_of(quantile_filter(scored, "doc_id", "s", 0.75))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_lsh_probe_is_bucket_equijoin(spark, sf_dir):
+    """The LSH probe joins batch and corpus band buckets by equality —
+    no nested loop / cartesian may appear anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.corpus import incremental_near_dups_lsh
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(
+        incremental_near_dups_lsh(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            "doc_id",
+            "text",
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
