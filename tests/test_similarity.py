@@ -219,3 +219,34 @@ def test_kmeans_parallel_init_deterministic_and_clustered(spark):
     approx = ivf_topk(queries, corpus, trained, dim=8, k=5, n_probe=1)
     recs = [r.recall for r in recall_at_k(approx, exact).collect()]
     assert sum(recs) / len(recs) == 1.0
+
+
+def test_kmeans_parallel_init_moderate_k(spark, sf_dir):
+    """k=16 over the real embeddings table: 16 distinct seeds, and the
+    seeded Lloyd build plugs straight into ivf_topk."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        kmeans_parallel_init,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    seeds = kmeans_parallel_init(corpus, dim=64, k=16, rounds=3)
+    rows = seeds.collect()
+    assert len(rows) == 16
+    assert len({tuple(r["cell_vec"]) for r in rows}) == 16
+    trained = kmeans_centroids(
+        corpus, dim=64, k=16, n_iters=2, init_centroids=seeds
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(qs, corpus, trained, dim=64, k=5, n_probe=2)
+    per_q = {r["q_id"] for r in out.collect()}
+    assert per_q == {0, 1, 2}
