@@ -160,7 +160,37 @@ def q_grouped_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + revenue agg + compound-sorted
+    top-10: segment-filtered customers ⋈ pre-cutoff orders ⋈
+    post-cutoff lineitems. The customer dim broadcasts; lineitem's
+    date filter pushes into the parquet scan."""
+    cutoff = "1998-07-01 00:00:00"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
     "beans_counts": q_beans_counts,
     "type_histogram": q_type_histogram,
@@ -174,6 +204,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,

@@ -69,9 +69,9 @@ PRIORITY = (
     "corpus_pipeline",
     "profile_documents",
     # joins / aggregation with code touched or non-trivial plans
+    "shipping_priority",
     "fallback_join_cascade",
     "self_join_common",
-    "mode_consensus",
     # windows
     "rank_compound_order",
     "topk_per_group",
@@ -92,6 +92,7 @@ PRIORITY = (
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "mode_consensus",
     "frank_level_buckets",
     "min_tie_expansion",
     "dedup_simhash_pairs",
