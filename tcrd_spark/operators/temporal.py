@@ -187,7 +187,71 @@ def range_join(
     )
 
 
+def funnel_stages(
+    events,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+):
+    """Ordered-funnel progression per user: stage k is reached iff an
+    event of type ``steps[k]`` occurs STRICTLY AFTER the time stage
+    k−1 was first reached (min-ts chaining — the standard funnel
+    semantics; events before the prior stage don't count). Returns
+    (user, stage) for every user who completed stage 1, stage ∈
+    [1, len(steps)].
+
+    Plan: one groupBy per step plus an equi-join against the
+    previous step's (user, t) frame — len(steps) shuffles on the user
+    key, each map-side combinable; no window over per-user event
+    sequences (an ordered collect_list per user would shuffle the
+    whole event body and skew on hot users).
+    """
+    u, t = user_col, ts_col
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(u)
+        .agg(F.min(t).alias("_t"))
+    )
+    flags = [reached.select(u)]
+    for s in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .select(u, F.col(t).alias("_ts2"))
+            .join(reached, u)
+            .where(F.col("_ts2") > F.col("_t"))
+            .groupBy(u)
+            .agg(F.min("_ts2").alias("_t"))
+        )
+        flags.append(nxt.select(u))
+        reached = nxt
+    out = flags[0].withColumn("stage", F.lit(1))
+    for k, f in enumerate(flags[1:], start=2):
+        out = (
+            out.join(f.withColumn(f"_s{k}", F.lit(1)), u, "left")
+            .withColumn(
+                "stage",
+                F.when(F.col(f"_s{k}").isNotNull(), F.lit(k)).otherwise(
+                    F.col("stage")
+                ),
+            )
+            .drop(f"_s{k}")
+        )
+    return out
+
+
 # ------------------------------------------------- driver queries
+
+def q_funnel_stages(spark, sf_dir):
+    """view → click → purchase funnel over the events stream: per-user
+    furthest stage reached under strict min-ts chaining."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
 
 def q_asof_join_events(spark, sf_dir):
     """Feature-as-of-time: each click event joined to the SAME user's
@@ -251,9 +315,33 @@ def q_range_join_events(spark, sf_dir):
 QUERIES = {
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
+    "funnel_stages": q_funnel_stages,
 }
 
 ORACLE = {
+    "funnel_stages": """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+        )
+        SELECT s1.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS stage
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
     "asof_join_events": """
         WITH c AS (
           SELECT event_id, user_id, ts, value FROM events

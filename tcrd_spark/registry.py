@@ -26,7 +26,7 @@ _MODULES = []
 # Every rotated-out entry is r3-green under code unchanged since
 # (pytest's oracle sweep still covers all of them every run;
 # tests/test_registry.py enforces the green-history invariant). With
-# this cap, union(r1..r4) adjudicates all 83 registered queries.
+# this cap, union(r1..r4) adjudicates all 86 registered queries.
 PRIORITY = (
     # never / least-recently adjudicated (rotated IN this round)
     "text_clean_pii",
@@ -52,6 +52,7 @@ PRIORITY = (
     "tdl_refresh_delta",
     "asof_join_events",
     "range_join_events",
+    "funnel_stages",
     # NEW this round: corpus-construction surface (pipeline/corpus.py)
     # — CC dedup groups, batch-vs-corpus dedup, sharding, stratified
     # sampling, quantile gate, sequence packing
@@ -73,7 +74,6 @@ PRIORITY = (
     "fallback_join_cascade",
     "self_join_common",
     # windows
-    "rank_compound_order",
     "topk_per_group",
     "decile_bucketing",
     # graph / recursive
@@ -92,6 +92,7 @@ PRIORITY = (
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "rank_compound_order",
     "mode_consensus",
     "frank_level_buckets",
     "min_tie_expansion",

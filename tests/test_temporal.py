@@ -139,3 +139,36 @@ def test_range_join_rejects_bad_mode(spark):
     with pytest.raises(ValueError, match="how_overlap"):
         range_join(a, a.selectExpr("aid bid", "a_lo b_lo", "a_hi b_hi"),
                    "a_lo", "a_hi", "b_lo", "b_hi", how_overlap="half")
+
+
+def test_funnel_stages_strict_ordering(spark):
+    """Stage k needs a step-k event strictly after stage k-1's first
+    time: a purchase BEFORE the first click doesn't count; equal
+    timestamps don't count; users without step 1 are absent."""
+    from datetime import datetime as dt
+
+    from tcrd_spark.operators.temporal import funnel_stages
+
+    t = lambda s: dt(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full funnel in order -> 3
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # u2: purchase precedes click -> stops at 2
+        (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(3)),
+        # u3: click at the SAME ts as first view -> strict, stops at 1
+        (3, "view", t(5)), (3, "click", t(5)),
+        # u4: never views -> absent
+        (4, "click", t(1)), (4, "purchase", t(2)),
+        # u5: view only -> 1
+        (5, "view", t(9)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1, 5: 1}
