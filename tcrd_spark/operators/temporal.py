@@ -240,6 +240,83 @@ def funnel_stages(
     return out
 
 
+def cohort_retention(
+    events,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+):
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period; for each later period, how many of that cohort were
+    active. Returns (cohort, period_offset, n_users).
+
+    Plan: first-activity via one user-keyed min agg (map-side
+    combinable), joined back onto the user's distinct activity
+    periods — two shuffles total, both on bounded keys; never a
+    per-user event collection.
+    """
+    u, t = user_col, ts_col
+    # cohort keys as DATEs: engines disagree on whether a truncated
+    # timestamp renders midnight, a date compares clean everywhere
+    firsts = events.groupBy(u).agg(
+        F.to_date(F.date_trunc(period, F.min(t))).alias("_cohort")
+    )
+    active = events.select(
+        u, F.to_date(F.date_trunc(period, F.col(t))).alias("_p")
+    ).distinct()
+    days = {"week": 7, "day": 1}[period]
+    return (
+        active.join(firsts, u)
+        .select(
+            F.col("_cohort").alias("cohort"),
+            # truncated stamps differ by whole days — datediff is exact
+            F.floor(F.datediff("_p", "_cohort") / days).alias("period_offset"),
+            F.col(u),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(u).alias("n_users"))
+    )
+
+
+def sessionize(
+    events,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 1800,
+):
+    """Assign a per-user session id to EVERY event: a new session
+    starts when the gap to the user's previous event exceeds
+    ``gap_seconds`` (the per-event counterpart of the aggregated
+    session_window). session_id = running count of session starts in
+    the user's ts order — one user-partitioned window, no global sort.
+    Ties on ts break by event id so the lag is deterministic.
+    """
+    u, t = user_col, ts_col
+    w = Window.partitionBy(u).orderBy(t, id_col)
+    prev = F.lag(t).over(w)
+    # fractional epoch seconds (timestamp→double): unix_timestamp
+    # truncates sub-second parts and would disagree with the oracle's
+    # epoch() at gap boundaries
+    # NTZ won't cast straight to double; route through TIMESTAMP (UTC
+    # session, values preserved) to get fractional epoch seconds
+    def _secs(c):
+        return c.cast("timestamp").cast("double")
+
+    is_start = F.when(
+        prev.isNull() | ((_secs(F.col(t)) - _secs(prev)) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return events.select(
+        u,
+        id_col,
+        t,
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+
+
 # ------------------------------------------------- driver queries
 
 def q_funnel_stages(spark, sf_dir):
@@ -251,6 +328,22 @@ def q_funnel_stages(spark, sf_dir):
     return funnel_stages(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over the events stream."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", "week")
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Per-event gap-based session ids (30-minute inactivity gap)."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
 
 
 def q_asof_join_events(spark, sf_dir):
@@ -316,9 +409,43 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
     "funnel_stages": q_funnel_stages,
+    "cohort_retention": q_cohort_retention,
+    "sessionize_events": q_sessionize_events,
 }
 
 ORACLE = {
+    "cohort_retention": """
+        WITH f AS (
+          SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+          FROM events GROUP BY 1
+        ),
+        a AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS p
+          FROM events
+        )
+        SELECT f.cohort,
+               CAST(floor(date_diff('day', f.cohort, a.p) / 7.0) AS BIGINT)
+                 AS period_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM a JOIN f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    "sessionize_events": """
+        WITH o AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT user_id, event_id, ts,
+               CAST(sum(CASE WHEN prev IS NULL
+                             OR epoch(ts) - epoch(prev) > 1800
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM o
+    """,
     "funnel_stages": """
         WITH s1 AS (
           SELECT user_id, min(ts) AS t FROM events

@@ -26,7 +26,7 @@ _MODULES = []
 # Every rotated-out entry is r3-green under code unchanged since
 # (pytest's oracle sweep still covers all of them every run;
 # tests/test_registry.py enforces the green-history invariant). With
-# this cap, union(r1..r4) adjudicates all 86 registered queries.
+# this cap, union(r1..r4) adjudicates all 88 registered queries.
 PRIORITY = (
     # never / least-recently adjudicated (rotated IN this round)
     "text_clean_pii",
@@ -53,6 +53,8 @@ PRIORITY = (
     "asof_join_events",
     "range_join_events",
     "funnel_stages",
+    "cohort_retention",
+    "sessionize_events",
     # NEW this round: corpus-construction surface (pipeline/corpus.py)
     # — CC dedup groups, batch-vs-corpus dedup, sharding, stratified
     # sampling, quantile gate, sequence packing
@@ -74,8 +76,6 @@ PRIORITY = (
     "fallback_join_cascade",
     "self_join_common",
     # windows
-    "topk_per_group",
-    "decile_bucketing",
     # graph / recursive
     "apsp_min_merge",
     "nearest_flagged",
@@ -92,6 +92,8 @@ PRIORITY = (
     # ---- past the driver's 50-query cap: all green in r03 under code
     # unchanged since; every operator also pytest-covered and checked
     # by tools/check.py locally each round ----
+    "topk_per_group",
+    "decile_bucketing",
     "rank_compound_order",
     "mode_consensus",
     "frank_level_buckets",

@@ -172,3 +172,48 @@ def test_funnel_stages_strict_ordering(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 2, 3: 1, 5: 1}
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime as dt
+
+    from tcrd_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 1, dt(2026, 1, 1, 0, 0, 0)),
+        (1, 2, dt(2026, 1, 1, 0, 10, 0)),   # 10 min gap → same session
+        (1, 3, dt(2026, 1, 1, 1, 0, 0)),    # 50 min gap → new session
+        (1, 4, dt(2026, 1, 1, 1, 30, 0)),   # exactly 30 min → SAME (strict >)
+        (2, 5, dt(2026, 1, 1, 0, 0, 0)),    # other user independent
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, "user_id", "ts", "event_id", 1800).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime as dt
+
+    from tcrd_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, dt(2026, 1, 5)),   # Mon wk0 cohort
+        (1, dt(2026, 1, 14)),  # wk1
+        (1, dt(2026, 1, 21)),  # wk2
+        (2, dt(2026, 1, 7)),   # same cohort week, active wk0 only
+        (3, dt(2026, 1, 13)),  # next-week cohort
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev, "user_id", "ts", "week").collect()
+    }
+    assert got == {
+        ("2026-01-05", 0): 2,
+        ("2026-01-05", 1): 1,
+        ("2026-01-05", 2): 1,
+        ("2026-01-12", 0): 1,
+    }
