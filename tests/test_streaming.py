@@ -574,3 +574,51 @@ def test_streaming_incremental_dedup_matches_batch(spark, stream_dirs, tmp_path,
     }
     assert got == want
     assert len(got) == len(rows)
+
+
+def test_streaming_incremental_dedup_exactly_once_on_restart(
+    spark, stream_dirs, tmp_path, sf_dir
+):
+    """Kill the ingest query between micro-batches and restart from the
+    same checkpoint: every batch doc's verdict appears EXACTLY once in
+    the sink — the checkpointed batch id must not reprocess chunk 1 nor
+    skip chunk 2."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.streaming.jobs import streaming_incremental_dedup
+
+    src, ckpt = stream_dirs
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    rows = [r.asDict() for r in batch.collect()]
+    half = len(rows) // 2
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    out_path = str(tmp_path / "verdicts")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        return streaming_incremental_dedup(stream, corpus, out_path, ckpt)
+
+    _write_batch(src, rows[:half], "chunk_a")
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # simulated crash/redeploy boundary
+
+    _write_batch(src, rows[half:], "chunk_b")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [r["doc_id"] for r in spark.read.parquet(out_path).collect()]
+    assert sorted(got) == sorted(r["doc_id"] for r in rows)  # no dup, no loss
