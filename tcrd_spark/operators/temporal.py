@@ -56,8 +56,13 @@ def asof_join(
 
     Scale: one hash exchange on `on` + one sort within partitions —
     the same cost as a single shuffle join, regardless of how many
-    right rows precede each left row. Skewed keys salt/AQE-split the
-    same way any single-key shuffle does.
+    right rows precede each left row. CAVEAT (skew): the fill window
+    is ORDERED per key, and AQE's skew handling splits join/agg
+    partitions, NOT ordered-window partitions — a hot key (one user
+    holding 30% of events) is one task here. For Zipfian keys use
+    `asof_join_segmented`, which splits each key by time bins and
+    stitches boundaries with a small carry-in frame (measured on the
+    skewed fixture in SCALE.md).
     """
     lcols = left.columns
     tagged_l = left.select(
@@ -254,7 +259,17 @@ def cohort_retention(
     combinable), joined back onto the user's distinct activity
     periods — two shuffles total, both on bounded keys; never a
     per-user event collection.
+
+    ``period`` ∈ {'day', 'week', 'month'}: fixed-length periods use
+    exact day arithmetic; 'month' (variable-length) uses
+    months_between on the truncated dates, which is exact on
+    first-of-month boundaries.
     """
+    if period not in ("day", "week", "month"):
+        raise ValueError(
+            "cohort_retention: period must be one of 'day', 'week', "
+            f"'month'; got {period!r}"
+        )
     u, t = user_col, ts_col
     # cohort keys as DATEs: engines disagree on whether a truncated
     # timestamp renders midnight, a date compares clean everywhere
@@ -264,13 +279,17 @@ def cohort_retention(
     active = events.select(
         u, F.to_date(F.date_trunc(period, F.col(t))).alias("_p")
     ).distinct()
-    days = {"week": 7, "day": 1}[period]
+    if period == "month":
+        offset = F.floor(F.months_between("_p", "_cohort")).cast("long")
+    else:
+        days = {"week": 7, "day": 1}[period]
+        # truncated stamps differ by whole days — datediff is exact
+        offset = F.floor(F.datediff("_p", "_cohort") / days)
     return (
         active.join(firsts, u)
         .select(
             F.col("_cohort").alias("cohort"),
-            # truncated stamps differ by whole days — datediff is exact
-            F.floor(F.datediff("_p", "_cohort") / days).alias("period_offset"),
+            offset.alias("period_offset"),
             F.col(u),
         )
         .groupBy("cohort", "period_offset")

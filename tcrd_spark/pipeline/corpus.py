@@ -96,13 +96,20 @@ def connected_components(
         )
         ss = _truncate(ss)
         # converged ⇔ the edge set is unchanged (a star forest is a
-        # fixpoint of both rewrites)
+        # fixpoint of both rewrites). The signature is the cheap
+        # screen; a matching signature is CONFIRMED with one exact
+        # check before declaring convergence — a (count, xor-of-hash)
+        # collision must not silently emit wrong component labels.
+        # Counts match and both sides are distinct sets, so one-sided
+        # exceptAll emptiness ⇔ set equality. Runs on the final round
+        # only (one extra job across the whole algorithm).
         cur = _sig(ss)
-        e = ss
-        if cur == prev:
+        if cur == prev and ss.exceptAll(e).isEmpty():
+            e = ss
             converged = True
             break
         prev = cur
+        e = ss
     if not converged:
         # alternating stars converge in O(log n) rounds (Kiveris §4);
         # exhausting max_iter means labels may be split mid-merge —
@@ -146,6 +153,7 @@ def incremental_near_dups(
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    _caches: list | None = None,
 ) -> DataFrame:
     """Dedup an incoming BATCH against an existing CORPUS without
     re-pairing the corpus with itself — the production shape: the
@@ -159,6 +167,12 @@ def incremental_near_dups(
     shared-shingle equi-join batch→corpus (inverted-index probe: cost
     ∝ batch size × avg postings, never corpus²); verify is exact
     Jaccard on candidates only.
+
+    The shingle frames are cached (each feeds both the inverted index
+    and the verify join). Callers that invoke this repeatedly — the
+    streaming ingest sink runs it once per micro-batch — pass a
+    ``_caches`` list and unpersist after their terminal action, so
+    cached partitions don't accumulate in executor storage.
     """
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
@@ -180,6 +194,8 @@ def incremental_near_dups(
     c_sh = hashed_shingles(corpus, id_col, text_col, n).select(
         F.col(id_col).alias("c_id"), F.col("hs").alias("hs_c")
     ).cache()
+    if _caches is not None:
+        _caches.extend([b_sh, c_sh])
     b_inv = b_sh.select("b_id", F.explode("hs_b").alias("g"))
     c_inv = c_sh.select("c_id", F.explode("hs_c").alias("g"))
     cand = b_inv.join(c_inv, "g").select("b_id", "c_id").distinct()
@@ -266,11 +282,12 @@ def incremental_near_dups_indexed(
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    _caches: list | None = None,
 ) -> DataFrame:
     """incremental_near_dups against a persisted build_dedup_index —
     identical results; the difference is the corpus side is read, not
     recomputed, and its bucketing keeps every probe join's exchange on
-    the batch side only."""
+    the batch side only. ``_caches`` as in incremental_near_dups."""
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
     spark = batch.sparkSession
@@ -289,6 +306,8 @@ def incremental_near_dups_indexed(
     b_sh = hashed_shingles(batch, id_col, text_col, n).select(
         F.col(id_col).alias("b_id"), F.col("hs").alias("hs_b")
     ).cache()
+    if _caches is not None:
+        _caches.append(b_sh)
     cand = (
         b_sh.select("b_id", F.explode("hs_b").alias("g"))
         .join(c_inv, "g")
@@ -339,6 +358,7 @@ def incremental_near_dups_lsh(
     n_perms: int = 32,
     bands: int = 16,
     threshold: float = 0.3,
+    _caches: list | None = None,
 ) -> DataFrame:
     """incremental_near_dups with MinHash-LSH candidate generation:
     instead of probing EVERY shared shingle's postings (exact recall,
@@ -363,6 +383,8 @@ def incremental_near_dups_lsh(
             .select(F.col(id_col).alias(out_id), "hs")
             .cache()
         )
+        if _caches is not None:
+            _caches.append(sh)
         sig = sh.select(
             out_id,
             F.array(

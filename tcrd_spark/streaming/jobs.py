@@ -254,23 +254,25 @@ def streaming_incremental_dedup(
     foreachBatch is the deliberate choice over a continuous
     stream-static join: the probe is a multi-step plan (hash join +
     inverted-index candidate join + verify + two left joins) that
-    Structured Streaming cannot express in one continuous query, and
-    foreachBatch gives exactly-once appends via the checkpointed batch
-    id. The static side stays a plain DataFrame — at 100 TB it is the
+    Structured Streaming cannot express in one continuous query. The
+    static side stays a plain DataFrame — at 100 TB it is the
     persisted, bucketed shingle index table, re-read per batch only
     as metadata (parquet footers), not recomputed. Verdicts are
     against the CORPUS only, by design: intra-stream duplicates are
     the job of streaming_exact_dedup upstream.
-    """
-    from tcrd_spark.pipeline.corpus import incremental_near_dups
 
-    def _probe(batch_df: DataFrame, _batch_id: int) -> None:
-        (
-            incremental_near_dups(
-                batch_df, corpus, id_col, text_col, n=n, threshold=threshold
-            )
-            .write.mode("append")
-            .parquet(out_path)
+    Exactly-once is earned, not assumed: foreachBatch alone is
+    at-least-once (a crash after the sink write but before the
+    checkpoint commit replays the micro-batch), so the sink write is
+    made IDEMPOTENT per batch — each batch overwrites its own
+    ``batch_id=<id>`` partition directory, and a replayed batch
+    rewrites identical content instead of appending duplicates.
+    """
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_probe_batch(
+            batch_df, batch_id, corpus, out_path,
+            id_col=id_col, text_col=text_col, n=n, threshold=threshold,
         )
 
     return (
@@ -279,3 +281,43 @@ def streaming_incremental_dedup(
         .outputMode("update")
         .start()
     )
+
+
+def dedup_probe_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> None:
+    """One micro-batch of the ingest-dedup sink: probe the corpus and
+    overwrite this batch's own partition of the verdict sink.
+
+    Idempotent by construction — the write target is derived from the
+    checkpointed ``batch_id``, so replaying a batch (at-least-once
+    foreachBatch after a mid-commit crash) overwrites the same
+    directory with the same rows. Readers see the sink as one
+    partitioned parquet tree (``batch_id`` is a partition column).
+    The probe's shingle caches are unpersisted after the write so
+    long-running streams don't accumulate executor storage.
+    """
+    import os
+
+    from tcrd_spark.pipeline.corpus import incremental_near_dups
+
+    caches: list[DataFrame] = []
+    try:
+        (
+            incremental_near_dups(
+                batch_df, corpus, id_col, text_col,
+                n=n, threshold=threshold, _caches=caches,
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+        )
+    finally:
+        for c in caches:
+            c.unpersist()

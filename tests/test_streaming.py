@@ -622,3 +622,37 @@ def test_streaming_incremental_dedup_exactly_once_on_restart(
 
     got = [r["doc_id"] for r in spark.read.parquet(out_path).collect()]
     assert sorted(got) == sorted(r["doc_id"] for r in rows)  # no dup, no loss
+
+
+def test_streaming_incremental_dedup_replayed_batch_idempotent(
+    spark, tmp_path, sf_dir
+):
+    """The at-least-once window foreachBatch leaves open: a crash AFTER
+    the sink write but BEFORE the checkpoint commit replays the
+    micro-batch with the same batch_id. The sink must absorb the replay
+    — dedup_probe_batch overwrites its batch_id partition, so invoking
+    it twice (and even with drifted batch content, as a re-planned
+    source could produce) leaves exactly one copy of the batch's
+    verdicts."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.streaming.jobs import dedup_probe_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out_path = str(tmp_path / "verdicts")
+
+    dedup_probe_batch(batch, 0, corpus, out_path)
+    once = sorted(
+        (r["doc_id"], r["verdict"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    dedup_probe_batch(batch, 0, corpus, out_path)  # simulated replay
+    twice = sorted(
+        (r["doc_id"], r["verdict"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert once == twice
+    assert len(once) == batch.count()

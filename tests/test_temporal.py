@@ -217,3 +217,31 @@ def test_cohort_retention_offsets(spark):
         ("2026-01-05", 2): 1,
         ("2026-01-12", 0): 1,
     }
+
+
+def test_cohort_retention_month_and_bad_period(spark):
+    """'month' offsets are exact across variable-length months
+    (Jan 31 days, Feb 28); an unsupported period raises up front."""
+    from datetime import datetime as dt
+
+    from tcrd_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, dt(2026, 1, 20)),  # Jan cohort
+        (1, dt(2026, 2, 3)),   # month offset 1 (Jan is 31 days)
+        (1, dt(2026, 3, 28)),  # month offset 2 (Feb is 28 days)
+        (2, dt(2026, 2, 1)),   # Feb cohort, active Feb only
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort"]), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(ev, "user_id", "ts", "month").collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): 1,
+        ("2026-01-01", 1): 1,
+        ("2026-01-01", 2): 1,
+        ("2026-02-01", 0): 1,
+    }
+    with pytest.raises(ValueError, match="period must be one of"):
+        cohort_retention(ev, "user_id", "ts", "fortnight")
