@@ -71,6 +71,9 @@ PRIORITY = (
     "line_dedup",
     "corpus_pipeline",
     "profile_documents",
+    # NEW round 5: substring-level exact dedup (pipeline/substring.py)
+    "substring_dedup",
+    "substring_excise",
     # joins / aggregation with code touched or non-trivial plans
     "shipping_priority",
     "fallback_join_cascade",
@@ -153,7 +156,7 @@ def _collect():
         except ImportError:
             pass
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
-                    "pipeline.corpus_queries",
+                    "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:

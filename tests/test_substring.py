@@ -1,0 +1,103 @@
+"""Substring-level exact dedup (pipeline/substring.py): maximal-run
+merging, intra-doc repeats, short docs, and excision round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tcrd_spark.pipeline.substring import (
+    duplicate_spans,
+    excise_duplicate_spans,
+)
+
+
+def _docs(spark, texts: dict[int, str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def test_cross_doc_span_is_maximal(spark):
+    """A 6-token block shared by two docs with k=3 must come out as ONE
+    merged span of length 6 per doc (4 overlapping dup 3-grams merge),
+    at the right positions."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        {
+            1: f"one two {shared} three",
+            2: f"{shared} x y z",
+        },
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert got == {(1, 3, 8, 6), (2, 1, 6, 6)}
+
+
+def test_intra_doc_repeat_counts(spark):
+    """min_occurrences counts corpus-wide occurrences, so a gram
+    repeated twice INSIDE one document is a duplicate too."""
+    docs = _docs(spark, {1: "p q r s xx p q r s yy"})
+    got = {
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    assert got == {(1, 4), (6, 9)}
+
+
+def test_short_docs_and_unique_docs_emit_nothing(spark):
+    docs = _docs(spark, {1: "a b", 2: "totally unique words here now"})
+    assert duplicate_spans(docs, "doc_id", "text", k=3).count() == 0
+
+
+def test_excise_removes_all_occurrences_keeps_rest(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        {
+            1: f"one two {shared} three",
+            2: f"{shared} x y z",
+            3: "no duplicated content at all",
+        },
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_kept"], r["n_tokens_removed"])
+        for r in excise_duplicate_spans(docs, "doc_id", "text", k=3).collect()
+    }
+    assert got[1] == ("one two three", 3, 6)
+    assert got[2] == ("x y z", 3, 6)
+    assert got[3] == ("no duplicated content at all", 5, 0)
+
+
+def test_adjacent_spans_merge(spark):
+    """Two dup regions that touch (gap 0) merge into one span; a gap of
+    one non-dup token keeps them separate."""
+    # doc 3 carries 'a1..a4' and 'b1..b4' so those grams are corpus-dups;
+    # doc 1 has them adjacent, doc 2 separated by a gap token
+    docs = _docs(
+        spark,
+        {
+            1: "a1 a2 a3 a4 b1 b2 b3 b4",
+            2: "a1 a2 a3 a4 gap b1 b2 b3 b4",
+            3: "a1 a2 a3 a4 zz b1 b2 b3 b4",
+        },
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    assert (1, 1, 8) in spans  # merged: adjacent dup runs
+    assert (2, 1, 4) in spans and (2, 6, 9) in spans  # gap keeps them apart
+
+
+def test_substring_plan_shuffles_hashes_not_text(spark, sf_dir):
+    """The corpus-wide exchange carries gram hashes + positions; the
+    document text column must be pruned out before the first shuffle
+    of the dup-gram count."""
+    from tcrd_spark.pipeline.substring import q_substring_dedup
+
+    plan = q_substring_dedup(spark, sf_dir)._jdf.queryExecution().toString()
+    # the aggregate over gh reads only (gh) — no text in its exchange
+    assert "hashpartitioning(gh" in plan
