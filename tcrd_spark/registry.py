@@ -74,6 +74,9 @@ PRIORITY = (
     # NEW round 5: substring-level exact dedup (pipeline/substring.py)
     "substring_dedup",
     "substring_excise",
+    # NEW round 5: skew-split ordered windows (operators/temporal_skew.py)
+    "sessionize_skew",
+    "asof_join_segmented",
     # joins / aggregation with code touched or non-trivial plans
     "shipping_priority",
     "fallback_join_cascade",
@@ -143,11 +146,13 @@ def _collect():
         scans,
         setops,
         temporal,
+        temporal_skew,
         windows,
     )
     from tcrd_spark.functions import scalars
 
-    mods = [scans, joins, aggregates, windows, setops, temporal, scalars]
+    mods = [scans, joins, aggregates, windows, setops, temporal,
+            temporal_skew, scalars]
     for name in ("graph",):
         try:
             from tcrd_spark.operators import graph as _g
