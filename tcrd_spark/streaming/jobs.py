@@ -283,6 +283,51 @@ def streaming_incremental_dedup(
     )
 
 
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "30 minutes",
+    lookback: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each right row joins the
+    left rows with equal `on` keys whose event time satisfies
+    left_ts ≤ right_ts ≤ left_ts + lookback (the views⋈clicks
+    attribution shape). Column names other than `on` must be disjoint.
+
+    Both sides carry the watermark; the two-sided time-range predicate
+    is what lets Spark derive state eviction for BOTH join buffers —
+    a left row is dropped from state once the right watermark passes
+    left_ts + lookback, and late rows beyond the watermark never
+    enter the join. Without the range bound the state grows without
+    limit; this is the canonical bounded-state stream-stream join.
+    State is hash-partitioned on `on` like any equi-join.
+
+    The batch twin is a plain join with the identical predicate (the
+    replay test asserts equality against `operators/temporal.
+    range_join` with a point interval on the right side).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in on:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"interval {lookback}"))
+    )
+    out_cols = (
+        [lw[k] for k in on]
+        + [lw[c] for c in left.columns if c not in on]
+        + [rw[c] for c in right.columns if c not in on]
+    )
+    return lw.join(rw, cond, "inner").select(*out_cols)
+
+
 def dedup_probe_batch(
     batch_df: DataFrame,
     batch_id: int,

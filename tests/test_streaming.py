@@ -624,6 +624,192 @@ def test_streaming_incremental_dedup_exactly_once_on_restart(
     assert sorted(got) == sorted(r["doc_id"] for r in rows)  # no dup, no loss
 
 
+def _two_stream_dirs(tmp_path):
+    v_src = tmp_path / "v_src"
+    c_src = tmp_path / "c_src"
+    v_src.mkdir()
+    c_src.mkdir()
+    return str(v_src), str(c_src), str(tmp_path / "ss_ckpt")
+
+
+def _read_vc_streams(spark, v_src, c_src):
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    v_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("v_id", LongType()),
+            StructField("v_ts", TimestampType()),
+        ]
+    )
+    c_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("c_id", LongType()),
+            StructField("c_ts", TimestampType()),
+        ]
+    )
+    views = (
+        spark.readStream.schema(v_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(v_src)
+    )
+    clicks = (
+        spark.readStream.schema(c_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(c_src)
+    )
+    return views, clicks
+
+
+def test_stream_stream_join_matches_batch_range_join(
+    spark, tmp_path, sf_dir
+):
+    """Replay the events table's views and clicks through a
+    watermarked stream-stream join (clicks attribute to same-user
+    views ≤10 min older); the accumulated result must equal the batch
+    range_join with a point interval on the click side — same events,
+    no late data, so chunking must not change the answer."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.operators.temporal import range_join
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.streaming.jobs import (
+        run_to_memory_sink,
+        stream_stream_time_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    v_src, c_src, ckpt = _two_stream_dirs(tmp_path)
+    for df, src in ((views_b, v_src), (clicks_b, c_src)):
+        rows = [
+            {
+                k: (v.isoformat() if hasattr(v, "isoformat") else v)
+                for k, v in r.asDict().items()
+            }
+            for r in df.collect()
+        ]
+        third = max(1, len(rows) // 3)
+        for i in range(0, len(rows), third):
+            _write_batch(src, rows[i : i + third], f"chunk_{i:06d}")
+
+    views_s, clicks_s = _read_vc_streams(spark, v_src, c_src)
+    joined = stream_stream_time_join(
+        views_s, clicks_s, on=["user_id"], left_ts="v_ts",
+        right_ts="c_ts", watermark="365 days", lookback="10 minutes",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(joined, name, "append", ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["v_id"], r["c_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    # batch twin via the range_join operator: view interval
+    # [v_ts, v_ts+10min], click point interval [c_ts, c_ts]
+    sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    want = {
+        (r["user_id"], r["v_id"], r["c_id"])
+        for r in range_join(
+            views_b.select(
+                "user_id", "v_id", sec("v_ts").alias("v_lo"),
+                (sec("v_ts") + 600.0).alias("v_hi"),
+            ),
+            clicks_b.select(
+                F.col("user_id").alias("c_user"), "c_id",
+                sec("c_ts").alias("c_lo"), sec("c_ts").alias("c_hi"),
+            ).withColumnRenamed("c_user", "user_id"),
+            "v_lo", "v_hi", "c_lo", "c_hi",
+            on=["user_id"], bin_width=600.0,
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_stream_stream_join_drops_late_rows(spark, tmp_path):
+    """Late-data behavior: once the watermark has advanced past a
+    view's timestamp (+lookback), that view can no longer produce
+    join output — a late view and its matching click yield nothing."""
+    import uuid
+
+    from tcrd_spark.streaming.jobs import (
+        run_to_memory_sink,
+        stream_stream_time_join,
+    )
+
+    v_src, c_src, ckpt = _two_stream_dirs(tmp_path)
+    D = "2026-01-01T"
+    # batch 1: on-time pairs at 10:00 and a 12:00 row that advances
+    # the watermark to 11:30 on both streams
+    _write_batch(
+        v_src,
+        [
+            {"user_id": 1, "v_id": 10, "v_ts": f"{D}10:00:00"},
+            {"user_id": 3, "v_id": 30, "v_ts": f"{D}12:00:00"},
+        ],
+        "chunk_a",
+    )
+    _write_batch(
+        c_src,
+        [
+            {"user_id": 1, "c_id": 11, "c_ts": f"{D}10:05:00"},
+            {"user_id": 3, "c_id": 31, "c_ts": f"{D}12:01:00"},
+        ],
+        "chunk_a",
+    )
+    views_s, clicks_s = _read_vc_streams(spark, v_src, c_src)
+    joined = stream_stream_time_join(
+        views_s, clicks_s, on=["user_id"], left_ts="v_ts",
+        right_ts="c_ts", watermark="30 minutes", lookback="10 minutes",
+    )
+    name = f"ssl_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(joined, name, "append", ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: a 9:00 view + 9:05 click — both hours behind the
+        # 11:30 watermark → dropped, no join row may appear
+        _write_batch(
+            v_src,
+            [{"user_id": 2, "v_id": 20, "v_ts": f"{D}09:00:00"}],
+            "chunk_b",
+        )
+        _write_batch(
+            c_src,
+            [{"user_id": 2, "c_id": 21, "c_ts": f"{D}09:05:00"}],
+            "chunk_b",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["v_id"], r["c_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {(1, 10, 11), (3, 30, 31)}
+
+
 def test_streaming_incremental_dedup_replayed_batch_idempotent(
     spark, tmp_path, sf_dir
 ):
