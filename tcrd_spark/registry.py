@@ -77,6 +77,8 @@ PRIORITY = (
     # NEW round 5: skew-split ordered windows (operators/temporal_skew.py)
     "sessionize_skew",
     "asof_join_segmented",
+    # NEW round 5: distributed BPE training inner loop (pipeline/bpe.py)
+    "bpe_pair_counts",
     # joins / aggregation with code touched or non-trivial plans
     "shipping_priority",
     "fallback_join_cascade",
@@ -162,6 +164,7 @@ def _collect():
             pass
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
+                    "pipeline.bpe",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
