@@ -1,15 +1,23 @@
 """Registry invariants: the adjudication-cap discipline is a repo
 contract, not a comment — every registered query has an oracle (or a
-documented weak check), the cap ordering is exactly PRIORITY, and any
+documented weak check), the cap ordering is exactly PRIORITY, any
 query rotated past the driver's 50-query cap must already hold a green
-CORRECTNESS row from a previous round (union coverage never regresses).
+CORRECTNESS row from a previous round (union coverage never regresses),
+and — VERDICT r4 #1 — that green must POSTDATE the last commit touching
+any module the query's implementation (transitively) depends on, so
+"green under unchanged code" is enforced mechanically, not by memory.
 """
 
 from __future__ import annotations
 
+import functools
 import glob
+import importlib
+import inspect
 import json
 import os
+import re
+import subprocess
 
 from tcrd_spark.registry import PRIORITY, all_oracle_sql, all_queries
 
@@ -44,4 +52,115 @@ def test_past_cap_queries_have_green_history():
     assert not missing, (
         "queries rotated past the adjudication cap without any green "
         f"CORRECTNESS history: {missing}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# churn-aware rotation: a past-cap query's latest green must postdate
+# the last commit touching any module in its implementation closure
+
+_IMPORT_RE = re.compile(
+    r"^\s*(?:from\s+(tcrd_spark(?:\.\w+)+)\s+import|"
+    r"import\s+(tcrd_spark(?:\.\w+)+))",
+    re.M,
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _module_file(modname: str) -> str | None:
+    try:
+        mod = importlib.import_module(modname)
+        f = inspect.getsourcefile(mod)
+        return os.path.relpath(f, REPO) if f else None
+    except Exception:
+        return None
+
+
+@functools.lru_cache(maxsize=None)
+def _direct_deps(relpath: str) -> tuple[str, ...]:
+    with open(os.path.join(REPO, relpath)) as f:
+        src = f.read()
+    out = []
+    for m in _IMPORT_RE.finditer(src):
+        f2 = _module_file(m.group(1) or m.group(2))
+        if f2:
+            out.append(f2)
+    return tuple(out)
+
+
+def _closure(fn) -> set[str]:
+    """Transitive tcrd_spark module-file closure of a query callable:
+    its defining module plus everything that module (recursively)
+    imports from tcrd_spark — conservative by construction (a touched
+    helper forces re-adjudication of every query that can reach it)."""
+    seed = os.path.relpath(inspect.getsourcefile(fn), REPO)
+    seen: set[str] = set()
+    stack = [seed]
+    while stack:
+        f = stack.pop()
+        if f in seen:
+            continue
+        seen.add(f)
+        stack.extend(_direct_deps(f))
+    return seen
+
+
+@functools.lru_cache(maxsize=None)
+def _commit_ts(relpath: str) -> int:
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", relpath],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    return int(out) if out else 0
+
+
+def _latest_green_ts() -> dict[str, int]:
+    """query → commit timestamp of the newest CORRECTNESS file whose
+    row is fully green for it."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        ts = _commit_ts(os.path.relpath(path, REPO))
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                ):
+                    latest[name] = max(latest.get(name, 0), ts)
+    return latest
+
+
+def test_past_cap_greens_postdate_code_changes():
+    """For every query past the adjudication cap: if any file in its
+    implementation closure changed AND a full driver adjudication has
+    happened since that change (the newest CORRECTNESS commit), the
+    query's latest green must postdate the change — i.e. staleness may
+    never survive an adjudication opportunity. Changes newer than the
+    last adjudication get a one-round grace (a 50-slot cap cannot
+    re-adjudicate every downstream query of a shared helper in the
+    same round it changes), and this same test forces them into the
+    next round's cap mechanically. Every past-cap query is ALSO
+    re-hash-matched against DuckDB by the pytest oracle sweep
+    (tests/test_operators.py) on every run, so grace never means
+    unverified."""
+    q = all_queries()
+    greens = _latest_green_ts()
+    last_adj = max(
+        _commit_ts(os.path.relpath(p, REPO))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    stale = []
+    for name in PRIORITY[50:]:
+        green = greens.get(name, 0)
+        worst = max(
+            ((f, _commit_ts(f)) for f in _closure(q[name])),
+            key=lambda kv: kv[1],
+        )
+        if green < worst[1] <= last_adj:
+            stale.append((name, worst[0]))
+    assert not stale, (
+        "past-cap queries whose implementation changed before the last "
+        "driver adjudication yet whose green predates the change "
+        f"(rotate them into the cap): {stale}"
     )
