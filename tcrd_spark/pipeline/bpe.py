@@ -221,7 +221,7 @@ ORACLE = {
                  freq
           FROM syms
         )
-        SELECT pair, sum(freq) AS n
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n
         FROM pairs GROUP BY pair
         ORDER BY n DESC, pair ASC LIMIT {_TOP_PAIRS}
     """,

@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "tcrd_spark", master: str | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
-    return (
+    builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
@@ -38,5 +38,13 @@ def get_spark(app_name: str = "tcrd_spark", master: str | None = None) -> SparkS
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # local parallelize() slicing: createDataFrame of an N-row fixture
+    # otherwise fans into <cores> near-empty partitions and every tiny
+    # action pays a full task wave. Parquet readers are unaffected.
+    # The pytest harness sets this low (tests/conftest.py); production
+    # keeps Spark's default (= total cores).
+    dp = os.environ.get("SPARK_GRAFT_DEFAULT_PARALLELISM")
+    if dp:
+        builder = builder.config("spark.default.parallelism", dp)
+    return builder.getOrCreate()

@@ -13,6 +13,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    # small fixtures: slice parallelize() into 4 partitions instead of
+    # one-per-core — every tiny action otherwise launches a 32-task
+    # wave and the suite becomes scheduler-latency-bound
+    os.environ.setdefault("SPARK_GRAFT_DEFAULT_PARALLELISM", "4")
     from tcrd_spark.session import get_spark
 
     s = get_spark("tests")

@@ -366,52 +366,57 @@ def test_documents_roundtrip_to_lake(spark, lake):
     §3-A assembly)."""
     from tcrd_spark.api.adaptor import documents_to_lake, target_documents
 
-    back = documents_to_lake(target_documents(lake))
+    docs = target_documents(lake).cache()
+    try:
+        back = documents_to_lake(docs)
 
-    def rows(df, *cols):
-        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+        def rows(df, *cols):
+            return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
-    assert rows(back["target"], "id", "name") == rows(
-        lake["target"], "id", "name"
-    )
-    assert rows(back["protein"], "id", "uniprot", "dtoclass") == rows(
-        lake["protein"], "id", "uniprot", "dtoclass"
-    )
-    assert rows(back["t2tc"], "target_id", "protein_id") == rows(
-        lake["t2tc"], "target_id", "protein_id"
-    )
-    assert rows(back["alias"], "protein_id", "type", "value") == rows(
-        lake["alias"], "protein_id", "type", "value"
-    )
-    assert rows(back["goa"], "protein_id", "go_id") == rows(
-        lake["goa"], "protein_id", "go_id"
-    )
-    assert rows(back["expression"], "protein_id", "tissue", "qual_value") \
-        == rows(lake["expression"], "protein_id", "tissue", "qual_value")
-    assert rows(back["generif"], "protein_id", "text") == rows(
-        lake["generif"], "protein_id", "text"
-    )
-    assert rows(back["pmscore"], "protein_id", "year", "score") == rows(
-        lake["pmscore"], "protein_id", "year", "score"
-    )
-    # protein-attached xrefs (the target-attached branch lives on the
-    # target document's own xref map, not this one)
-    want = rows(
-        lake["xref"].filter(F.col("protein_id").isNotNull()),
-        "protein_id", "xtype", "value",
-    )
-    assert rows(back["xref"], "protein_id", "xtype", "value") == want
-    assert rows(back["disease"], "target_id", "name") == rows(
-        lake["disease"].filter(F.col("target_id").isNotNull()),
-        "target_id", "name",
-    )
-    assert rows(back["drug_activity"], "target_id", "drug") == rows(
-        lake["drug_activity"], "target_id", "drug"
-    )
-    assert rows(back["phenotype"], "protein_id", "ptype", "trait") == rows(
-        lake["phenotype"], "protein_id", "ptype", "trait"
-    )
-    assert rows(back["pathway"], "protein_id", "name") == rows(
-        lake["pathway"].filter(F.col("protein_id").isNotNull()),
-        "protein_id", "name",
-    )
+        # (label, back side, want side, columns) — collected via a
+        # thread pool: each pair re-executes the (cached) assembly, so
+        # serial collects dominated this test's wall
+        cases = [
+            ("target", back["target"], lake["target"], ("id", "name")),
+            ("protein", back["protein"], lake["protein"],
+             ("id", "uniprot", "dtoclass")),
+            ("t2tc", back["t2tc"], lake["t2tc"],
+             ("target_id", "protein_id")),
+            ("alias", back["alias"], lake["alias"],
+             ("protein_id", "type", "value")),
+            ("goa", back["goa"], lake["goa"], ("protein_id", "go_id")),
+            ("expression", back["expression"], lake["expression"],
+             ("protein_id", "tissue", "qual_value")),
+            ("generif", back["generif"], lake["generif"],
+             ("protein_id", "text")),
+            ("pmscore", back["pmscore"], lake["pmscore"],
+             ("protein_id", "year", "score")),
+            # protein-attached xrefs (the target-attached branch lives
+            # on the target document's own xref map, not this one)
+            ("xref", back["xref"],
+             lake["xref"].filter(F.col("protein_id").isNotNull()),
+             ("protein_id", "xtype", "value")),
+            ("disease", back["disease"],
+             lake["disease"].filter(F.col("target_id").isNotNull()),
+             ("target_id", "name")),
+            ("drug_activity", back["drug_activity"],
+             lake["drug_activity"], ("target_id", "drug")),
+            ("phenotype", back["phenotype"], lake["phenotype"],
+             ("protein_id", "ptype", "trait")),
+            ("pathway", back["pathway"],
+             lake["pathway"].filter(F.col("protein_id").isNotNull()),
+             ("protein_id", "name")),
+        ]
+
+        def diff(case):
+            label, got_df, want_df, cols = case
+            got, want = rows(got_df, *cols), rows(want_df, *cols)
+            return None if got == want else (label, got, want)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(8) as pool:
+            bad = [d for d in pool.map(diff, cases) if d]
+        assert not bad, bad
+    finally:
+        docs.unpersist()

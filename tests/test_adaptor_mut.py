@@ -76,34 +76,55 @@ def test_del_target_cascade(lake):
     from tcrd_spark.api.adaptor_mut import del_target
 
     out = del_target(lake, 1)
-    assert out["target"].filter("id = 1").count() == 0
-    assert out["t2tc"].filter("target_id = 1").count() == 0
-    # protein 11 (target 1's component) and every child row with it
-    assert out["protein"].filter("id = 11").count() == 0
+    # ~20 independent count() probes — fan them over a thread pool
+    # (each was its own serial Spark job; the test was latency-bound)
+    cases: list[tuple[str, object, object]] = [
+        ("target gone", out["target"].filter("id = 1"), 0),
+        ("t2tc gone", out["t2tc"].filter("target_id = 1"), 0),
+        # protein 11 (target 1's component) and every child row with it
+        ("protein gone", out["protein"].filter("id = 11"), 0),
+        # other targets' data survives
+        ("target count", out["target"], lake["target"].count() - 1),
+        ("tdl_info p12", out["tdl_info"].filter("protein_id = 12"),
+         lake["tdl_info"].filter("protein_id = 12").count()),
+        # dictionaries/lineage are exempt from the sweep
+        ("dataset kept", out["dataset"], lake["dataset"].count()),
+        # non-standard FK columns (kegg_distance.pid1/pid2,
+        # kegg_nearest_tclin.tclin_id) are swept via
+        # integrity.FK_EDGES — the reference's ON DELETE CASCADE
+        # (SQL/create-TCRDv7.sql:1022,1052)
+        ("kegg_distance swept",
+         out["kegg_distance"].filter("pid1 = 11 OR pid2 = 11"), 0),
+        ("kegg_distance survives",
+         out["kegg_distance"].filter("pid1 = 12"), 1),
+        ("kegg_nearest swept",
+         out["kegg_nearest_tclin"].filter(
+             "protein_id = 11 OR tclin_id = 11"), 0),
+        ("kegg_nearest survives",
+         out["kegg_nearest_tclin"].filter("id = 3"), 1),
+    ]
     for tbl in ("xref", "tdl_info", "expression", "goa", "generif",
                 "pmscore", "phenotype"):
         if "protein_id" in out[tbl].columns:
-            assert out[tbl].filter("protein_id = 11").count() == 0, tbl
+            cases.append(
+                (f"{tbl} p11", out[tbl].filter("protein_id = 11"), 0)
+            )
     for tbl in ("drug_activity", "disease", "tdl_update_log"):
         if "target_id" in out[tbl].columns:
-            assert out[tbl].filter("target_id = 1").count() == 0, tbl
-    # other targets' data survives
-    assert out["target"].count() == lake["target"].count() - 1
-    assert out["tdl_info"].filter("protein_id = 12").count() == \
-        lake["tdl_info"].filter("protein_id = 12").count()
-    # dictionaries/lineage are exempt from the sweep
-    assert out["dataset"].count() == lake["dataset"].count()
-    # non-standard FK columns (kegg_distance.pid1/pid2,
-    # kegg_nearest_tclin.tclin_id) are swept via integrity.FK_EDGES —
-    # the reference's ON DELETE CASCADE (SQL/create-TCRDv7.sql:1022,1052)
-    assert out["kegg_distance"].filter(
-        "pid1 = 11 OR pid2 = 11"
-    ).count() == 0
-    assert out["kegg_distance"].filter("pid1 = 12").count() == 1  # survives
-    assert out["kegg_nearest_tclin"].filter(
-        "protein_id = 11 OR tclin_id = 11"
-    ).count() == 0
-    assert out["kegg_nearest_tclin"].filter("id = 3").count() == 1
+            cases.append(
+                (f"{tbl} t1", out[tbl].filter("target_id = 1"), 0)
+            )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(case):
+        label, df, want = case
+        got = df.count()
+        return None if got == want else (label, got, want)
+
+    with ThreadPoolExecutor(8) as pool:
+        bad = [b for b in pool.map(probe, cases) if b]
+    assert not bad, bad
     # and the lake passes its own FK audit after the cascade
     from tcrd_spark.quality.integrity import assert_clean
 

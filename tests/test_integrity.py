@@ -14,12 +14,14 @@ def lake(spark):
 
 
 def test_fixture_lake_is_clean(lake):
-    from tcrd_spark.quality.integrity import assert_clean, fk_orphans
+    from tcrd_spark.quality.integrity import fk_orphans
 
-    rep = fk_orphans(lake)
-    assert rep.count() > 10  # plenty of edges actually audited
-    assert rep.filter("orphan_ct > 0").count() == 0
-    assert_clean(lake)  # no raise
+    # ONE execution of the all-edges union plan; every assertion
+    # (breadth, cleanliness — what assert_clean checks) derives from
+    # the same collected rows
+    rows = fk_orphans(lake).collect()
+    assert len(rows) > 10  # plenty of edges actually audited
+    assert [r for r in rows if r.orphan_ct > 0] == []
 
 
 def test_orphans_detected_and_reported(spark, lake):

@@ -1,9 +1,18 @@
 """Every registered query hash-matches its DuckDB oracle at sf0.001 —
-the same comparison the driver's t2 gate performs at sf0.01."""
+the same comparison the driver's t2 gate performs at sf0.01.
+
+The sweep fans the ~93 queries over a thread pool: Spark schedules
+concurrent jobs from multiple threads onto the same local[32] session
+(py4j releases the GIL on the socket), and each worker gets its own
+DuckDB cursor over the shared in-memory catalog (`con.cursor()` is the
+documented multithreading pattern). Serial, this sweep alone was ~10
+minutes of suite wall; pooled it rides the idle cores. Coverage is
+identical — the final assertion lists every failing query with its
+full problem detail."""
 
 from __future__ import annotations
 
-import pytest
+from concurrent.futures import ThreadPoolExecutor
 
 from tcrd_spark.registry import all_oracle_sql, all_queries
 from tools.check import compare
@@ -12,19 +21,38 @@ QUERIES = all_queries()
 ORACLE = all_oracle_sql()
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck, sf_dir):
+def _check_one(name, spark, duck_cursor, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     spark_rows = df.collect()
     if name not in ORACLE:
-        # non-SQL-expressible op: rows-only smoke (the driver's weak check)
-        assert spark_rows is not None
-        return
-    res = duck.execute(ORACLE[name])
+        # non-SQL-expressible op: rows-only smoke (the driver's weak
+        # check)
+        return None if spark_rows is not None else ["no rows object"]
+    res = duck_cursor.execute(ORACLE[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
-    problems = compare(spark_rows, df.columns, duck_rows, duck_cols)
-    assert not problems, f"{name}: {problems}"
+    return compare(spark_rows, df.columns, duck_rows, duck_cols) or None
+
+
+def test_all_queries_match_oracle(spark, duck, sf_dir):
+    names = sorted(QUERIES)
+
+    def run(name):
+        cur = duck.cursor()
+        try:
+            return name, _check_one(name, spark, cur, sf_dir)
+        except Exception as e:  # surface per-query, don't kill the pool
+            return name, [f"exception: {e!r}"]
+        finally:
+            cur.close()
+
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        results = list(pool.map(run, names))
+    failures = {n: p for n, p in results if p}
+    assert not failures, (
+        f"{len(failures)}/{len(names)} queries diverge from their "
+        f"oracles: {failures}"
+    )
 
 
 def test_salted_join_equivalence(spark, sf_dir):

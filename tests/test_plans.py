@@ -64,27 +64,42 @@ def test_all_query_plans_are_scale_clean(spark, sf_dir, queries):
     at 100 TB. A windowspecdefinition whose first argument carries
     ASC/DESC has ordering but no partition columns; reject that.
 
-    (Merged into one test: building all ~70 plans dominates the
-    wall-clock, so each plan is built once and checked for both.)"""
+    (Merged into one test, plan builds fanned over a thread pool:
+    Catalyst analysis happens JVM-side so concurrent builds scale,
+    and building all ~90 plans dominates the wall-clock.)"""
     python_ok = {
         "apsp_min_merge", "nearest_flagged",      # applyInPandas BFS
         "multimodal_features",                    # mapInPandas decode
         "dedup_embedding_cosine",                 # mapInPandas block matmul
     }
-    for name, q in queries.items():
+
+    def check(item):
+        name, q = item
         plan = plan_of(q(spark, sf_dir))
+        problems = []
         if name not in python_ok:
-            assert "BatchEvalPython" not in plan, f"{name} uses Python UDF"
-            assert "ArrowEvalPython" not in plan, f"{name} uses pandas UDF"
-            assert "FlatMapGroupsInPandas" not in plan, (
-                f"{name} uses applyInPandas"
-            )
-            assert "MapInPandas" not in plan, f"{name} uses mapInPandas"
+            for marker, what in (
+                ("BatchEvalPython", "Python UDF"),
+                ("ArrowEvalPython", "pandas UDF"),
+                ("FlatMapGroupsInPandas", "applyInPandas"),
+                ("MapInPandas", "mapInPandas"),
+            ):
+                if marker in plan:
+                    problems.append(f"{name} uses {what}")
         for chunk in plan.split("windowspecdefinition(")[1:]:
             first_arg = chunk.split(",", 1)[0]
-            assert " ASC" not in first_arg and " DESC" not in first_arg, (
-                f"{name} has a global (partition-less) window:\n{plan}"
-            )
+            if " ASC" in first_arg or " DESC" in first_arg:
+                problems.append(
+                    f"{name} has a global (partition-less) window"
+                )
+        return problems
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(12) as pool:
+        all_problems = [p for ps in pool.map(check, queries.items())
+                        for p in ps]
+    assert not all_problems, all_problems
 
 
 def test_ivf_assignment_has_no_window_shuffle(spark, sf_dir):
