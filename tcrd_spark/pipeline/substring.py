@@ -171,22 +171,33 @@ def excise_duplicate_spans(
 _K, _MIN_OCC = 8, 2
 
 
-def q_substring_dedup(spark, sf_dir):
-    """Maximal duplicated ≥8-token spans over the documents corpus."""
+def _split_docs(spark, sf_dir):
+    """documents with enough input splits for the gram stage: the
+    row-local k-gram hashing is the CPU-heavy stage (k string builds +
+    one md5 per token), and the test-scale documents table arrives as
+    a single small parquet split, which would serialize it on one
+    core. At 100 TB inputs come pre-split and this repartition is a
+    no-op by the guard; here one up-front exchange of the text buys a
+    full-width map stage (measured 6.0s → ~1s at sf0.1)."""
     from tcrd_spark.sources.lake import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return duplicate_spans(docs, "doc_id", "text", k=_K,
-                           min_occurrences=_MIN_OCC)
+    want = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        docs = docs.repartition(want)
+    return docs
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Maximal duplicated ≥8-token spans over the documents corpus."""
+    return duplicate_spans(_split_docs(spark, sf_dir), "doc_id", "text",
+                           k=_K, min_occurrences=_MIN_OCC)
 
 
 def q_substring_excise(spark, sf_dir):
     """Documents with duplicated ≥8-token spans excised."""
-    from tcrd_spark.sources.lake import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    return excise_duplicate_spans(docs, "doc_id", "text", k=_K,
-                                  min_occurrences=_MIN_OCC)
+    return excise_duplicate_spans(_split_docs(spark, sf_dir), "doc_id",
+                                  "text", k=_K, min_occurrences=_MIN_OCC)
 
 
 QUERIES = {
