@@ -24,13 +24,12 @@ _MODULES = []
 #       embedding_cosine, multimodal_features, window_tumbling/
 #       session, plus everything reached through the r4 lake.py and
 #       aggregates.py commits),
-#   (b) the 5 queries NEW this round (substring dedup ×2, skew-split
-#       ordered windows ×2, BPE pair counts),
-#   (c) 7 round-5-touched picks whose changes are behavioral
+#   (b) the 7 queries NEW this round (substring dedup ×2, skew-split
+#       ordered windows ×2, BPE pair counts, Gopher rules ×2),
+#   (c) 5 round-5-touched picks whose changes are behavioral
 #       (connected-components exact-convergence confirm + cache
-#       plumbing in corpus.py; cohort period validation in
-#       temporal.py): the CC/incremental dedup family,
-#       corpus_pipeline, cohort_retention, asof_join_events.
+#       plumbing in corpus.py): the CC/incremental dedup family and
+#       corpus_pipeline.
 # Remaining round-5-touched r4-green queries (the rest of the
 # corpus/temporal/streaming families) sit past-cap under the churn
 # test's ONE-ROUND GRACE (changes newer than the last adjudication)
@@ -83,18 +82,20 @@ PRIORITY = (
     "sessionize_skew",
     "asof_join_segmented",
     "bpe_pair_counts",
-    # (c) round-5 behavioral changes (corpus.py CC confirm/caches,
-    #     temporal.py cohort validation)
+    # NEW round 5: Gopher repetition/quality rules (pipeline/gopher.py)
+    "gopher_repetition",
+    "gopher_quality_filter",
+    # (c) round-5 behavioral changes (corpus.py CC confirm/caches)
     "dedup_groups_cc",
     "dedup_incremental",
     "dedup_incremental_indexed",
     "dedup_incremental_lsh",
     "corpus_pipeline",
-    "cohort_retention",
-    "asof_join_events",
     # ---- past the driver's 50-query cap: every entry is r4-green;
     # entries whose closure was touched in round 5 are in the churn
     # test's one-round grace and rotate into the r6 cap ----
+    "cohort_retention",
+    "asof_join_events",
     "range_join_events",
     "funnel_stages",
     "sessionize_events",
@@ -164,7 +165,7 @@ def _collect():
             pass
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
-                    "pipeline.bpe",
+                    "pipeline.bpe", "pipeline.gopher",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
