@@ -97,6 +97,12 @@ def duplicate_spans(
         .select("gh")
     )
     hits = g.join(dup, "gh", "left_semi").select(id_col, "pos")
+    return _merge_hit_spans(hits, id_col, k)
+
+
+def _merge_hit_spans(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """(id, pos) duplicated-gram hits → maximal merged spans per doc:
+    one ordered window per document (skew bounded by doc length)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -117,6 +123,67 @@ def duplicate_spans(
         (F.max("pos") + k - 1).alias("span_end"),
         (F.max("pos") + k - F.min("pos")).alias("span_len"),
     ).drop("_span")
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal spans of BATCH documents that duplicate CORPUS content:
+    a batch k-gram is a hit iff the identical k-token gram occurs
+    anywhere in the standing corpus; hits merge into maximal spans per
+    batch doc. The incremental counterpart of `duplicate_spans` —
+    batch-internal repeats are the batch-level operator's job, exactly
+    the verdicts-vs-corpus-only contract of
+    `pipeline/corpus.incremental_near_dups`.
+
+    Cost ∝ batch grams + one distinct over corpus gram hashes; with
+    `build_gram_index` the corpus side is a persisted bucketed table
+    and the probe exchange stays batch-side.
+    """
+    bg = _gram_hashes(batch, id_col, text_col, k)
+    cg = _gram_hashes(corpus, id_col, text_col, k).select("gh").distinct()
+    hits = bg.join(cg, "gh", "left_semi").select(id_col, "pos")
+    return _merge_hit_spans(hits, id_col, k)
+
+
+def build_gram_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_prefix: str,
+    k: int = 8,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the corpus's distinct k-gram hashes as a bucketed table
+    ``<prefix>_grams`` (gh) — the standing asset incremental substring
+    probes read instead of re-hashing the corpus. Bucketed on gh: a
+    batch probe join shuffles only the batch (same layout philosophy
+    as corpus.build_dedup_index)."""
+    from tcrd_spark.sources.lake import write_bucketed
+
+    cg = _gram_hashes(corpus, id_col, text_col, k).select("gh").distinct()
+    write_bucketed(cg, f"{table_prefix}_grams", "gh", n_buckets)
+
+
+def incremental_duplicate_spans_indexed(
+    batch: DataFrame,
+    table_prefix: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """incremental_duplicate_spans against a persisted
+    build_gram_index — identical results; the corpus-side gram shuffle
+    was paid once at build time."""
+    spark = batch.sparkSession
+    cg = spark.table(f"{table_prefix}_grams")
+    bg = _gram_hashes(batch, id_col, text_col, k)
+    hits = bg.join(cg, "gh", "left_semi").select(id_col, "pos")
+    return _merge_hit_spans(hits, id_col, k)
 
 
 def excise_duplicate_spans(
@@ -200,9 +267,21 @@ def q_substring_excise(spark, sf_dir):
                                   "text", k=_K, min_occurrences=_MIN_OCC)
 
 
+def q_substring_dedup_incremental(spark, sf_dir):
+    """Spans of the ingest batch (doc_id % 5 == 0, the corpus_queries
+    split) duplicating standing-corpus content."""
+    docs = _split_docs(spark, sf_dir)
+    return incremental_duplicate_spans(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id", "text", k=_K,
+    )
+
+
 QUERIES = {
     "substring_dedup": q_substring_dedup,
     "substring_excise": q_substring_excise,
+    "substring_dedup_incremental": q_substring_dedup_incremental,
 }
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -247,6 +326,43 @@ ORACLE = {
     "substring_dedup": f"""
         WITH {_SPANS_CTES}
         SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+    "substring_dedup_incremental": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        g AS (
+          SELECT doc_id, unnest(
+            list_transform(range(1, greatest(len(w) - {_K} + 2, 1)),
+              i -> {{'pos': i,
+                     'gh': {sql_hash60(
+                         f"array_to_string(list_slice(w, i, i + {_K} - 1), ' ')")}}}),
+            recursive := true)
+          FROM t
+        ),
+        h AS (
+          SELECT b.doc_id, b.pos
+          FROM (SELECT * FROM g WHERE doc_id % 5 = 0) b
+          WHERE b.gh IN (SELECT gh FROM g WHERE doc_id % 5 != 0)
+        ),
+        m AS (
+          SELECT doc_id, pos,
+                 max(pos + {_K} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+          FROM h
+        ),
+        s AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS span_id
+          FROM m
+        )
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + {_K} - 1 AS span_end,
+               max(pos) + {_K} - min(pos) AS span_len
+        FROM s GROUP BY doc_id, span_id
     """,
     "substring_excise": f"""
         WITH {_SPANS_CTES},

@@ -24,12 +24,14 @@ _MODULES = []
 #       embedding_cosine, multimodal_features, window_tumbling/
 #       session, plus everything reached through the r4 lake.py and
 #       aggregates.py commits),
-#   (b) the 7 queries NEW this round (substring dedup ×2, skew-split
-#       ordered windows ×2, BPE pair counts, Gopher rules ×2),
-#   (c) 5 round-5-touched picks whose changes are behavioral
+#   (b) the 8 queries NEW this round (substring dedup ×3 incl. the
+#       incremental batch-vs-corpus probe, skew-split ordered windows
+#       ×2, BPE pair counts, Gopher rules ×2),
+#   (c) 4 round-5-touched picks whose changes are behavioral
 #       (connected-components exact-convergence confirm + cache
-#       plumbing in corpus.py): the CC/incremental dedup family and
-#       corpus_pipeline.
+#       plumbing in corpus.py): dedup_groups_cc, dedup_incremental,
+#       dedup_incremental_indexed, corpus_pipeline (the LSH variant
+#       rides the grace set).
 # Remaining round-5-touched r4-green queries (the rest of the
 # corpus/temporal/streaming families) sit past-cap under the churn
 # test's ONE-ROUND GRACE (changes newer than the last adjudication)
@@ -79,6 +81,7 @@ PRIORITY = (
     # (b) NEW round 5
     "substring_dedup",
     "substring_excise",
+    "substring_dedup_incremental",
     "sessionize_skew",
     "asof_join_segmented",
     "bpe_pair_counts",
@@ -89,11 +92,11 @@ PRIORITY = (
     "dedup_groups_cc",
     "dedup_incremental",
     "dedup_incremental_indexed",
-    "dedup_incremental_lsh",
     "corpus_pipeline",
     # ---- past the driver's 50-query cap: every entry is r4-green;
     # entries whose closure was touched in round 5 are in the churn
     # test's one-round grace and rotate into the r6 cap ----
+    "dedup_incremental_lsh",
     "cohort_retention",
     "asof_join_events",
     "range_join_events",

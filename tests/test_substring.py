@@ -92,6 +92,59 @@ def test_adjacent_spans_merge(spark):
     assert (2, 1, 4) in spans and (2, 6, 9) in spans  # gap keeps them apart
 
 
+def test_incremental_spans_probe_corpus_only(spark):
+    """Batch spans hit only corpus-duplicated content: batch-internal
+    repeats do NOT flag (the verdicts-vs-corpus-only contract), and a
+    batch span matching the corpus comes out maximal."""
+    from tcrd_spark.pipeline.substring import incremental_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    batch = _docs(spark, {
+        1: f"x y {shared} z",
+        2: "own dup own dup own dup own dup",  # batch-internal only
+    })
+    corpus = _docs(spark, {100: f"{shared} filler words here"})
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in incremental_duplicate_spans(
+            batch, corpus, "doc_id", "text", k=3
+        ).collect()
+    }
+    assert got == {(1, 3, 8)}
+
+
+def test_incremental_indexed_equals_plain(spark, sf_dir):
+    """The persisted gram-index probe returns byte-identical spans."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.substring import (
+        build_gram_index,
+        incremental_duplicate_spans,
+        incremental_duplicate_spans_indexed,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    prefix = f"gram_idx_{uuid.uuid4().hex[:8]}"
+    build_gram_index(corpus, "doc_id", "text", prefix, k=8)
+    plain = {
+        tuple(r) for r in incremental_duplicate_spans(
+            batch, corpus, "doc_id", "text", k=8
+        ).collect()
+    }
+    indexed = {
+        tuple(r) for r in incremental_duplicate_spans_indexed(
+            batch, prefix, "doc_id", "text", k=8
+        ).collect()
+    }
+    assert indexed == plain
+    assert len(plain) > 0
+
+
 def test_substring_plan_shuffles_hashes_not_text(spark, sf_dir):
     """The corpus-wide exchange carries gram hashes + positions; the
     document text column must be pruned out before the first shuffle
