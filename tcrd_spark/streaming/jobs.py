@@ -283,6 +283,46 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_substring_dedup(
+    doc_stream: DataFrame,
+    gram_index_prefix: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+):
+    """Substring-dedup an unbounded document ingest stream against a
+    persisted corpus gram index (pipeline/substring.build_gram_index):
+    each micro-batch probes the bucketed distinct-gram table and
+    appends (doc, span) rows for every batch span duplicating corpus
+    content — the streaming twin of `substring_dedup_incremental`,
+    with the same idempotent batch_id-partitioned sink as
+    `streaming_incremental_dedup` (foreachBatch is at-least-once; a
+    replayed batch overwrites its own partition)."""
+    import os
+
+    from tcrd_spark.pipeline.substring import (
+        incremental_duplicate_spans_indexed,
+    )
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            incremental_duplicate_spans_indexed(
+                batch_df, gram_index_prefix, id_col, text_col, k=k
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def stream_stream_time_join(
     left: DataFrame,
     right: DataFrame,

@@ -810,6 +810,63 @@ def test_stream_stream_join_drops_late_rows(spark, tmp_path):
     assert got == {(1, 10, 11), (3, 30, 31)}
 
 
+def test_streaming_substring_dedup_matches_batch(
+    spark, stream_dirs, tmp_path, sf_dir
+):
+    """Replaying the batch docs through the streaming gram-index probe
+    accumulates exactly the batch operator's spans, chunking-invariant
+    (each doc's spans depend only on the standing corpus index)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from tcrd_spark.pipeline.substring import (
+        build_gram_index,
+        incremental_duplicate_spans,
+    )
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.streaming.jobs import streaming_substring_dedup
+
+    src, ckpt = stream_dirs
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    prefix = f"gram_idx_{uuid.uuid4().hex[:8]}"
+    build_gram_index(corpus, "doc_id", "text", prefix, k=8)
+
+    rows = [r.asDict() for r in batch.collect()]
+    third = max(1, len(rows) // 3)
+    for i in range(0, len(rows), third):
+        _write_batch(src, rows[i : i + third], f"chunk_{i:04d}")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out_path = str(tmp_path / "spans")
+    q = streaming_substring_dedup(stream, prefix, out_path, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = {
+        tuple(r)
+        for r in incremental_duplicate_spans(
+            batch, corpus, "doc_id", "text", k=8
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_streaming_incremental_dedup_replayed_batch_idempotent(
     spark, tmp_path, sf_dir
 ):
