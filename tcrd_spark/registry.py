@@ -142,6 +142,12 @@ PRIORITY = (
     "tinx_novelty",
     "tinx_importance",
     "ann_ivf",
+    # ---- NEW in round 5 AFTER the cap filled (modules added after the
+    # last driver adjudication ⇒ the green-history test's new-query
+    # grace applies; pytest's oracle sweep verifies them every run and
+    # they MUST rotate into the r6 cap once CORRECTNESS_r05 lands) ----
+    "lm_perplexity",
+    "lm_top_bigrams",
 )
 
 
@@ -168,7 +174,7 @@ def _collect():
             pass
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
-                    "pipeline.bpe", "pipeline.gopher",
+                    "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:

