@@ -148,6 +148,7 @@ PRIORITY = (
     # they MUST rotate into the r6 cap once CORRECTNESS_r05 lands) ----
     "lm_perplexity",
     "lm_top_bigrams",
+    "nb_classify",
 )
 
 
@@ -175,6 +176,7 @@ def _collect():
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
+                    "pipeline.nbayes",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
