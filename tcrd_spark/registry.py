@@ -149,6 +149,8 @@ PRIORITY = (
     "lm_perplexity",
     "lm_top_bigrams",
     "nb_classify",
+    "mixture_weights",
+    "domain_mixture_sample",
 )
 
 
@@ -176,7 +178,7 @@ def _collect():
     for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
-                    "pipeline.nbayes",
+                    "pipeline.nbayes", "pipeline.mixture",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
