@@ -52,6 +52,11 @@ BNLJ_OK = {
     "kmeans_assign",            # broadcast centroid set (k rows)
     "decile_bucketing",         # broadcast decile edges (9 values)
     "dedup_embedding_cosine",   # broadcast block-pair grid (B(B+1)/2 rows)
+    "lm_perplexity",            # 1-row vocab-size V rides a cross join
+    "lm_top_bigrams",           # same 1-row V
+    "nb_classify",              # broadcast label totals (|labels| rows) + 1-row V
+    "mixture_weights",          # 1-row Σsqrt + 1-row corpus total
+    "domain_mixture_sample",    # same plan stage, broadcast back to docs
 }
 
 
