@@ -1,0 +1,210 @@
+"""Bloom-filter benchmark decontamination — the compact-broadcast
+scale path.
+
+`pipeline/corpus.decontaminate` broadcasts the benchmark's full
+distinct shingle-hash set. That is exact, but at a few hundred eval
+suites the broadcast is hundreds of MB of longs. The Bloom form
+compresses the benchmark to a fixed bit array (here 1024 words × 60
+usable bits = 61,440 bits, K=4 hash functions — ~8 KB broadcast),
+trading a deterministic, engine-reproducible false-positive rate
+(~1e-4 per probe at 10% fill) for a 1000× smaller broadcast. False
+negatives are impossible — every truly contaminated document is
+flagged.
+
+Determinism is the design constraint: bit positions come from the
+portable hash60 (functions/hashing.py), each word keeps 60 bits so no
+mask ever touches the sign bit, and the probe is K chained BROADCAST
+joins — not an explode — so the 100 TB corpus side generates ZERO
+extra rows and ZERO extra shuffles; the only exchange is the final
+per-document aggregate the exact operator pays too. DuckDB computes
+the identical bits, so even the false positives match bit-for-bit and
+the query is fully oracle-adjudicated (`decontaminate_bloom`).
+
+The no-false-negative containment against the exact operator is
+pytest-asserted (tests/test_bloom.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcrd_spark.functions.hashing import hash60, sql_hash60
+
+# 1024 words × 60 bits per word (mask ≤ 2^59 keeps every engine's
+# BIGINT positive); K independent hash functions
+M_WORDS = 1024
+BITS_PER_WORD = 60
+N_BITS = M_WORDS * BITS_PER_WORD
+K = 4
+
+
+def _probe_hash(g, i: int):
+    """Bit index in [0, N_BITS) for shingle-hash g under function i."""
+    return hash60(
+        F.concat(g.cast("string"), F.lit(f":{i}"))
+    ) % F.lit(N_BITS)
+
+
+def build_bloom(bench_df: DataFrame, id_col: str, text_col: str,
+                n: int = 5) -> DataFrame:
+    """(word, mask) — the benchmark's n-gram shingles folded into the
+    bit array; ≤ M_WORDS rows, broadcast it."""
+    from tcrd_spark.pipeline.dedup import hashed_shingles
+
+    g = (
+        hashed_shingles(bench_df, id_col, text_col, n)
+        .select(F.explode("hs").alias("g"))
+        .distinct()
+    )
+    # the probe side uses _probe_hash with a literal i (one join per
+    # hash function); the build side explodes i, so inline the hash
+    bits = g.select(
+        F.explode(F.sequence(F.lit(1), F.lit(K))).alias("i"), "g"
+    ).select(
+        (
+            hash60(
+                F.concat(
+                    F.col("g").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            )
+            % F.lit(N_BITS)
+        ).alias("h")
+    )
+    return (
+        bits.select(
+            (F.col("h") / BITS_PER_WORD).cast("long").alias("word"),
+            # pyspark's shiftleft() only takes a literal shift; the SQL
+            # function accepts a column
+            F.expr(
+                f"CAST(shiftleft(1L, CAST(h % {BITS_PER_WORD} AS INT)) "
+                "AS LONG)"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def probe_bloom(
+    corpus_df: DataFrame, bloom: DataFrame, id_col: str, text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """(id, bloom_hits, contaminated) — corpus docs whose any shingle
+    has all K bits set. K broadcast left joins, no explode-by-K."""
+    from tcrd_spark.pipeline.dedup import hashed_shingles
+
+    probes = hashed_shingles(corpus_df, id_col, text_col, n).select(
+        id_col, F.explode("hs").alias("g")
+    )
+    present = None
+    for i in range(1, K + 1):
+        h = _probe_hash(F.col("g"), i)
+        probes = (
+            probes.withColumn(f"_w{i}", (h / BITS_PER_WORD).cast("long"))
+            .withColumn(f"_b{i}", (h % BITS_PER_WORD).cast("int"))
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("word").alias(f"_w{i}"),
+                        F.col("mask").alias(f"_m{i}"),
+                    )
+                ),
+                f"_w{i}",
+                "left",
+            )
+        )
+        p = F.expr(
+            f"shiftright(coalesce(_m{i}, 0L), _b{i}) % 2 = 1"
+        )
+        present = p if present is None else (present & p)
+    flagged = probes.withColumn("hit", present.cast("int"))
+    hits = (
+        flagged.groupBy(id_col)
+        .agg(F.sum("hit").alias("bloom_hits"))
+    )
+    return (
+        corpus_df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            (F.coalesce("bloom_hits", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+# ------------------------------------------------- registered queries
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination with the same corpus/benchmark
+    split as `decontaminate` (benchmark = doc_id < 10)."""
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bloom = build_bloom(docs.filter(F.col("doc_id") < 10), "doc_id",
+                        "text", n=5)
+    return probe_bloom(
+        docs.filter(F.col("doc_id") >= 10), bloom, "doc_id", "text", n=5
+    )
+
+
+QUERIES = {"decontaminate_bloom": q_decontaminate_bloom}
+
+
+# Oracle: identical bit math. Reuse the corpus_queries 5-gram shingle
+# CTE shape (distinct word 5-grams, hash60 over the joined words).
+_W = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_G5 = (
+    "list_distinct(list_transform("
+    "list_distinct(list_transform(range(greatest(len(w) - 4, 0)), "
+    "i -> concat(w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4], ' ', "
+    "w[i+5]))), s -> " + sql_hash60("s") + "))"
+)
+
+_PH = sql_hash60("concat(CAST(g AS VARCHAR), ':', CAST(i AS VARCHAR))")
+
+ORACLE = {
+    "decontaminate_bloom": f"""
+        WITH t AS (SELECT doc_id, {_W} AS w FROM documents),
+        sh AS (SELECT doc_id, {_G5} AS hs FROM t),
+        bg AS (SELECT DISTINCT unnest(hs) AS g FROM sh WHERE doc_id < 10),
+        bbits AS (
+          SELECT ({_PH}) % {N_BITS} AS h
+          FROM bg CROSS JOIN range(1, {K} + 1) r(i)
+        ),
+        bloom AS (
+          SELECT h // {BITS_PER_WORD} AS word,
+                 bit_or(1::BIGINT << (h % {BITS_PER_WORD})::INT) AS mask
+          FROM bbits GROUP BY 1
+        ),
+        probes AS (
+          SELECT doc_id, unnest(hs) AS g FROM sh WHERE doc_id >= 10
+        ),
+        checked AS (
+          SELECT p.doc_id,
+                 min(((coalesce(bl.mask, 0)
+                       >> (({_PH}) % {BITS_PER_WORD})::INT) % 2 = 1)::INT)
+                   AS hit
+          FROM probes p
+          CROSS JOIN range(1, {K} + 1) r(i)
+          LEFT JOIN bloom bl
+            ON bl.word = (({_PH}) % {N_BITS}) // {BITS_PER_WORD}
+          GROUP BY p.doc_id, p.g
+        ),
+        hits AS (
+          SELECT doc_id, sum(hit) AS bloom_hits
+          FROM checked GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(h.bloom_hits, 0) AS bloom_hits,
+               CAST(coalesce(h.bloom_hits, 0) > 0 AS INT) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        LEFT JOIN hits h USING (doc_id)
+    """,
+}

@@ -151,6 +151,7 @@ PRIORITY = (
     "nb_classify",
     "mixture_weights",
     "domain_mixture_sample",
+    "decontaminate_bloom",
 )
 
 
@@ -179,6 +180,7 @@ def _collect():
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
+                    "pipeline.bloom",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
