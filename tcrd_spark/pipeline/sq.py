@@ -1,0 +1,202 @@
+"""Scalar-quantized (SQ8) ANN — the memory-compression scale path.
+
+At 100 TB the embedding column dominates storage: 64 float64 = 512
+bytes/vector. SQ8 stores one uint8 code per dimension (64 bytes, 8×
+smaller), learned from per-dimension [min, max] ranges:
+
+    code_d   = min(255, ⌊(x_d − mn_d) / span_d · 256⌋)
+    center_d = mn_d + (code_d + 0.5) / 256 · span_d
+
+Search is ASYMMETRIC (Faiss SQ convention): queries stay full
+precision, corpus vectors are dequantized to bucket centers on the
+fly — so the scan reads 64-byte codes, not 512-byte vectors, and the
+top-k machinery is exactly `similarity.brute_force_topk` over the
+reconstructed corpus (same WindowGroupLimit plan). Compose with the
+IVF index for the full Faiss-style IVF+SQ pipeline: the cell scan
+then reads n_probe/n_cells of a table 8× smaller.
+
+Determinism is engineered like the rest of the similarity family:
+range stats are exact min/max aggregates (order-independent), the
+quantize/dequantize expressions are the same left-assoc double ops on
+both engines, and the dot fold is the unrolled `dedup.dot`. Even the
+quantization error is therefore bit-identical in DuckDB, and the
+query is fully oracle-adjudicated (`ann_sq_topk`). Recall vs the
+exact baseline is pytest-bounded (tests/test_sq.py).
+
+Everything is whole-stage-codegen column expressions (unrolled
+per-dimension arrays, no higher-order folds, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# codes per dimension: 8-bit
+_LEVELS = 256
+# the synthetic embeddings table is 64-dim (TESTDATA.md)
+_EMB_DIM = 64
+
+
+def quantize_stats(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """One-row (mins, spans) double arrays — per-dimension ranges.
+    Exact min/max: order-independent, so engine-reproducible."""
+    dims = (
+        corpus.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "d", "x"
+            )
+        )
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    return dims.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mn", "mx"))).alias("a")
+    ).select(
+        F.transform("a", lambda z: z["mn"]).alias("mins"),
+        F.transform("a", lambda z: z["mx"] - z["mn"]).alias("spans"),
+    )
+
+
+def _code(v, mins, spans, i: int):
+    x = F.element_at(v, i + 1)
+    mn = F.element_at(mins, i + 1)
+    s = F.element_at(spans, i + 1)
+    return F.when(s == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(_LEVELS - 1),
+            F.floor((x - mn) / s * _LEVELS).cast("int"),
+        )
+    )
+
+
+def sq_encode(
+    df: DataFrame, id_col: str, vec_col: str, stats: DataFrame, dim: int
+) -> DataFrame:
+    """(id, codes array<int>) — 8-bit codes per dimension. Unrolled
+    array constructor (codegen; interpreted transform() folds are the
+    measured 10× slow path, see dedup.dot)."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.array(
+            *[_code(v, F.col("mins"), F.col("spans"), i) for i in range(dim)]
+        ).alias("codes"),
+    )
+
+
+def sq_dequantize(
+    df: DataFrame, id_col: str, stats: DataFrame, dim: int,
+    out_col: str = "dv",
+) -> DataFrame:
+    """(id, dv array<double>) — bucket centers from codes."""
+
+    def center(i: int):
+        c = F.element_at(F.col("codes"), i + 1)
+        mn = F.element_at(F.col("mins"), i + 1)
+        s = F.element_at(F.col("spans"), i + 1)
+        return mn + (c + F.lit(0.5)) / F.lit(_LEVELS) * s
+
+    return df.crossJoin(F.broadcast(stats)).select(
+        id_col, F.array(*[center(i) for i in range(dim)]).alias(out_col)
+    )
+
+
+def sq_topk(
+    queries: DataFrame, corpus: DataFrame, dim: int, k: int
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: full-precision queries (q_id, q_vec) vs
+    the quantize→dequantize corpus (c_id, c_vec). Same output shape as
+    the exact baseline: (q_id, c_id, score, rank)."""
+    from tcrd_spark.pipeline.similarity import brute_force_topk
+
+    stats = quantize_stats(corpus, "c_vec", dim)
+    enc = sq_encode(corpus, "c_id", "c_vec", stats, dim)
+    deq = sq_dequantize(enc, "c_id", stats, dim, out_col="c_vec")
+    return brute_force_topk(queries, deq, dim, k)
+
+
+# ------------------------------------------------- registered queries
+
+
+def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 cosine top-10 for the standard 5-query panel (vec_id < 5),
+    corpus = every embedding, quantized."""
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return sq_topk(qs, corpus, _EMB_DIM, k=10)
+
+
+QUERIES = {"ann_sq_topk": q_ann_sq_topk}
+
+
+def _sql_dot(av: str, bv: str) -> str:
+    return (
+        "("
+        + " + ".join(f"{av}[{i + 1}] * {bv}[{i + 1}]" for i in range(_EMB_DIM))
+        + ")"
+    )
+
+
+_DEQ = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+  FROM e CROSS JOIN range(1, {_EMB_DIM} + 1) r(i)
+  GROUP BY i
+),
+stats AS (
+  SELECT array_agg(mn ORDER BY i) AS mins,
+         array_agg(mx - mn ORDER BY i) AS spans
+  FROM dims
+),
+enc AS (
+  SELECT vec_id,
+         list_transform(range(1, {_EMB_DIM} + 1), i ->
+           CASE WHEN spans[i] = 0 THEN 0
+                ELSE least({_LEVELS - 1},
+                           CAST(floor((v[i] - mins[i]) / spans[i]
+                                      * {_LEVELS}) AS INT))
+           END) AS codes
+  FROM e CROSS JOIN stats
+),
+deq AS (
+  SELECT vec_id,
+         list_transform(range(1, {_EMB_DIM} + 1), i ->
+           mins[i] + (codes[i] + 0.5) / {_LEVELS} * spans[i]) AS dv
+  FROM enc CROSS JOIN stats
+),
+dn AS (
+  SELECT vec_id, dv, sqrt({_sql_dot("dv", "dv")}) AS nrm FROM deq
+),
+qn AS (
+  SELECT vec_id AS q_id, v, sqrt({_sql_dot("v", "v")}) AS nrm
+  FROM e WHERE vec_id < 5
+)
+"""
+
+ORACLE = {
+    "ann_sq_topk": f"""
+        WITH {_DEQ},
+        scored AS (
+          SELECT qn.q_id, dn.vec_id AS c_id,
+                 round({_sql_dot("qn.v", "dn.dv")} / (qn.nrm * dn.nrm), 6)
+                   AS score
+          FROM dn CROSS JOIN qn
+        ),
+        ranked AS (
+          SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, c_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+}

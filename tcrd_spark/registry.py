@@ -152,6 +152,7 @@ PRIORITY = (
     "mixture_weights",
     "domain_mixture_sample",
     "decontaminate_bloom",
+    "ann_sq_topk",
 )
 
 
@@ -180,7 +181,7 @@ def _collect():
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
-                    "pipeline.bloom",
+                    "pipeline.bloom", "pipeline.sq",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
