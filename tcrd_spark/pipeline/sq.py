@@ -40,7 +40,14 @@ _EMB_DIM = 64
 
 def quantize_stats(corpus: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """One-row (mins, spans) double arrays — per-dimension ranges.
-    Exact min/max: order-independent, so engine-reproducible."""
+    Exact min/max: order-independent, so engine-reproducible.
+
+    posexplode + groupBy(d): the explode is map-side and the partial
+    aggregate reduces every partition to dim rows BEFORE the exchange,
+    so the shuffle is dim × n_partitions scalars regardless of corpus
+    size. (The tempting 2·dim-scalar-aggregates-in-one-pass form was
+    measured 3× slower end-to-end: 128 separate agg expressions cost
+    seconds of py4j plan construction + codegen at ANY data size.)"""
     dims = (
         corpus.select(
             F.posexplode(F.col(vec_col).cast("array<double>")).alias(
@@ -111,8 +118,42 @@ def sq_topk(
     from tcrd_spark.pipeline.similarity import brute_force_topk
 
     stats = quantize_stats(corpus, "c_vec", dim)
-    enc = sq_encode(corpus, "c_id", "c_vec", stats, dim)
-    deq = sq_dequantize(enc, "c_id", stats, dim, out_col="c_vec")
+    # Fused encode∘dequantize via zip_with (center_i is a pure
+    # function of (x_i, mn_i, span_i)) — SMALL expression trees. The
+    # wide unrolled form made Catalyst's CollapseProject inline the
+    # 64-element array constructor into each of the 128 element_at
+    # terms of the downstream dot (measured: +10s of pure
+    # planning/codegen at ANY data size).
+    v = F.col("c_vec").cast("array<double>")
+    paired = F.zip_with(
+        v, F.col("mins"), lambda x, m: F.struct(x.alias("x"), m.alias("m"))
+    )
+    centers = F.zip_with(
+        paired,
+        F.col("spans"),
+        lambda z, s: F.when(s == 0, z["m"]).otherwise(
+            z["m"]
+            + (
+                F.least(
+                    F.lit(_LEVELS - 1),
+                    F.floor((z["x"] - z["m"]) / s * _LEVELS).cast("int"),
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(_LEVELS)
+            * s
+        ),
+    )
+    deq = corpus.crossJoin(F.broadcast(stats)).select(
+        "c_id", centers.alias("c_vec")
+    )
+    # Materialization barrier: in a real deployment the codes ARE the
+    # persisted index (that is the point of SQ — the scan reads 64-byte
+    # codes from disk); cache() is the single-session stand-in. It
+    # also stops the optimizer from substituting the center expression
+    # into every dot term (the blowup above) — the top-k reads stored
+    # arrays exactly like it would read the persisted index.
+    deq = deq.cache()
     return brute_force_topk(queries, deq, dim, k)
 
 
