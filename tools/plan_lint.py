@@ -57,6 +57,7 @@ BNLJ_OK = {
     "nb_classify",              # broadcast label totals (|labels| rows) + 1-row V
     "mixture_weights",          # 1-row Σsqrt + 1-row corpus total
     "domain_mixture_sample",    # same plan stage, broadcast back to docs
+    "ann_sq_topk",              # 1-row quantization stats + broadcast query panel
 }
 
 
