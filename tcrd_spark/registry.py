@@ -153,6 +153,7 @@ PRIORITY = (
     "domain_mixture_sample",
     "decontaminate_bloom",
     "ann_sq_topk",
+    "zorder_values",
 )
 
 
@@ -181,7 +182,7 @@ def _collect():
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
-                    "pipeline.bloom", "pipeline.sq",
+                    "pipeline.bloom", "pipeline.sq", "sources.zorder",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:

@@ -1,0 +1,187 @@
+"""Z-order (Morton-curve) layout for multi-column data skipping.
+
+A lake table sorted by one column skips files well on that column and
+not at all on any other. Interleaving the bits of several columns'
+bucket codes into one z-value and range-partitioning on it gives every
+file a tight hyper-RECTANGLE of all the z-ordered columns — parquet
+min/max footer stats then prune scans with predicates on ANY of them
+(the Delta/Iceberg OPTIMIZE ZORDER capability, re-expressed as plain
+DataFrame ops).
+
+Bucketing here is uniform fixed-width on exact [min, max] — one
+map-side-combinable aggregate, then pure row-local arithmetic; fully
+deterministic, so the z-value computation is oracle-adjudicated
+(`zorder_values`). Production systems use SAMPLED range boundaries
+instead (rank-based codes are skew-robust but need a global sort —
+the hot-window shape SCALE.md bans); swap `_codes` for
+approx-percentile edges when columns are heavily skewed — the
+interleave and layout stages are unchanged.
+
+The layout itself is `repartitionByRange(z)` + `sortWithinPartitions`
+— one range exchange, the same cost as any sorted write. The skipping
+win is measured, not asserted by vibes: tests/test_zorder.py builds
+both layouts and counts partitions overlapping a second-column
+predicate (z-order prunes ~√ of what single-sort leaves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# bits per column; 2 columns × 8 bits → 16-bit z-values
+BITS = 8
+
+
+def _codes(
+    df: DataFrame, cols: list[str], method: str = "uniform"
+) -> tuple[DataFrame, list[str]]:
+    """Add a bucket code column per input column.
+
+    - ``uniform``: fixed-width bins on exact [min, max] — cheapest,
+      fully oracle-reproducible; weak on skewed columns (most rows
+      land in few buckets and the curve stops discriminating).
+    - ``quantile``: bins between exact percentile edges — skew-robust
+      (equal-population buckets) at the cost of the percentile
+      aggregate; still deterministic, still one pass + row-local
+      lookup (an array search over 2^BITS−1 edges, NOT a global rank
+      window — ranks would serialize into one ordered-window task).
+    """
+    n = 1 << BITS
+    aggs = []
+    for c in cols:
+        if method == "uniform":
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+            ]
+        elif method == "quantile":
+            ps = ", ".join(str(i / n) for i in range(1, n))
+            aggs.append(
+                F.expr(
+                    f"percentile(CAST({c} AS DOUBLE), array({ps}))"
+                ).alias(f"_edges_{c}")
+            )
+        else:
+            raise ValueError(f"unknown zorder code method {method!r}")
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    code_cols, drop = [], []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if method == "uniform":
+            mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+            code = F.when(mx == mn, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n - 1),
+                    F.floor((x - mn) / (mx - mn) * n).cast("int"),
+                )
+            )
+            drop += [f"_mn_{c}", f"_mx_{c}"]
+        else:
+            code = F.size(
+                F.filter(F.col(f"_edges_{c}"), lambda e: x >= e)
+            )
+            drop.append(f"_edges_{c}")
+        code_cols.append(f"_code_{c}")
+        out = out.withColumn(f"_code_{c}", code)
+    return out.drop(*drop), code_cols
+
+
+def interleave(code_cols: list[str]) -> Column:
+    """Morton interleave: bit k of column j lands at position
+    k·n_cols + (n_cols − 1 − j). Portable arithmetic (// and %), no
+    engine-specific bit ops — the DuckDB oracle is the same text."""
+    ncols = len(code_cols)
+    terms = []
+    for j, cc in enumerate(code_cols):
+        for k in range(BITS):
+            pos = k * ncols + (ncols - 1 - j)
+            terms.append(
+                (F.col(cc).cast("long") / (1 << k)).cast("long")
+                % 2
+                * F.lit(1 << pos)
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], n_partitions: int,
+    method: str = "quantile",
+) -> DataFrame:
+    """df clustered along the Morton curve of `cols`: one range
+    exchange on z, sorted within partitions so parquet row-group
+    stats are tight too. Write the result with any parquet writer.
+    Defaults to quantile codes — real columns are skewed."""
+    with_codes, code_cols = _codes(df, cols, method=method)
+    z = with_codes.withColumn("_z", interleave(code_cols)).drop(*code_cols)
+    return (
+        z.repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
+# ------------------------------------------------- registered queries
+
+
+def q_zorder_values(spark, sf_dir: str) -> DataFrame:
+    """The z-value computation over events (user_id × value), the
+    deterministic core the layout stage partitions on."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    with_codes, code_cols = _codes(ev, ["user_id", "value"])
+    return with_codes.select(
+        "event_id",
+        F.col("_code_user_id").alias("code_user"),
+        F.col("_code_value").alias("code_value"),
+        interleave(code_cols).alias("z"),
+    )
+
+
+QUERIES = {"zorder_values": q_zorder_values}
+
+
+def _sql_interleave(cols: list[str]) -> str:
+    ncols = len(cols)
+    terms = []
+    for j, cc in enumerate(cols):
+        for k in range(BITS):
+            pos = k * ncols + (ncols - 1 - j)
+            terms.append(f"(({cc} // {1 << k}) % 2) * {1 << pos}")
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLE = {
+    "zorder_values": f"""
+        WITH s AS (
+          SELECT min(user_id::DOUBLE) AS mn_u, max(user_id::DOUBLE) AS mx_u,
+                 min(value::DOUBLE) AS mn_v, max(value::DOUBLE) AS mx_v
+          FROM events
+        ),
+        coded AS (
+          SELECT event_id,
+                 CASE WHEN mx_u = mn_u THEN 0
+                      ELSE least({(1 << BITS) - 1},
+                                 CAST(floor((user_id::DOUBLE - mn_u)
+                                            / (mx_u - mn_u) * {1 << BITS})
+                                      AS INT))
+                 END AS code_user,
+                 CASE WHEN mx_v = mn_v THEN 0
+                      ELSE least({(1 << BITS) - 1},
+                                 CAST(floor((value::DOUBLE - mn_v)
+                                            / (mx_v - mn_v) * {1 << BITS})
+                                      AS INT))
+                 END AS code_value
+          FROM events CROSS JOIN s
+        )
+        SELECT event_id, code_user, code_value,
+               CAST({_sql_interleave(["code_user", "code_value"])}
+                    AS BIGINT) AS z
+        FROM coded
+    """,
+}
