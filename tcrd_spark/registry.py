@@ -154,6 +154,7 @@ PRIORITY = (
     "decontaminate_bloom",
     "ann_sq_topk",
     "zorder_values",
+    "merge_upsert",
 )
 
 
@@ -182,7 +183,7 @@ def _collect():
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
-                    "pipeline.bloom", "pipeline.sq", "sources.zorder",
+                    "pipeline.bloom", "pipeline.sq", "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
