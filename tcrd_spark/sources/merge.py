@@ -112,9 +112,11 @@ def merge_partitioned_write(
 
 
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE over orders: every 17th order re-priced ×1.1 (update),
-    a shifted copy of every 31st order appended (insert), F-status
-    rows among the updates dropped (delete arm)."""
+    """MERGE over orders: every 17th order surcharged +100.00
+    (update — an additive change: a multiplicative one lands 3rd-
+    decimal half-way ties that HALF_UP vs round-half-away engines
+    resolve differently), a shifted copy of every 31st order appended
+    (insert), F-status rows among the updates dropped (delete arm)."""
     from tcrd_spark.sources.lake import load_table
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -123,7 +125,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = orders.where("o_orderkey % 17 = 0").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
     )
     inserts = orders.where("o_orderkey % 31 = 0").select(
         (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
@@ -150,7 +152,7 @@ ORACLE = {
         ),
         s AS (
           SELECT o_orderkey, o_custkey, o_orderstatus,
-                 round(o_totalprice * 1.1, 2) AS o_totalprice
+                 round(o_totalprice + 100.0, 2) AS o_totalprice
           FROM t WHERE o_orderkey % 17 = 0
           UNION ALL
           SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
