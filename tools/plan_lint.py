@@ -58,6 +58,7 @@ BNLJ_OK = {
     "mixture_weights",          # 1-row Σsqrt + 1-row corpus total
     "domain_mixture_sample",    # same plan stage, broadcast back to docs
     "ann_sq_topk",              # 1-row quantization stats + broadcast query panel
+    "zorder_values",            # 1-row per-column range stats broadcast
 }
 
 
