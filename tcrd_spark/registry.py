@@ -155,6 +155,7 @@ PRIORITY = (
     "ann_sq_topk",
     "zorder_values",
     "merge_upsert",
+    "domain_mixture_exact",
 )
 
 

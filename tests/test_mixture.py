@@ -46,6 +46,45 @@ def test_sample_is_deterministic_and_proportional(skewed):
     assert abs(got["hot"] - 800 * rate) < 60
 
 
+def test_exact_quota_sample_hits_quotas_exactly(skewed):
+    import math
+
+    from tcrd_spark.pipeline.mixture import exact_quota_sample
+
+    plan = mixture_plan(skewed, "source", frac=0.5)
+    got = {}
+    for r in exact_quota_sample(
+        skewed, plan, "doc_id", "source", frac=0.5
+    ).collect():
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    n_all = skewed.count()
+    for p in plan.collect():
+        quota = math.floor(p["weight"] * (n_all * 0.5))
+        assert got.get(p["source"], 0) == min(quota, 800 if p["source"] == "hot" else 67), (
+            p["source"], got.get(p["source"], 0), quota
+        )
+
+
+def test_exact_quota_sample_is_deterministic_and_segment_bounded(skewed):
+    from tcrd_spark.pipeline.mixture import exact_quota_sample
+
+    plan = mixture_plan(skewed, "source", frac=0.5)
+    s1 = sorted(
+        r["doc_id"]
+        for r in exact_quota_sample(
+            skewed, plan, "doc_id", "source", n_segments=8
+        ).collect()
+    )
+    s2 = sorted(
+        r["doc_id"]
+        for r in exact_quota_sample(
+            skewed, plan, "doc_id", "source", n_segments=64
+        ).collect()
+    )
+    # segment count is a parallelism knob, never a semantics knob
+    assert s1 == s2
+
+
 def test_frac_one_still_rebalances_toward_temperature(skewed):
     # T = N does NOT mean identity: the sqrt weights shift budget from
     # the hot domain to the cold ones, whose rate caps at 1.0 — so the
