@@ -175,7 +175,89 @@ def q_ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(qs, corpus, _EMB_DIM, k=10)
 
 
-QUERIES = {"ann_sq_topk": q_ann_sq_topk}
+def q_ann_ivfsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Faiss pipeline: IVF cell assignment on the
+    full-precision vectors (the index build), SQ8 codes inside the
+    inverted lists, asymmetric scoring of the probed cells — the scan
+    a 100 TB deployment runs (n_probe/n_cells of a table 8× smaller).
+    Same deterministic first-8 centroids / probe-2 contract as
+    `ann_ivf`, so the two queries differ ONLY by quantization."""
+    from pyspark.sql.window import Window
+
+    from tcrd_spark.pipeline.similarity import (
+        _pair_score,
+        _probe_cells,
+        assign_cells,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cell_vec"),
+    )
+    assigned = assign_cells(corpus, cents, _EMB_DIM).select(
+        "c_id", "c_vec", "cell_id"
+    )
+    stats = quantize_stats(corpus, "c_vec", _EMB_DIM)
+    v = F.col("c_vec").cast("array<double>")
+    paired = F.zip_with(
+        v, F.col("mins"), lambda x, m: F.struct(x.alias("x"), m.alias("m"))
+    )
+    centers = F.zip_with(
+        paired,
+        F.col("spans"),
+        lambda z, s: F.when(s == 0, z["m"]).otherwise(
+            z["m"]
+            + (
+                F.least(
+                    F.lit(_LEVELS - 1),
+                    F.floor((z["x"] - z["m"]) / s * _LEVELS).cast("int"),
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(_LEVELS)
+            * s
+        ),
+    )
+    # the SQ-coded inverted lists — cache() stands in for the
+    # persisted cell-partitioned code table (see sq_topk)
+    lists = (
+        assigned.crossJoin(F.broadcast(stats))
+        .select("c_id", "cell_id", centers.alias("c_vec"))
+        .withColumn(
+            "c_vec_nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("c_vec", "c_vec", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            ),
+        )
+        .cache()
+    )
+    probes = _probe_cells(qs, cents, _EMB_DIM, n_probe=2)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        lists.join(F.broadcast(probes), "cell_id")
+        .select(
+            "q_id", "c_id",
+            _pair_score("q_vec", "c_vec", _EMB_DIM).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "c_id", "score", "rank")
+    )
+
+
+QUERIES = {"ann_sq_topk": q_ann_sq_topk, "ann_ivfsq": q_ann_ivfsq}
 
 
 def _sql_dot(av: str, bv: str) -> str:
@@ -223,7 +305,56 @@ qn AS (
 )
 """
 
+def _sql_score(a: str, av: str, b: str, bv: str) -> str:
+    return (
+        f"round({_sql_dot(f'{a}.{av}', f'{b}.{bv}')} "
+        f"/ ({a}.nrm * {b}.nrm), 6)"
+    )
+
+
 ORACLE = {
+    "ann_ivfsq": f"""
+        WITH {_DEQ},
+        c AS (SELECT vec_id AS c_id, v, sqrt({_sql_dot("v", "v")}) AS nrm
+              FROM e),
+        cent AS (SELECT vec_id AS cell_id, v,
+                        sqrt({_sql_dot("v", "v")}) AS nrm
+                 FROM e WHERE vec_id < 8),
+        assigned AS (
+          SELECT c_id, cell_id FROM (
+            SELECT c.c_id, cent.cell_id,
+                   row_number() OVER (
+                     PARTITION BY c.c_id
+                     ORDER BY {_sql_score("c", "v", "cent", "v")} DESC,
+                              cent.cell_id ASC) AS rn
+            FROM c CROSS JOIN cent
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT q_id, v, nrm, cell_id FROM (
+            SELECT q.q_id, q.v, q.nrm, cent.cell_id,
+                   row_number() OVER (
+                     PARTITION BY q.q_id
+                     ORDER BY {_sql_score("q", "v", "cent", "v")} DESC,
+                              cent.cell_id ASC) AS rn
+            FROM qn q CROSS JOIN cent
+          ) WHERE rn <= 2
+        ),
+        scored AS (
+          SELECT p.q_id, a.c_id,
+                 {_sql_score("p", "v", "dn", "dv")} AS score
+          FROM probes p
+          JOIN assigned a ON p.cell_id = a.cell_id
+          JOIN dn ON dn.vec_id = a.c_id
+        ),
+        ranked AS (
+          SELECT q_id, c_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, c_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= 10
+    """,
     "ann_sq_topk": f"""
         WITH {_DEQ},
         scored AS (

@@ -156,6 +156,7 @@ PRIORITY = (
     "zorder_values",
     "merge_upsert",
     "domain_mixture_exact",
+    "ann_ivfsq",
 )
 
 

@@ -64,6 +64,26 @@ def test_codes_are_8bit_and_reconstruction_bounded(spark, sf_dir):
     assert err <= 1.0 + 1e-9, err
 
 
+def test_ivfsq_tracks_full_precision_ivf(spark, sf_dir):
+    from tcrd_spark.registry import all_queries
+
+    q = all_queries()
+    ivf = q["ann_ivf"](spark, sf_dir).collect()
+    ivfsq = q["ann_ivfsq"](spark, sf_dir).collect()
+
+    def by_q(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["q_id"], set()).add(r["c_id"])
+        return out
+
+    t, g = by_q(ivf), by_q(ivfsq)
+    # same probe cells, same inverted lists — only scores are
+    # quantized, so the top-10 sets stay close
+    recalls = [len(t[k] & g[k]) / len(t[k]) for k in t]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_recall_at_10_vs_exact(spark, sf_dir):
     qs, corpus = _qs_corpus(spark, sf_dir)
     exact = brute_force_topk(qs, corpus, _EMB_DIM, k=10).collect()
