@@ -198,7 +198,7 @@ ORACLE = {
           GROUP BY p.doc_id, p.g
         ),
         hits AS (
-          SELECT doc_id, sum(hit) AS bloom_hits
+          SELECT doc_id, CAST(sum(hit) AS BIGINT) AS bloom_hits
           FROM checked GROUP BY 1
         )
         SELECT d.doc_id,
