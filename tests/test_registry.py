@@ -16,7 +16,6 @@ import importlib
 import inspect
 import json
 import os
-import re
 import subprocess
 
 from tcrd_spark.registry import PRIORITY, all_oracle_sql, all_queries
@@ -35,6 +34,21 @@ def test_priority_covers_all_queries_exactly():
 def test_every_oracle_has_a_query():
     q, o = all_queries(), all_oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_correctness_files_are_committed():
+    """Both timestamp invariants below key off GIT COMMIT times of the
+    CORRECTNESS files — an adjudication left untracked (or modified in
+    the worktree) would silently defer the whole rotation obligation by
+    a round. Fail loudly until it is committed (VERDICT r5 #8)."""
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "--", "CORRECTNESS_r*.json"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    assert not out, (
+        "uncommitted CORRECTNESS files — commit them so the cap "
+        f"rotation invariant binds:\n{out}"
+    )
 
 
 def test_past_cap_queries_have_green_history():
@@ -81,13 +95,6 @@ def test_past_cap_queries_have_green_history():
 # churn-aware rotation: a past-cap query's latest green must postdate
 # the last commit touching any module in its implementation closure
 
-_IMPORT_RE = re.compile(
-    r"^\s*(?:from\s+(tcrd_spark(?:\.\w+)+)\s+import|"
-    r"import\s+(tcrd_spark(?:\.\w+)+))",
-    re.M,
-)
-
-
 @functools.lru_cache(maxsize=None)
 def _module_file(modname: str) -> str | None:
     try:
@@ -100,13 +107,37 @@ def _module_file(modname: str) -> str | None:
 
 @functools.lru_cache(maxsize=None)
 def _direct_deps(relpath: str) -> tuple[str, ...]:
+    """tcrd_spark module files imported directly by `relpath`, parsed
+    from the AST (regexes miss parenthesized multi-line imports).
+
+    `from tcrd_spark.pkg import a, b` is ambiguous: each name may be a
+    SUBMODULE (pkg/a.py) or an attribute of pkg/__init__.py — so BOTH
+    the base module's file and every name resolved as a submodule are
+    included (VERDICT r5 defect #1: resolving only the base collapsed
+    `from tcrd_spark.pipeline import corpus, dedup` to __init__.py and
+    hid corpus.py/dedup.py churn from the rotation invariant)."""
+    import ast
+
     with open(os.path.join(REPO, relpath)) as f:
-        src = f.read()
+        tree = ast.parse(f.read())
     out = []
-    for m in _IMPORT_RE.finditer(src):
-        f2 = _module_file(m.group(1) or m.group(2))
-        if f2:
-            out.append(f2)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.split(".")[0] == "tcrd_spark":
+                    f2 = _module_file(a.name)
+                    if f2:
+                        out.append(f2)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.level or node.module.split(".")[0] != "tcrd_spark":
+                continue  # no relative imports in-tree; stdlib/3p skipped
+            f2 = _module_file(node.module)
+            if f2:
+                out.append(f2)
+            for a in node.names:
+                f3 = _module_file(f"{node.module}.{a.name}")
+                if f3:
+                    out.append(f3)
     return tuple(out)
 
 
@@ -143,11 +174,14 @@ def _added_ts(relpath: str) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _commit_ts(relpath: str) -> int:
+    # --follow matches _added_ts: a pure rename would otherwise leave
+    # the post-rename commit visible here while _added_ts walks past
+    # it, making closure timestamps inconsistent with the grace logic.
     out = subprocess.run(
-        ["git", "log", "-1", "--format=%ct", "--", relpath],
+        ["git", "log", "-1", "--follow", "--format=%ct", "--", relpath],
         cwd=REPO, capture_output=True, text=True,
-    ).stdout.strip()
-    return int(out) if out else 0
+    ).stdout.strip().splitlines()
+    return int(out[0]) if out else 0
 
 
 def _latest_green_ts() -> dict[str, int]:
