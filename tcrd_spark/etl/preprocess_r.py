@@ -256,8 +256,12 @@ def ctd_direct_evidence(
         "gene_symbol",
         "gene_id",
         "disease_name",
-        F.split("disease_id", ":", 2).getItem(0).alias("disease_id_source"),
-        F.split("disease_id", ":", 2).getItem(1).alias("disease_id"),
+        # unlimited split, fields 0 and 1 ONLY: R's tstrsplit assigns
+        # field-wise and DISCARDS anything after a second ':' — a
+        # limit-2 split would keep it glued to the id ('OMIM:1:x' →
+        # '1:x' instead of '1') and break the xref join (ADVICE r5 #4)
+        F.split("disease_id", ":").getItem(0).alias("disease_id_source"),
+        F.split("disease_id", ":").getItem(1).alias("disease_id"),
         "direct_evidence",
         F.when(F.length("pubmed_ids") > 0, F.col("pubmed_ids")).alias(
             "pubmed_ids"

@@ -76,7 +76,7 @@ def top_ngram_frac(
     """(id, frac): tokens covered by the most frequent word n-gram =
     n × its count / n_words (ties break to the smallest gram hash so
     both engines agree). Docs shorter than n get 0."""
-    g = _gram_hashes(docs, id_col, text_col, n)
+    g = _gram_hashes(docs, id_col, text_col, n, filter_empty=True)
     counts = g.groupBy(id_col, "gh").agg(F.count("*").alias("c"))
     w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("gh"))
     top = (
@@ -105,7 +105,7 @@ def dup_ngram_coverage(
     times WITHIN the document — exact union of covered positions via
     the interval-merge window (overlapping duplicated grams are not
     double-counted)."""
-    g = _gram_hashes(docs, id_col, text_col, n)
+    g = _gram_hashes(docs, id_col, text_col, n, filter_empty=True)
     dups = (
         g.groupBy(id_col, "gh")
         .agg(F.count("*").alias("c"))

@@ -157,7 +157,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
+    # inputFiles() is metadata-only; .rdd.getNumPartitions() would
+    # force an RDD conversion of the scan on every invocation
+    if len(docs.inputFiles()) < want:
         docs = docs.repartition(want)
     return docs
 

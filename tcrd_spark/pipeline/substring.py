@@ -54,11 +54,21 @@ from tcrd_spark.pipeline.text import ws_tokens
 
 
 def _gram_hashes(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int,
+    filter_empty: bool = False,
 ) -> DataFrame:
     """(id, pos, gh): hash60 of the k-token gram starting at 1-based
-    token position pos. Row-local; docs shorter than k emit nothing."""
+    token position pos. Row-local; docs shorter than k emit nothing.
+
+    `filter_empty` drops the empty tokens a leading/trailing-whitespace
+    split produces, so positions index the same list as word counts
+    computed over filtered tokens (gopher.py needs this: its n_words
+    denominator filters, so grams must too or top/dup fractions mix
+    token lists and can exceed 1). Substring dedup keeps the raw list —
+    its spans must map back to the original text's token positions."""
     toks = ws_tokens(F.col(text_col))
+    if filter_empty:
+        toks = F.filter(toks, lambda t: t != "")
     grams = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -250,7 +260,9 @@ def _split_docs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     want = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
+    # inputFiles() is metadata-only; .rdd.getNumPartitions() would
+    # force an RDD conversion of the scan on every invocation
+    if len(docs.inputFiles()) < want:
         docs = docs.repartition(want)
     return docs
 

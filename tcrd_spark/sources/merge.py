@@ -46,17 +46,22 @@ def merge_frames(
         raise ValueError(
             f"merge schemas differ: {source.columns} vs {cols}"
         )
-    t = target.alias("t")
-    s = source.alias("s")
+    # Presence markers, NOT key null-ness, classify the join sides: a
+    # target row whose merge-key value is genuinely NULL never equi-
+    # matches, and inspecting keys[0] would misread it as source-only
+    # and null out all its columns (ADVICE r5 #2). The lit(1) markers
+    # are null exactly on the absent side of the full-outer join.
+    t = target.withColumn("_t_present", F.lit(1)).alias("t")
+    s = source.withColumn("_s_present", F.lit(1)).alias("s")
     cond = None
     for k in keys:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = c if cond is None else (cond & c)
     j = t.join(s, cond, "full_outer")
-    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(
-        f"t.{keys[0]}"
+    matched = F.col("t._t_present").isNotNull() & F.col(
+        "s._s_present"
     ).isNotNull()
-    src_only = F.col(f"t.{keys[0]}").isNull()
+    src_only = F.col("t._t_present").isNull()
     out = j.select(
         *[
             F.when(src_only | matched, F.col(f"s.{c}"))

@@ -76,6 +76,26 @@ def test_gopher_filter_verdicts(spark):
     assert stats[3]["n_words"] == 2
 
 
+def test_whitespace_padded_docs_use_one_token_list(spark):
+    """ADVICE r5 #1 regression: leading/trailing whitespace used to put
+    empty tokens into the gram positions (substring._gram_hashes raw
+    list) while n_words filtered them — numerators and denominators
+    came from DIFFERENT token lists and fractions could exceed 1. All
+    stats must be identical to the unpadded document's."""
+    body = "p q r s p q r s t u v w"
+    docs = _docs(spark, {1: body, 2: f"  {body}  ", 3: f"\t{body}\n"})
+    stats = {r["doc_id"]: r.asDict()
+             for r in gopher_stats(docs, "doc_id", "text").collect()}
+    base = {k: v for k, v in stats[1].items() if k != "doc_id"}
+    for d in (2, 3):
+        got = {k: v for k, v in stats[d].items() if k != "doc_id"}
+        assert got == base, f"doc {d} diverges from unpadded stats"
+    # and the dup coverage is the exact unpadded value, not >1
+    r = {row["doc_id"]: row["frac"]
+         for row in dup_ngram_coverage(docs, "doc_id", "text", 4).collect()}
+    assert r[2] == pytest.approx(8 / 12) and r[3] == pytest.approx(8 / 12)
+
+
 def test_gopher_stats_one_row_per_doc(spark, sf_dir):
     from tcrd_spark.sources.lake import load_table
 

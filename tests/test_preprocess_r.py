@@ -143,6 +143,10 @@ def test_ctd_direct_evidence(spark):
         [
             ("BRCA1", 672, "Breast cancer", "MESH:D001943", "marker", "1,2"),
             ("TP53", 7157, "LFS", "OMIM:151623", "marker", ""),
+            # a second ':' in the id — tstrsplit keeps only the first
+            # two fields, so the id must be '151623', not '151623:x'
+            # (ADVICE r5 #4 regression)
+            ("MYC", 4609, "Tail id", "OMIM:190080:x", "marker", "4"),
             ("KRAS", 3845, "Inferred only", "MESH:D002277", None, "9"),
             ("EGFR", 1956, "Odd source", "DOID:42", "marker", "3"),
         ],
@@ -164,6 +168,7 @@ def test_ctd_direct_evidence(spark):
     assert got == {
         "BRCA1": ("MESH", "D001943", "DOID:0001", "1,2"),
         "TP53": ("OMIM", "151623", None, None),
+        "MYC": ("OMIM", "190080", None, "4"),
     }
 
 
