@@ -70,7 +70,10 @@ PRIORITY = (
     "substring_dedup",
     "substring_excise",
     "substring_dedup_incremental",
-    # (d) NEW round 6 queries are inserted here as they land
+    # (d) NEW round 6 queries
+    "ann_pq_topk",
+    "ann_ivfpq",
+    "ann_pq_rerank",
     # (e) stable refreshers (r5-green, closure untouched) fill the cap
     "topk_per_group",
     "decile_bucketing",
@@ -177,7 +180,8 @@ def _collect():
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
-                    "pipeline.bloom", "pipeline.sq", "sources.zorder", "sources.merge",
+                    "pipeline.bloom", "pipeline.sq", "pipeline.pq",
+                    "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:

@@ -61,6 +61,9 @@ BNLJ_OK = {
     "zorder_values",            # 1-row per-column range stats broadcast
     "domain_mixture_exact",     # 1-row corpus total into the quota table
     "ann_ivfsq",                # 1-row quantization stats + broadcast centroids
+    "ann_pq_topk",              # 1-row codebook + broadcast query LUTs
+    "ann_pq_rerank",            # same 1-row codebook, shortlist stage
+    "ann_ivfpq",                # 1-row codebook + broadcast centroids/LUTs
 }
 
 
