@@ -178,13 +178,37 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_rep_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups with QUALITY-elected representatives (VERDICT
+    r5 #7): same CC groups as dedup_groups_cc, but each group keeps
+    its highest-quality member (composite text quality score, ties to
+    the smallest id) instead of the smallest id — what a real corpus
+    build retains. Output: (doc_id, group_id, group_sz, rep_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        F.round(text.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        scored, "doc_id", "text", n=3, threshold=0.3
+    )
+    return corpus.dedup_groups(scored, pairs, "doc_id", rep_by="quality")
+
+
+def q_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, rep_by_quality: bool = False
+) -> DataFrame:
     """The END-TO-END corpus build, one adjudicated query: exact-dedup
     reps → near-dup GROUP reps (connected components over Jaccard ≥
     0.3 pairs) → benchmark decontamination (5-gram overlap vs doc_id <
     10) → language gate (en) → quality ≥ the survivors' 25th
     percentile → deterministic shard + interleaved position. Output:
     (doc_id, shard, pos) — the final write layout of the kept corpus.
+
+    ``rep_by_quality`` swaps the CC keep-min-id representatives for
+    quality-elected ones (dedup_groups rep_by) — the optional wiring
+    VERDICT r5 #7 asked for; the adjudicated default is unchanged and
+    the flag is covered by tests/test_corpus.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     # 1-2: duplicate-cluster representatives (exact groups collapse
@@ -194,11 +218,22 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
-    cc_reps = (
-        corpus.dedup_groups(docs, pairs, "doc_id")
-        .filter(F.col("doc_id") == F.col("group_id"))
-        .select("doc_id")
-    )
+    if rep_by_quality:
+        scored = docs.select(
+            "doc_id",
+            F.round(text.quality_score(F.col("text")), 6).alias("quality"),
+        )
+        cc_reps = (
+            corpus.dedup_groups(scored, pairs, "doc_id", rep_by="quality")
+            .filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id")
+        )
+    else:
+        cc_reps = (
+            corpus.dedup_groups(docs, pairs, "doc_id")
+            .filter(F.col("doc_id") == F.col("group_id"))
+            .select("doc_id")
+        )
     # 3: decontamination (corpus side excludes the benchmark docs)
     decon = corpus.decontaminate(
         docs.filter(F.col("doc_id") >= 10),
@@ -236,6 +271,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "decontaminate": q_decontaminate,
     "dedup_groups_cc": q_dedup_groups_cc,
+    "dedup_rep_quality": q_dedup_rep_quality,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_indexed": q_dedup_incremental_indexed,
     "dedup_incremental_lsh": q_dedup_incremental_lsh,
@@ -331,6 +367,40 @@ ORACLE = {
         FROM labels l
         JOIN (SELECT group_id, count(*) AS group_sz
               FROM labels GROUP BY 1) s USING (group_id)
+    """,
+    "dedup_rep_quality": f"""
+        WITH RECURSIVE
+        pairs AS (
+          SELECT id_a, id_b FROM ({_JACCARD_PAIRS}) WHERE jaccard >= 0.3
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(lbl) AS group_id FROM walk GROUP BY 1
+        ),
+        q AS ({_QUALITY}),
+        reps AS (
+          SELECT group_id, doc_id AS rep_id FROM (
+            SELECT l.group_id, l.doc_id,
+                   row_number() OVER (PARTITION BY l.group_id
+                                      ORDER BY q.quality DESC,
+                                               l.doc_id ASC) AS rn
+            FROM labels l JOIN q USING (doc_id)
+          ) WHERE rn = 1
+        )
+        SELECT l.doc_id, l.group_id, s.group_sz, r.rep_id
+        FROM labels l
+        JOIN (SELECT group_id, count(*) AS group_sz
+              FROM labels GROUP BY 1) s USING (group_id)
+        JOIN reps r USING (group_id)
     """,
     "dedup_incremental": f"""
         WITH sh AS ({_SHINGLE_SETS}),

@@ -1,0 +1,267 @@
+"""SemDeDup — embedding-cluster (semantic) deduplication.
+
+Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540): k-means clusters
+the embedding space; cosine near-dup pairs are computed ONLY within a
+cluster; transitive groups collapse to one kept example — the paper
+keeps the member with the LOWEST cosine to its cluster centroid
+(retain the "hardest" / least prototypical example for diversity).
+
+The whole point of the method is the pair-generation bound: candidate
+pairs are cluster-scoped, O(Σᵢ nᵢ²) instead of the all-pairs O(n²) —
+with k balanced clusters that is a k× flop cut, and on Spark it makes
+the self-join an EQUI-join on cell_id (shuffle co-partitions each
+cluster; tests/test_plans.py asserts no cartesian/BNLJ node exists in
+the pair plan). Composition is entirely existing machinery:
+
+    similarity.assign_cells      row-local broadcast-argmax assignment
+    equi-self-join on cell_id    the cluster-scoped pair generator
+    corpus.dedup_groups          CC groups + rep_by election
+                                 (rep_by = distance to own centroid)
+
+The adjudicated queries use the deterministic first-8-by-id centroid
+contract (`ann_ivf`'s); the trained-k-means path is exercised in
+tests/test_semdedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcrd_spark.pipeline.dedup import dot
+
+_EMB_DIM = 64
+
+
+def semantic_pairs(
+    corpus: DataFrame, centroids: DataFrame, dim: int,
+    threshold: float = 0.4,
+    _assigned: DataFrame | None = None,
+) -> DataFrame:
+    """(cell_id, id_a, id_b, score): cosine ≥ threshold pairs WITHIN a
+    cluster (id_a < id_b). corpus: (c_id, c_vec); centroids:
+    (cell_id, cell_vec). Cross-cluster pairs are never generated —
+    the join key is cell_id. ``_assigned`` lets semantic_dedup reuse
+    one cached assignment across its three consumers."""
+    from tcrd_spark.pipeline.similarity import assign_cells
+
+    a = (
+        _assigned
+        if _assigned is not None
+        else assign_cells(corpus, centroids, dim)
+    )
+    left = a.select(
+        "cell_id",
+        F.col("c_id").alias("id_a"),
+        F.col("c_vec").alias("va"),
+        F.col("c_vec_nrm").alias("na"),
+    )
+    right = a.select(
+        "cell_id",
+        F.col("c_id").alias("id_b"),
+        F.col("c_vec").alias("vb"),
+        F.col("c_vec_nrm").alias("nb"),
+    )
+    score = F.round(
+        dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        left.join(right, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cell_id", "id_a", "id_b", score.alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
+def centroid_distance(
+    corpus: DataFrame, centroids: DataFrame, dim: int,
+    _assigned: DataFrame | None = None,
+) -> DataFrame:
+    """(c_id, cell_id, dist): 1 − cosine to the vector's OWN centroid
+    — the paper's keep-the-farthest representative score. One
+    broadcast join after the row-local assignment."""
+    from tcrd_spark.pipeline.similarity import _with_norm, assign_cells
+
+    a = (
+        _assigned
+        if _assigned is not None
+        else assign_cells(corpus, centroids, dim)
+    )
+    cent = _with_norm(centroids, "cell_id", "cell_vec", dim)
+    return a.join(F.broadcast(cent), "cell_id").select(
+        "c_id",
+        "cell_id",
+        F.round(
+            F.lit(1.0)
+            - dot(F.col("c_vec"), F.col("cell_vec"), dim)
+            / (F.col("c_vec_nrm") * F.col("cell_vec_nrm")),
+            6,
+        ).alias("dist"),
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame, centroids: DataFrame, dim: int,
+    threshold: float = 0.4,
+    _caches: list | None = None,
+    _assigned: DataFrame | None = None,
+) -> DataFrame:
+    """(c_id, group_id, group_sz, rep_id): cluster-scoped near-dup
+    pairs → CC groups → representative = the member FARTHEST from its
+    centroid (max dist, ties to smallest id). Keep `c_id == rep_id`
+    to apply the dedup.
+
+    The assignment is computed ONCE and cached — three consumers read
+    it (both pair sides + the rep score); without the barrier the
+    64-dim argmax re-executes per consumer and per CC truncation.
+    ``_caches`` follows the incremental_near_dups unpersist
+    convention."""
+    from tcrd_spark.pipeline.corpus import dedup_groups
+    from tcrd_spark.pipeline.similarity import assign_cells
+
+    if _assigned is not None:
+        a = _assigned
+    else:
+        a = assign_cells(corpus, centroids, dim).cache()
+        if _caches is not None:
+            _caches.append(a)
+    pairs = semantic_pairs(corpus, centroids, dim, threshold, _assigned=a)
+    scored = centroid_distance(corpus, centroids, dim, _assigned=a).select(
+        "c_id", "dist"
+    )
+    return dedup_groups(scored, pairs, "c_id", rep_by="dist")
+
+
+# ------------------------------------------------- registered queries
+
+
+def _panel(spark: SparkSession, sf_dir: str):
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cell_vec"),
+    )
+    return corpus, cents
+
+
+def _assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell assignment both registered queries read — memoized per
+    (session, sf_dir) like the SQ/PQ code tables (one cached copy,
+    shared by the pair sides, the rep score, and repeated bench/sweep
+    invocations)."""
+    from tcrd_spark.pipeline.similarity import assign_cells
+    from tcrd_spark.pipeline.sq import _memo_cached
+
+    corpus, cents = _panel(spark, sf_dir)
+    return _memo_cached(
+        spark, (sf_dir, "semassign"),
+        lambda: assign_cells(corpus, cents, _EMB_DIM),
+    )
+
+
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped cosine ≥ 0.4 pairs over the embeddings table
+    (first-8 centroid contract)."""
+    corpus, cents = _panel(spark, sf_dir)
+    return semantic_pairs(
+        corpus, cents, _EMB_DIM, threshold=0.4,
+        _assigned=_assigned_cached(spark, sf_dir),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SemDeDup: groups + farthest-from-centroid representatives."""
+    corpus, cents = _panel(spark, sf_dir)
+    return semantic_dedup(
+        corpus, cents, _EMB_DIM, threshold=0.4,
+        _assigned=_assigned_cached(spark, sf_dir),
+    )
+
+
+QUERIES = {
+    "semantic_dedup_pairs": q_semantic_dedup_pairs,
+    "semantic_dedup": q_semantic_dedup,
+}
+
+
+# ------------------------------------------------------ DuckDB oracle
+
+
+def _sql_dot(av: str, bv: str) -> str:
+    return (
+        "("
+        + " + ".join(f"{av}[{i + 1}] * {bv}[{i + 1}]" for i in range(_EMB_DIM))
+        + ")"
+    )
+
+
+_ASSIGN_CTES = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS c_id, v, sqrt({_sql_dot("v", "v")}) AS nrm FROM e),
+cent AS (
+  SELECT vec_id AS cell_id, v, sqrt({_sql_dot("v", "v")}) AS nrm
+  FROM e WHERE vec_id < 8
+),
+an AS MATERIALIZED (
+  SELECT c_id, cell_id, v, nrm, cdist FROM (
+    SELECT c.c_id, cent.cell_id, c.v, c.nrm,
+           round(1.0 - {_sql_dot("c.v", "cent.v")} / (c.nrm * cent.nrm), 6)
+             AS cdist,
+           row_number() OVER (
+             PARTITION BY c.c_id
+             ORDER BY round({_sql_dot("c.v", "cent.v")}
+                            / (c.nrm * cent.nrm), 6) DESC,
+                      cent.cell_id ASC) AS rn
+    FROM c CROSS JOIN cent
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT a.cell_id, a.c_id AS id_a, b.c_id AS id_b,
+         round({_sql_dot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS score
+  FROM an a JOIN an b ON a.cell_id = b.cell_id AND a.c_id < b.c_id
+),
+pairs AS MATERIALIZED (SELECT * FROM p WHERE score >= 0.4)
+"""
+
+ORACLE = {
+    "semantic_dedup_pairs": f"""
+        WITH {_ASSIGN_CTES}
+        SELECT cell_id, id_a, id_b, score FROM pairs
+    """,
+    "semantic_dedup": f"""
+        WITH RECURSIVE {_ASSIGN_CTES},
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        walk(node, lbl) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT ed.v, w.lbl FROM walk w JOIN edges ed ON ed.u = w.node
+        ),
+        labels AS (
+          SELECT node AS c_id, min(lbl) AS group_id FROM walk GROUP BY 1
+        ),
+        reps AS (
+          SELECT group_id, c_id AS rep_id FROM (
+            SELECT l.group_id, l.c_id,
+                   row_number() OVER (PARTITION BY l.group_id
+                                      ORDER BY a.cdist DESC,
+                                               l.c_id ASC) AS rn
+            FROM labels l JOIN an a USING (c_id)
+          ) WHERE rn = 1
+        )
+        SELECT l.c_id, l.group_id, s.group_sz, r.rep_id
+        FROM labels l
+        JOIN (SELECT group_id, count(*) AS group_sz
+              FROM labels GROUP BY 1) s USING (group_id)
+        JOIN reps r USING (group_id)
+    """,
+}

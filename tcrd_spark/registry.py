@@ -74,6 +74,9 @@ PRIORITY = (
     "ann_pq_topk",
     "ann_ivfpq",
     "ann_pq_rerank",
+    "dedup_rep_quality",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
     # (e) stable refreshers (r5-green, closure untouched) fill the cap
     "topk_per_group",
     "decile_bucketing",
@@ -181,6 +184,7 @@ def _collect():
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
                     "pipeline.bloom", "pipeline.sq", "pipeline.pq",
+                    "pipeline.semdedup",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):

@@ -73,6 +73,63 @@ def test_dedup_groups_labels_and_sizes(spark):
         assert lbl[iso] == (iso, 1)
 
 
+def test_dedup_groups_rep_by_elects_highest_score(spark):
+    """rep_by (VERDICT r5 #7): each group keeps its highest-scored
+    member; ties break to the smallest id; isolated docs are their own
+    representative; group_id stays the CC min-id label."""
+    docs = spark.createDataFrame(
+        [(0, 0.1), (3, 0.9), (5, 0.9), (1, 0.5), (2, 0.5), (4, 0.7)],
+        ["doc_id", "q"],
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"]
+    )
+    rows = corpus.dedup_groups(docs, pairs, "doc_id", rep_by="q").collect()
+    got = {r["doc_id"]: (r["group_id"], r["group_sz"], r["rep_id"])
+           for r in rows}
+    # group {0,3,5}: 3 and 5 tie at 0.9 → rep 3 (smaller id)
+    for d in (0, 3, 5):
+        assert got[d] == (0, 3, 3)
+    # group {1,2}: tie at 0.5 → rep 1
+    for d in (1, 2):
+        assert got[d] == (1, 2, 1)
+    assert got[4] == (4, 1, 4)
+
+
+def test_corpus_pipeline_rep_by_quality_flag(spark, sf_dir):
+    """The optional quality-elected-representative wiring: same shard
+    layout shape, same kept-count invariant (one rep per CC group
+    survives the dedup stages), possibly different survivors."""
+    from tcrd_spark.pipeline.corpus_queries import q_corpus_pipeline
+
+    base_df = q_corpus_pipeline(spark, sf_dir)
+    scored_df = q_corpus_pipeline(spark, sf_dir, rep_by_quality=True)
+    assert scored_df.columns == base_df.columns
+    base = {r["doc_id"] for r in base_df.collect()}
+    scored = {r["doc_id"] for r in scored_df.collect()}
+    assert scored and base
+    # the elected rep of a multi-doc group must itself be a CC-group
+    # member of the min-id rep's group — i.e. every scored survivor is
+    # either a base survivor or the quality-elected sibling of one
+    from tcrd_spark.pipeline import corpus, dedup
+    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.pipeline import text as text_mod
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.round(text_mod.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3)
+    groups = {
+        r["doc_id"]: r["rep_id"]
+        for r in corpus.dedup_groups(q, pairs, "doc_id",
+                                     rep_by="quality").collect()
+    }
+    for d in scored:
+        assert groups[d] == d, f"survivor {d} is not its group's rep"
+
+
 def test_incremental_matches_full_pair_detector(spark, sf_dir):
     """A batch doc is 'near' iff the full-corpus exact-Jaccard pair
     detector links it to some corpus doc; near_src is the min such."""

@@ -64,6 +64,8 @@ BNLJ_OK = {
     "ann_pq_topk",              # 1-row codebook + broadcast query LUTs
     "ann_pq_rerank",            # same 1-row codebook, shortlist stage
     "ann_ivfpq",                # 1-row codebook + broadcast centroids/LUTs
+    "semantic_dedup_pairs",     # 1-row centroid set rides the argmax assignment
+    "semantic_dedup",           # same assignment stage
 }
 
 
