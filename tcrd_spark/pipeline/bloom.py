@@ -39,17 +39,23 @@ N_BITS = M_WORDS * BITS_PER_WORD
 K = 4
 
 
-def _probe_hash(g, i: int):
-    """Bit index in [0, N_BITS) for shingle-hash g under function i."""
+def _probe_hash(g, i: int, n_bits: int = N_BITS):
+    """Bit index in [0, n_bits) for shingle-hash g under function i."""
     return hash60(
         F.concat(g.cast("string"), F.lit(f":{i}"))
-    ) % F.lit(N_BITS)
+    ) % F.lit(n_bits)
 
 
 def build_bloom(bench_df: DataFrame, id_col: str, text_col: str,
-                n: int = 5) -> DataFrame:
+                n: int = 5, m_words: int = M_WORDS) -> DataFrame:
     """(word, mask) — the benchmark's n-gram shingles folded into the
-    bit array; ≤ M_WORDS rows, broadcast it."""
+    bit array; ≤ m_words rows, broadcast it.
+
+    Size the filter to the benchmark: ~10 bits/element keeps the
+    K=4 false-positive rate ≈1% (fill ~0.33); the default 61,440 bits
+    suits the registered query's toy benchmark. Build and probe must
+    agree on m_words — tools/decon_bench.py measures the size/FP
+    trade against the exact operator."""
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
     g = (
@@ -70,7 +76,7 @@ def build_bloom(bench_df: DataFrame, id_col: str, text_col: str,
                     F.col("i").cast("string"),
                 )
             )
-            % F.lit(N_BITS)
+            % F.lit(m_words * BITS_PER_WORD)
         ).alias("h")
     )
     return (
@@ -90,10 +96,11 @@ def build_bloom(bench_df: DataFrame, id_col: str, text_col: str,
 
 def probe_bloom(
     corpus_df: DataFrame, bloom: DataFrame, id_col: str, text_col: str,
-    n: int = 5,
+    n: int = 5, m_words: int = M_WORDS,
 ) -> DataFrame:
     """(id, bloom_hits, contaminated) — corpus docs whose any shingle
-    has all K bits set. K broadcast left joins, no explode-by-K."""
+    has all K bits set. K broadcast left joins, no explode-by-K.
+    m_words must match the build_bloom that produced `bloom`."""
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
     probes = hashed_shingles(corpus_df, id_col, text_col, n).select(
@@ -101,7 +108,7 @@ def probe_bloom(
     )
     present = None
     for i in range(1, K + 1):
-        h = _probe_hash(F.col("g"), i)
+        h = _probe_hash(F.col("g"), i, m_words * BITS_PER_WORD)
         probes = (
             probes.withColumn(f"_w{i}", (h / BITS_PER_WORD).cast("long"))
             .withColumn(f"_b{i}", (h % BITS_PER_WORD).cast("int"))

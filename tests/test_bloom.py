@@ -48,3 +48,31 @@ def test_bloom_footprint_is_fixed(spark, sf_dir):
     ).collect()
     assert len(bloom) <= M_WORDS
     assert all(r["mask"] > 0 for r in bloom)  # 60-bit masks, sign-safe
+
+
+def test_sized_bloom_still_contains_exact(spark, sf_dir):
+    """The m_words sizing knob (round 6): a non-default filter size
+    must preserve the no-false-negative contract when build and probe
+    agree on m_words — the sizing rule itself (fill^K bounds the
+    per-DOC over-drop via shingles-per-doc) is measured by
+    tools/decon_bench.py and recorded in SCALE.md."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+        if r["contaminated"] == 1
+    }
+    m_words = 256  # 4x smaller than the default
+    bloom = build_bloom(bench, "doc_id", "text", n=5, m_words=m_words)
+    rows = bloom.collect()
+    assert len(rows) <= m_words
+    assert all(r["mask"] > 0 for r in rows)
+    flagged = {
+        r["doc_id"]: r["contaminated"]
+        for r in probe_bloom(
+            corpus, bloom, "doc_id", "text", n=5, m_words=m_words
+        ).collect()
+    }
+    assert exact <= {d for d, c in flagged.items() if c == 1}
