@@ -301,6 +301,57 @@ def ivf_pq_topk(
     )
 
 
+def build_ivfpq_index(
+    corpus: DataFrame, centroids: DataFrame, cb_row: DataFrame,
+    dim: int, m: int, path: str,
+) -> None:
+    """Persist the IVF-PQ index: PQ codes + quantized norms in a
+    cell_id-PARTITIONED parquet table — the real at-scale layout
+    (mirrors similarity.build_ivf_index, but each row is ~16 bytes of
+    codes+norm instead of the 512-byte vector: the stored index is
+    ~32× smaller than the float64 inverted lists)."""
+    from tcrd_spark.pipeline.similarity import assign_cells
+
+    assigned = assign_cells(corpus, centroids, dim).select(
+        "c_id", "c_vec", "cell_id"
+    )
+    coded = pq_encode(assigned, cb_row, dim, m, extra_cols=("cell_id",))
+    coded.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+
+def ivf_pq_topk_indexed(
+    queries: DataFrame, index_path: str, centroids: DataFrame,
+    cb_row: DataFrame, dim: int, m: int, k: int = 10, n_probe: int = 2,
+) -> DataFrame:
+    """Search a build_ivfpq_index table: probed cell ids become a
+    STATIC partition filter, so the scan reads only the probed cells'
+    files (PartitionFilters plan-asserted in tests/test_pq.py) — and
+    every byte it reads is an 8-byte code, never a vector. Identical
+    results to ivf_pq_topk over the same centroids/codebooks."""
+    from tcrd_spark.pipeline.similarity import _probe_cells
+
+    spark = queries.sparkSession
+    probes = _probe_cells(queries, centroids, dim, n_probe).select(
+        "q_id", "q_vec", "cell_id"
+    )
+    cells = [
+        int(r.cell_id)
+        for r in probes.select("cell_id").distinct().collect()
+    ]
+    index = spark.read.parquet(index_path).filter(
+        F.col("cell_id").isin(cells)
+    )
+    luts = _query_luts(probes, cb_row, dim, m, carry=("cell_id",))
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        index.join(F.broadcast(luts), "cell_id")
+        .select("q_id", "c_id", _adc_score().alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "score", "rank")
+    )
+
+
 # ------------------------------------------------- registered queries
 
 

@@ -78,6 +78,8 @@ PRIORITY = (
     "semantic_dedup_pairs",
     "semantic_dedup",
     "zorder_sampled",
+    "ccnet_buckets",
+    "bm25_search",
     # (e) stable refreshers (r5-green, closure untouched) fill the cap
     "topk_per_group",
     "decile_bucketing",
@@ -185,7 +187,8 @@ def _collect():
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
                     "pipeline.bloom", "pipeline.sq", "pipeline.pq",
-                    "pipeline.semdedup",
+                    "pipeline.semdedup", "pipeline.ccnet",
+                    "pipeline.bm25",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):

@@ -59,6 +59,7 @@ BNLJ_OK = {
     "domain_mixture_sample",    # same plan stage, broadcast back to docs
     "ann_sq_topk",              # 1-row quantization stats + broadcast query panel
     "zorder_values",            # 1-row per-column range stats broadcast
+    "zorder_sampled",           # 1-row sampled percentile edges broadcast
     "domain_mixture_exact",     # 1-row corpus total into the quota table
     "ann_ivfsq",                # 1-row quantization stats + broadcast centroids
     "ann_pq_topk",              # 1-row codebook + broadcast query LUTs
