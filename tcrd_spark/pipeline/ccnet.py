@@ -28,12 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def ccnet_buckets(
-    docs: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """(id, pred_lang, nll, bucket): bucket ∈ {head, middle, tail,
-    unscored} by per-language NLL tertiles (lower NLL = head, the
-    CCNet convention: fluent text scores low perplexity)."""
+def lang_nll(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang, nll): language ID + per-doc bigram-LM mean NLL
+    (NULL for docs with no bigram). This is the expensive lineage —
+    ccnet_buckets reads it TWICE (tertile edges + the final label), so
+    callers should materialize it (cache / the registered query's
+    session memo) or the whole LM train+score chain executes twice."""
     from tcrd_spark.pipeline import text
     from tcrd_spark.pipeline.lm import (
         score_perplexity,
@@ -46,10 +46,30 @@ def ccnet_buckets(
     scored = score_perplexity(toks, lm, id_col).select(
         id_col, F.round("nll", 6).alias("nll")
     )
-    labeled = docs.select(
+    return docs.select(
         F.col(id_col),
         text.lang_id(F.col(text_col)).alias("pred_lang"),
     ).join(scored, id_col, "left")
+
+
+def ccnet_buckets(
+    docs: DataFrame, id_col: str, text_col: str,
+    _labeled: DataFrame | None = None,
+    _caches: list | None = None,
+) -> DataFrame:
+    """(id, pred_lang, nll, bucket): bucket ∈ {head, middle, tail,
+    unscored} by per-language NLL tertiles (lower NLL = head, the
+    CCNet convention: fluent text scores low perplexity).
+
+    ``_labeled`` accepts a pre-materialized lang_nll frame; otherwise
+    one is built and cached here (recorded in ``_caches`` under the
+    incremental_near_dups unpersist convention)."""
+    if _labeled is not None:
+        labeled = _labeled
+    else:
+        labeled = lang_nll(docs, id_col, text_col).cache()
+        if _caches is not None:
+            _caches.append(labeled)
     edges = labeled.filter(F.col("nll").isNotNull()).groupBy(
         "pred_lang"
     ).agg(
@@ -75,10 +95,18 @@ def ccnet_buckets(
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head/middle/tail perplexity split per predicted language over
-    the documents corpus."""
+    the documents corpus. The (lang, nll) frame is memoized per
+    session like the SQ/PQ code tables, so the LM lineage runs once
+    across the edge pass, the label pass, and repeated invocations."""
     from tcrd_spark.pipeline.lm import _docs
+    from tcrd_spark.pipeline.sq import _memo_cached
 
-    return ccnet_buckets(_docs(spark, sf_dir), "doc_id", "text")
+    docs = _docs(spark, sf_dir)
+    labeled = _memo_cached(
+        spark, (sf_dir, "ccnet-labeled"),
+        lambda: lang_nll(docs, "doc_id", "text"),
+    )
+    return ccnet_buckets(docs, "doc_id", "text", _labeled=labeled)
 
 
 QUERIES = {"ccnet_buckets": q_ccnet_buckets}

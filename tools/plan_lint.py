@@ -67,6 +67,8 @@ BNLJ_OK = {
     "ann_ivfpq",                # 1-row codebook + broadcast centroids/LUTs
     "semantic_dedup_pairs",     # 1-row centroid set rides the argmax assignment
     "semantic_dedup",           # same assignment stage
+    "ccnet_buckets",            # 1-row vocab V + |languages|-row edge broadcast
+    "bm25_search",              # 1-row corpus stats (N, avgdl, df) broadcast
 }
 
 
