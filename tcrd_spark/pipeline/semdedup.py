@@ -74,6 +74,117 @@ def semantic_pairs(
     )
 
 
+def semantic_pairs_blocked(
+    corpus: DataFrame, centroids: DataFrame, dim: int,
+    threshold: float = 0.4, n_blocks: int = 16,
+    _assigned: DataFrame | None = None,
+) -> DataFrame:
+    """The SCALE form of semantic_pairs — identical output, BLAS
+    execution. The plain equi-join scores each candidate with an
+    interpreted 128-term expression and, worse, lands every pair of a
+    hot cluster on ONE shuffle partition (a cell is a single join
+    key): measured ×93 for ×10 data at sf1. This form is the
+    `dedup.embedding_near_dups_blocked` plan scoped per cell: vectors
+    hash into n_blocks, the B(B+1)/2 block-pair grid broadcasts, and
+    one applyInPandas task per (cell, block-pair) runs a numpy matmul
+    — task memory is bounded by 2·(cell_n/B)·dim·8 REGARDLESS of
+    cluster skew, every pair meets in exactly one task, and
+    cross-cluster pairs still cannot exist (cell_id is in the grouping
+    key). Rounded cosines are bit-identical to the join scorer and the
+    DuckDB oracle (the dedup_embedding_cosine precedent)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from tcrd_spark.pipeline.similarity import assign_cells
+
+    a = (
+        _assigned
+        if _assigned is not None
+        else assign_cells(corpus, centroids, dim)
+    )
+    spark = corpus.sparkSession
+    vecs = a.select(
+        "cell_id",
+        F.col("c_id").alias("_id"),
+        F.col("c_vec").cast("array<double>").alias("v"),
+        F.pmod(F.hash("c_id"), F.lit(n_blocks)).alias("blk"),
+    )
+    r = spark.range(n_blocks)
+    grid = F.broadcast(
+        r.toDF("bi").crossJoin(r.toDF("bj")).filter(
+            F.col("bi") <= F.col("bj")
+        )
+    )
+    left = vecs.join(grid, vecs.blk == grid.bi).select(
+        "cell_id", "bi", "bj", F.lit("L").alias("role"), "_id", "v"
+    )
+    right = (
+        vecs.join(grid, vecs.blk == grid.bj)
+        .filter(F.col("bi") != F.col("bj"))
+        .select("cell_id", "bi", "bj", F.lit("R").alias("role"), "_id", "v")
+    )
+    tagged = left.unionByName(right)
+
+    out_schema = StructType(
+        [
+            StructField("cell_id", LongType()),
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame(
+        {"cell_id": [], "id_a": [], "id_b": [], "score": []}
+    )
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["role"] == "L"]
+        rpdf = pdf[pdf["role"] == "R"]
+        is_diag = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        if len(lpdf) == 0 or (not is_diag and len(rpdf) == 0):
+            return empty
+        cid = int(pdf["cell_id"].iat[0])
+        a_ids = lpdf["_id"].to_numpy()
+        a_mat = np.stack(lpdf["v"].to_numpy())
+        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        if is_diag:
+            b_ids, b_mat, b_nrm = a_ids, a_mat, a_nrm
+        else:
+            b_ids = rpdf["_id"].to_numpy()
+            b_mat = np.stack(rpdf["v"].to_numpy())
+            b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm), 6)
+        keep = sims >= threshold
+        ai, bi_ = np.nonzero(keep)
+        id_a, id_b = a_ids[ai], b_ids[bi_]
+        if is_diag:
+            # the self-matmul is symmetric: keep the strict upper
+            # triangle only, or every pair is emitted twice
+            lo, hi = id_a, id_b
+            mask = id_a < id_b
+        else:
+            lo, hi = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+            mask = lo < hi
+        return pd.DataFrame(
+            {
+                "cell_id": cid,
+                "id_a": lo[mask],
+                "id_b": hi[mask],
+                "score": sims[ai, bi_][mask],
+            }
+        )
+
+    return tagged.groupBy("cell_id", "bi", "bj").applyInPandas(
+        cell, schema=out_schema
+    )
+
+
 def centroid_distance(
     corpus: DataFrame, centroids: DataFrame, dim: int,
     _assigned: DataFrame | None = None,
@@ -126,7 +237,9 @@ def semantic_dedup(
         a = assign_cells(corpus, centroids, dim).cache()
         if _caches is not None:
             _caches.append(a)
-    pairs = semantic_pairs(corpus, centroids, dim, threshold, _assigned=a)
+    pairs = semantic_pairs_blocked(
+        corpus, centroids, dim, threshold, _assigned=a
+    )
     scored = centroid_distance(corpus, centroids, dim, _assigned=a).select(
         "c_id", "dist"
     )
@@ -167,9 +280,9 @@ def _assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-scoped cosine ≥ 0.4 pairs over the embeddings table
-    (first-8 centroid contract)."""
+    (first-8 centroid contract), via the blocked BLAS scorer."""
     corpus, cents = _panel(spark, sf_dir)
-    return semantic_pairs(
+    return semantic_pairs_blocked(
         corpus, cents, _EMB_DIM, threshold=0.4,
         _assigned=_assigned_cached(spark, sf_dir),
     )

@@ -38,6 +38,8 @@ PYTHON_OK = {
     "nearest_flagged",
     "multimodal_features",
     "dedup_embedding_cosine",
+    "semantic_dedup_pairs",      # per-(cell, block-pair) BLAS matmul
+    "semantic_dedup",            # same blocked pair scorer
 }
 
 # BroadcastNestedLoopJoin is allowed ONLY where the build side is
