@@ -71,6 +71,8 @@ def test_all_query_plans_are_scale_clean(spark, sf_dir, queries):
         "apsp_min_merge", "nearest_flagged",      # applyInPandas BFS
         "multimodal_features",                    # mapInPandas decode
         "dedup_embedding_cosine",                 # mapInPandas block matmul
+        "semantic_dedup_pairs",                   # applyInPandas BLAS matmul
+        "semantic_dedup",                         # (same scorer downstream)
     }
 
     def check(item):
