@@ -158,6 +158,11 @@ PRIORITY = (
     "tinx_novelty",
     "tinx_importance",
     "ann_ivf",
+    # ---- NEW in round 6 (post-cap additions, new modules → new-query
+    # grace until the next adjudication; sweep-verified every run) ----
+    "cube_counts",
+    "grouping_sets_mix",
+    "unpivot_metrics",
 )
 
 
@@ -182,7 +187,8 @@ def _collect():
             mods.append(_g)
         except ImportError:
             pass
-    for modname in ("analytics.testdata_queries", "pipeline.testdata_queries",
+    for modname in ("operators.olap_ext",
+                    "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",

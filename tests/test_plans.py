@@ -9,6 +9,8 @@ here is a performance bug even while results stay correct.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 
@@ -434,3 +436,30 @@ def test_incremental_lsh_probe_is_bucket_equijoin(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cube_is_one_scan_expand(spark, sf_dir):
+    """CUBE / GROUPING SETS must plan as ONE fact scan feeding an
+    Expand + single aggregate — not a union of 2^k scans (the shape
+    the reference's per-dimension count queries would naively take).
+    Partial aggregation after the Expand keeps the shuffle combined."""
+    from tcrd_spark.operators.olap_ext import q_cube_counts, q_grouping_sets_mix
+
+    for q in (q_cube_counts, q_grouping_sets_mix):
+        plan = plan_of(q(spark, sf_dir))
+        # formatted explain prints each node twice (tree + details);
+        # count the numbered detail entries = number of physical scans
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "Expand" in plan, plan
+        assert "Union" not in plan, plan
+
+
+def test_unpivot_is_expand_not_union(spark, sf_dir):
+    """unpivot (melt) compiles to an Expand over one scan — k value
+    columns become k rows per id without k scans or a Python loop."""
+    from tcrd_spark.operators.olap_ext import q_unpivot_metrics
+
+    plan = plan_of(q_unpivot_metrics(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Expand" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
