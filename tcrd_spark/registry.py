@@ -160,6 +160,8 @@ PRIORITY = (
     "ann_ivf",
     # ---- NEW in round 6 (post-cap additions, new modules → new-query
     # grace until the next adjudication; sweep-verified every run) ----
+    "dsir_weights",
+    "dsir_sample",
     "cube_counts",
     "grouping_sets_mix",
     "unpivot_metrics",
@@ -194,7 +196,7 @@ def _collect():
                     "pipeline.nbayes", "pipeline.mixture",
                     "pipeline.bloom", "pipeline.sq", "pipeline.pq",
                     "pipeline.semdedup", "pipeline.ccnet",
-                    "pipeline.bm25",
+                    "pipeline.bm25", "pipeline.dsir",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
