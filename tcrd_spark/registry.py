@@ -165,6 +165,9 @@ PRIORITY = (
     "cube_counts",
     "grouping_sets_mix",
     "unpivot_metrics",
+    "kmv_distinct",
+    "theta_sketch_ops",
+    "cms_heavy_hitters",
 )
 
 
@@ -197,6 +200,7 @@ def _collect():
                     "pipeline.bloom", "pipeline.sq", "pipeline.pq",
                     "pipeline.semdedup", "pipeline.ccnet",
                     "pipeline.bm25", "pipeline.dsir",
+                    "pipeline.sketches",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
