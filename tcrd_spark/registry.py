@@ -168,6 +168,8 @@ PRIORITY = (
     "kmv_distinct",
     "theta_sketch_ops",
     "cms_heavy_hitters",
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
 )
 
 
@@ -200,7 +202,7 @@ def _collect():
                     "pipeline.bloom", "pipeline.sq", "pipeline.pq",
                     "pipeline.semdedup", "pipeline.ccnet",
                     "pipeline.bm25", "pipeline.dsir",
-                    "pipeline.sketches",
+                    "pipeline.sketches", "pipeline.winnow",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
