@@ -322,11 +322,99 @@ def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ancestor_paths(nodes, "node", parent, max_depth=40)
 
 
+PR_ITERS = 6
+PR_DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    exact_fold: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node,
+    pagerank). Simplified variant: dangling nodes keep their (1-d)/N
+    base share but redistribute no mass (the common implementation
+    shortcut; documented, not hidden).
+
+    Per iteration: one join of the edge list to the current ranks, one
+    dst-keyed aggregation, one left join back onto the node set — all
+    shuffle-partitioned on the join keys, nothing global. The iteration
+    output is plan-cut through an (uncached) RDD round-trip: the chain
+    is strictly linear so every cut is computed exactly once, and
+    without the cut Catalyst re-analysis cost grows superlinearly with
+    depth (the apsp lesson above). At 100 TB the scan-derived frames
+    (edges, degrees, nodes) would be persisted once and the cut done
+    with localCheckpoint; node count is an aggregate row, never a
+    driver value.
+
+    ``exact_fold=True`` sums each node's incoming contributions by a
+    sorted fold (collect_list → array_sort → aggregate) so Spark and
+    the DuckDB oracle add doubles in the identical order — bit-exact
+    adjudication, same trade TIN-X makes. Production flag is
+    ``exact_fold=False`` (plain map-side-combinable sum; a power-law
+    in-degree hub then never materializes its contribution list).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    base = F.lit(1.0 - damping) / F.col("n")
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        if exact_fold:
+            s = F.aggregate(
+                F.array_sort(F.collect_list("c")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        else:
+            s = F.sum("c")
+        summed = contrib.groupBy("dst").agg(F.round(s, 9).alias("s"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(n1))
+            .join(summed, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.round(
+                    base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)), 9
+                ).alias("pr"),
+            )
+        )
+        ranks = spark.createDataFrame(ranks.rdd, ranks.schema)
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the global part→part order-chain graph (the KEGG
+    pathway union shape): which parts sit centrally in order flows.
+    Extends §2.8 beyond the reference's BFS family (`loaders/
+    load-KEGGDistances.py` computes distances only) with the standard
+    iterative-centrality workload."""
+    edges = _order_chain_edges(spark, sf_dir)
+    return pagerank(edges, "src", "dst", PR_ITERS, PR_DAMPING)
+
+
 QUERIES = {
     "apsp_min_merge": q_apsp_min_merge,
     "nearest_flagged": q_nearest_flagged,
     "clique_expansion": q_clique_expansion,
     "ancestor_closure": q_ancestor_closure,
+    "pagerank": q_pagerank,
 }
 
 _EDGES_SQL = """
@@ -397,3 +485,60 @@ ORACLE = {
         SELECT node, ancestor, depth FROM walk
     """,
 }
+
+
+def _pagerank_sql(iters: int, damping: float) -> str:
+    """Unrolled-iteration DuckDB twin: one (contrib, rank) CTE pair per
+    iteration — recursive CTEs can't aggregate in the recursive term,
+    and unrolling keeps the adjudicated computation literally identical
+    to the Spark loop. The contribution sum is the same sorted fold
+    (0.0-seeded list_reduce over list_sort == F.aggregate over
+    array_sort) the TIN-X oracles use for bit-exact double addition."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    one_minus_d = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    parts = [
+        """
+        e0 AS (
+          SELECT l_partkey AS src,
+                 lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber, l_partkey) AS dst
+          FROM lineitem
+        ),
+        e AS (SELECT DISTINCT src, dst FROM e0
+              WHERE dst IS NOT NULL AND src != dst),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+               FROM nodes CROSS JOIN nn)
+        """
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""
+        c{i} AS (
+          SELECT e.dst AS node,
+                 round(list_reduce(
+                     list_prepend(0.0, list_sort(list(r.pr / deg.outdeg))),
+                     (acc, x) -> acc + x), 9) AS s
+          FROM e JOIN r{i} r ON e.src = r.node
+                 JOIN deg ON e.src = deg.src
+          GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+          SELECT nodes.node,
+                 round({one_minus_d} / nn.n
+                       + {d} * coalesce(c{i}.s, 0.0), 9) AS pr
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN c{i} ON nodes.node = c{i}.node
+        )
+        """
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f" SELECT node, round(pr, 6) AS pagerank FROM r{iters}"
+    )
+
+
+ORACLE["pagerank"] = _pagerank_sql(PR_ITERS, PR_DAMPING)

@@ -170,6 +170,7 @@ PRIORITY = (
     "cms_heavy_hitters",
     "winnow_fingerprints",
     "winnow_candidate_pairs",
+    "pagerank",
 )
 
 
