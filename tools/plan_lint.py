@@ -71,6 +71,9 @@ BNLJ_OK = {
     "semantic_dedup",           # same assignment stage
     "ccnet_buckets",            # 1-row vocab V + |languages|-row edge broadcast
     "bm25_search",              # 1-row corpus stats (N, avgdl, df) broadcast
+    "dsir_weights",             # 1-row corpus totals ride a cross join
+    "dsir_sample",              # same totals stage below the top-k
+    "theta_sketch_ops",         # 1-row kth/theta/exact scalars crossed
 }
 
 
