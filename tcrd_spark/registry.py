@@ -171,6 +171,7 @@ PRIORITY = (
     "winnow_fingerprints",
     "winnow_candidate_pairs",
     "pagerank",
+    "dedup_edit_distance",
 )
 
 
@@ -204,6 +205,7 @@ def _collect():
                     "pipeline.semdedup", "pipeline.ccnet",
                     "pipeline.bm25", "pipeline.dsir",
                     "pipeline.sketches", "pipeline.winnow",
+                    "pipeline.editdist",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
