@@ -172,6 +172,7 @@ PRIORITY = (
     "winnow_candidate_pairs",
     "pagerank",
     "dedup_edit_distance",
+    "corpus_divergence",
 )
 
 
@@ -205,7 +206,7 @@ def _collect():
                     "pipeline.semdedup", "pipeline.ccnet",
                     "pipeline.bm25", "pipeline.dsir",
                     "pipeline.sketches", "pipeline.winnow",
-                    "pipeline.editdist",
+                    "pipeline.editdist", "pipeline.divergence",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
