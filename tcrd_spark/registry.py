@@ -173,6 +173,7 @@ PRIORITY = (
     "pagerank",
     "dedup_edit_distance",
     "corpus_divergence",
+    "association_rules",
 )
 
 
@@ -197,7 +198,7 @@ def _collect():
             mods.append(_g)
         except ImportError:
             pass
-    for modname in ("operators.olap_ext",
+    for modname in ("operators.olap_ext", "operators.basket",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
