@@ -174,6 +174,7 @@ PRIORITY = (
     "dedup_edit_distance",
     "corpus_divergence",
     "association_rules",
+    "skyline_parts",
 )
 
 
@@ -199,6 +200,7 @@ def _collect():
         except ImportError:
             pass
     for modname in ("operators.olap_ext", "operators.basket",
+                    "operators.skyline",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",

@@ -74,6 +74,7 @@ BNLJ_OK = {
     "dsir_weights",             # 1-row corpus totals ride a cross join
     "dsir_sample",              # same totals stage below the top-k
     "theta_sketch_ops",         # 1-row kth/theta/exact scalars crossed
+    "skyline_parts",            # 1-row quantile edges + |B|-row prefix join
 }
 
 
