@@ -80,7 +80,20 @@ PRIORITY = (
     "zorder_sampled",
     "ccnet_buckets",
     "bm25_search",
-    # (e) stable refreshers (r5-green, closure untouched) fill the cap
+    # (e) the newest round-6 operators take the remaining 8 cap slots —
+    # never-adjudicated queries are worth more driver evidence than
+    # r5-green refreshers whose closure is untouched (those move just
+    # past the cap; the pytest sweep still re-hash-matches them every
+    # run)
+    "kmv_distinct",
+    "theta_sketch_ops",
+    "cms_heavy_hitters",
+    "winnow_candidate_pairs",
+    "pagerank",
+    "dedup_edit_distance",
+    "corpus_divergence",
+    "skyline_parts",
+    # displaced refreshers (r5-green, closure untouched)
     "topk_per_group",
     "decile_bucketing",
     "rank_compound_order",
@@ -165,16 +178,8 @@ PRIORITY = (
     "cube_counts",
     "grouping_sets_mix",
     "unpivot_metrics",
-    "kmv_distinct",
-    "theta_sketch_ops",
-    "cms_heavy_hitters",
     "winnow_fingerprints",
-    "winnow_candidate_pairs",
-    "pagerank",
-    "dedup_edit_distance",
-    "corpus_divergence",
     "association_rules",
-    "skyline_parts",
 )
 
 
