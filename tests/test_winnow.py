@@ -61,9 +61,13 @@ def test_sub_k_doc_emits_nothing(spark):
 
 
 def test_fingerprints_plan_has_no_shuffle(spark, sf_dir):
-    # selection is row-local: scan -> project -> explode, no Exchange
-    q = winnow.q_winnow_fingerprints(spark, sf_dir)
-    plan = plan_of(q)
+    # selection is row-local: scan -> generate barriers -> explode, no
+    # Exchange (the registered query adds ONE spread repartition only
+    # because the test corpus arrives as a single scan split)
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(winnow.winnow_fingerprints(docs, "doc_id", "text"))
     assert "Exchange" not in plan, plan
 
 
