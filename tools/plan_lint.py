@@ -75,6 +75,8 @@ BNLJ_OK = {
     "dsir_sample",              # same totals stage below the top-k
     "theta_sketch_ops",         # 1-row kth/theta/exact scalars crossed
     "skyline_parts",            # 1-row quantile edges + |B|-row prefix join
+    "corpus_divergence",        # 1-row corpus totals + slices×vocab grid
+    "association_rules",        # 1-row basket total rides a cross join
 }
 
 
