@@ -1,0 +1,111 @@
+"""SCD Type 2 history build: change-stream → validity intervals.
+
+The slowly-changing-dimension pattern every warehouse ETL needs:
+given a stream of observations (key, ts, attribute), emit one row per
+VERSION — the attribute value with [valid_from, valid_to) and an
+is_current flag — collapsing consecutive observations that carry no
+change. The reference mutates dimension rows in place (`loaders/`
+upd_* SQL) and keeps history only in tdl_update_log; SCD2 is the
+lake-native replacement: immutable versions, point-in-time joins for
+free (`BETWEEN valid_from AND valid_to`).
+
+100 TB shape: two windows, both partitioned by the dimension KEY (one
+lag for change detection, one lead for interval close) — key
+cardinality is the parallelism, no global ordering anywhere. Hot keys
+are bounded by per-key history length, not corpus size; a key with
+pathological churn routes through the same skew-split discipline as
+`operators/temporal_skew.py`. Composes with MERGE (`sources/merge.py`)
+for incremental upkeep: new observations only touch the partitions of
+keys they change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(key, attr, valid_from, valid_to, version, is_current).
+
+    Consecutive rows (per key, time-ordered) with an unchanged attr
+    collapse into one version. valid_to is NULL for the open (current)
+    version. `tiebreak_col` makes same-timestamp observations
+    deterministic.
+    """
+    order = [F.asc(ts_col)] + (
+        [F.asc(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    carry = [tiebreak_col] if tiebreak_col else []
+    changed = df.select(
+        key_col, ts_col, attr_col, *carry,
+        F.lag(attr_col).over(w).alias("_prev"),
+    ).filter(
+        F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+    )
+    # the interval window needs the tiebreak too: surviving change rows
+    # can still share a timestamp within a key
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time view: the version rows live at `ts`."""
+    return history.filter(
+        (F.col("valid_from") <= ts)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+    )
+
+
+# ------------------------------------------------- registered queries
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version history of each user's event_type 'state' over the
+    events stream (change rows only, validity intervals, open current
+    version)."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "ts", "event_type", "event_id")
+
+
+QUERIES = {"scd2_history": q_scd2_history}
+
+ORACLE = {
+    "scd2_history": """
+        WITH changed AS (
+            SELECT user_id, ts, event_type, event_id
+            FROM (
+                SELECT user_id, ts, event_type, event_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS prev
+                FROM events
+            )
+            WHERE prev IS NULL OR event_type != prev
+        )
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               row_number() OVER w AS version,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM changed
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+}

@@ -180,6 +180,8 @@ PRIORITY = (
     "unpivot_metrics",
     "winnow_fingerprints",
     "association_rules",
+    "group_ols",
+    "scd2_history",
 )
 
 
@@ -205,7 +207,8 @@ def _collect():
         except ImportError:
             pass
     for modname in ("operators.olap_ext", "operators.basket",
-                    "operators.skyline",
+                    "operators.skyline", "operators.regress",
+                    "operators.scd",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
