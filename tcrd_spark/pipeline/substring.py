@@ -69,14 +69,24 @@ def _gram_hashes(
     toks = ws_tokens(F.col(text_col))
     if filter_empty:
         toks = F.filter(toks, lambda t: t != "")
+    # materialize the token array through a Generate barrier FIRST:
+    # interpreted higher-order lambdas re-evaluate their subtrees per
+    # element, so an inline `toks` inside the gram transform re-splits
+    # the text once per gram — O(tokens²) per document. A generator's
+    # output attribute can't be re-inlined (the winnow.py lesson;
+    # measured there 13.6s → 1.1s at sf0.1).
+    toked = df.select(
+        F.col(id_col), F.explode(F.array(toks)).alias("_tk")
+    )
+    tk = F.col("_tk")
     grams = F.when(
-        F.size(toks) >= k,
+        F.size(tk) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - k + 1),
-            lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+            F.sequence(F.lit(1), F.size(tk) - k + 1),
+            lambda i: hash60(F.concat_ws(" ", F.slice(tk, i, k))),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    return df.select(
+    return toked.select(
         F.col(id_col), F.posexplode(grams).alias("_p0", "gh")
     ).select(id_col, (F.col("_p0") + 1).alias("pos"), "gh")
 
