@@ -57,7 +57,13 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus", "o_orderpriority"],
         [
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            # money sums over CUBE grand-total cells aggregate the whole
+            # table: double sums drift ~1e-4 at sf1 (order-dependent),
+            # past any rounding. Sum exact integer-cents DECIMALs — both
+            # engines are then bit-identical at every scale.
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
         ],
     )
     return out.select(
@@ -114,7 +120,8 @@ ORACLE = {
         SELECT o_orderstatus, o_orderpriority,
                GROUPING(o_orderstatus, o_orderpriority) AS gid,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,

@@ -125,7 +125,8 @@ ORACLE = {
         c AS (SELECT slice, token, count(*) AS n FROM counts GROUP BY 1, 2),
         vocab AS (SELECT DISTINCT token FROM c),
         slices AS (SELECT DISTINCT slice FROM c),
-        st AS (SELECT slice, sum(n) AS n_s FROM c GROUP BY 1),
+        st AS (SELECT slice, CAST(sum(n) AS BIGINT) AS n_s
+               FROM c GROUP BY 1),
         ct AS (SELECT token, sum(n) AS n_t FROM c GROUP BY 1),
         tot AS (SELECT (SELECT sum(n) FROM c) AS n_all,
                        (SELECT count(*) FROM vocab) AS v),
