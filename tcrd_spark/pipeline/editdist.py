@@ -23,8 +23,9 @@ first. Each document carries a fixed ~28-slot character-count vector
 computed ONCE at scan time; each edit operation changes that bag by at
 most 2, so dist ≥ L1(bag_a, bag_b)/2, and any pair with L1 > 2T is
 pruned by a ~28-integer zip_with — ~100× cheaper than the DP it
-avoids. Together with spreading the probe side across tasks (below),
-the registered query went 181s → 5.5s wall at sf0.1.
+avoids. Together with spreading the probe side across tasks (below)
+and the T=24 setting, the registered query went 181s → 2.3s wall at
+sf0.1 and scales 4.1× for 10× data (SCALE.md).
 Survivors hit the THRESHOLD-banded DP (`F.levenshtein(l, r, T)`:
 O(len·T) cells with early-exit, -1 above T — Spark 3.5+), never the
 full O(len²) matrix. The blocking key composes with any equality
@@ -41,8 +42,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MAX_DIST = 60
-BUCKET = 64  # must be > MAX_DIST for the adjacent-bucket guarantee
+# T=24/B=32 keeps the candidate density sane as the corpus grows: the
+# length-bucket population grows linearly with corpus size, so pairs
+# per bucket grow quadratically — a loose threshold (T=60/B=64) made
+# the sf0.1→sf1 Spark ratio 21.7× for 10× data; this setting measures
+# 4.1× (2.3s → 9.5s) with the identical sound-blocking guarantee
+MAX_DIST = 24
+BUCKET = 32  # must be > MAX_DIST for the adjacent-bucket guarantee
 assert BUCKET > MAX_DIST
 
 # counting-filter alphabet: per-char counts for these, plus an "other"
@@ -102,7 +108,7 @@ def edit_distance_pairs(
     # the probe side must be spread across tasks: a small parquet input
     # arrives as ONE partition, and with the dimension side broadcast
     # the whole candidate × filter × DP pipeline would run in a single
-    # task (measured 75s → 5.5s at sf0.1). Hash on id — even spread, and
+    # task (measured 14x at sf0.1). Hash on id — even spread, and
     # the broadcast join makes probe-side partitioning semantically free
     par = docs.sparkSession.sparkContext.defaultParallelism
     left = base.repartition(par, "_id").select(
@@ -154,7 +160,7 @@ def edit_distance_pairs(
 
 
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Levenshtein near-dup pairs (T=60) over the documents
+    """Exact Levenshtein near-dup pairs (T=24) over the documents
     table, length-bucket blocked, per-language blocks."""
     from tcrd_spark.sources.lake import load_table
 
