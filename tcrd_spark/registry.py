@@ -182,6 +182,9 @@ PRIORITY = (
     "association_rules",
     "group_ols",
     "scd2_history",
+    "rolling_anomaly",
+    "merge_intervals",
+    "winsorize_values",
 )
 
 
@@ -208,7 +211,7 @@ def _collect():
             pass
     for modname in ("operators.olap_ext", "operators.basket",
                     "operators.skyline", "operators.regress",
-                    "operators.scd",
+                    "operators.scd", "operators.analytic_ext",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
