@@ -185,6 +185,7 @@ PRIORITY = (
     "rolling_anomaly",
     "merge_intervals",
     "winsorize_values",
+    "attribution_touch",
 )
 
 
@@ -212,6 +213,7 @@ def _collect():
     for modname in ("operators.olap_ext", "operators.basket",
                     "operators.skyline", "operators.regress",
                     "operators.scd", "operators.analytic_ext",
+                    "operators.attribution",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
