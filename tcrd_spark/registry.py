@@ -186,6 +186,7 @@ PRIORITY = (
     "merge_intervals",
     "winsorize_values",
     "attribution_touch",
+    "triangle_counts",
 )
 
 
@@ -213,7 +214,7 @@ def _collect():
     for modname in ("operators.olap_ext", "operators.basket",
                     "operators.skyline", "operators.regress",
                     "operators.scd", "operators.analytic_ext",
-                    "operators.attribution",
+                    "operators.attribution", "operators.triangles",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
