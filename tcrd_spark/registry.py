@@ -187,6 +187,8 @@ PRIORITY = (
     "winsorize_values",
     "attribution_touch",
     "triangle_counts",
+    "embedding_meanpool",
+    "dedup_containment",
 )
 
 
@@ -224,6 +226,7 @@ def _collect():
                     "pipeline.bm25", "pipeline.dsir",
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.editdist", "pipeline.divergence",
+                    "pipeline.pooling", "pipeline.containment",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
