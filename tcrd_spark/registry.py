@@ -189,6 +189,7 @@ PRIORITY = (
     "triangle_counts",
     "embedding_meanpool",
     "dedup_containment",
+    "rrf_fusion",
 )
 
 
@@ -227,6 +228,7 @@ def _collect():
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.pooling", "pipeline.containment",
+                    "pipeline.fusion",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
