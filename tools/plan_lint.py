@@ -77,6 +77,7 @@ BNLJ_OK = {
     "skyline_parts",            # 1-row quantile edges + |B|-row prefix join
     "corpus_divergence",        # 1-row corpus totals + slices×vocab grid
     "association_rules",        # 1-row basket total rides a cross join
+    "rrf_fusion",               # 1-row query vec + 1-row BM25 stats crossed
 }
 
 
