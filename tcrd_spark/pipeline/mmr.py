@@ -1,0 +1,193 @@
+"""MMR — Maximal Marginal Relevance diversified top-k (Carbonell &
+Goldstein, SIGIR'98): re-rank a candidate list so results are relevant
+to the query but not redundant with each other.
+
+    mmr(c) = λ·rel(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+
+selected greedily k times. The redundancy term is what plain cosine
+top-k lacks: near-duplicate passages crowd out coverage in RAG
+contexts; MMR picks one representative per neighborhood.
+
+100 TB shape: MMR is inherently a SMALL-CANDIDATE-SET re-ranker — the
+scale path produces the candidate list with the ANN stack (IVF/SQ/PQ,
+bounded K), and everything here touches only K rows / K² pairwise
+sims. The greedy loop collects ONE row per step (the argmax), the
+same bounded-by-contract driver loop `pipeline/bpe.py` uses per merge;
+candidate relevance and the K×K sim matrix are cached DataFrames
+keyed per (applicationId, sf_dir) so repeated invocations reuse them
+(the sq.py memo idiom).
+
+Cross-engine determinism: rel, pairwise sims, and mmr all round to 6
+with doc-id tie-breaks; the DuckDB oracle unrolls the k greedy steps
+as CTEs and replays the identical selections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcrd_spark.pipeline.similarity import _pair_score, _with_norm
+
+LAMBDA = 0.7
+N_CAND = 30
+K_OUT = 10
+_MEMO: dict = {}
+
+
+def _cand_frames(spark: SparkSession, sf_dir: str):
+    """(rel, pairs): cached per (appId, sf_dir) — relevance of the
+    top-N_CAND candidates to query vector 0, and their pairwise sims."""
+    key = (spark.sparkContext.applicationId, sf_dir, "mmr")
+    got = _MEMO.get(key)
+    if got is not None:
+        return got
+    from tcrd_spark.pipeline.testdata_queries import EMB_DIM
+    from tcrd_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ),
+        "q_id",
+        "q_vec",
+        EMB_DIM,
+    )
+    c = _with_norm(
+        emb.select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        ),
+        "c_id",
+        "c_vec",
+        EMB_DIM,
+    )
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .select("c_id", "c_vec", "c_vec_nrm",
+                _pair_score("q_vec", "c_vec", EMB_DIM).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("c_id"))
+        .limit(N_CAND)
+        .cache()
+    )
+    a = rel.select(
+        F.col("c_id").alias("a"),
+        F.col("c_vec").alias("q_vec"),
+        F.col("c_vec_nrm").alias("q_vec_nrm"),
+    )
+    b = rel.select(F.col("c_id").alias("b"), "c_vec", "c_vec_nrm")
+    pairs = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", _pair_score("q_vec", "c_vec", EMB_DIM).alias("sim"))
+        .cache()
+    )
+    got = (rel.select("c_id", "rel"), pairs)
+    _MEMO[key] = got
+    return got
+
+
+def mmr_select(
+    rel: DataFrame,
+    pairs: DataFrame,
+    lam: float = LAMBDA,
+    k: int = K_OUT,
+) -> list[tuple[int, int, float]]:
+    """Greedy MMR over (c_id, rel) with pairwise (a, b, sim) →
+    [(step, c_id, mmr)]. One 1-row collect per step (bounded by k)."""
+    selected: list[int] = []
+    out = []
+    for step in range(1, k + 1):
+        remaining = rel.filter(~F.col("c_id").isin(selected))
+        if selected:
+            red = (
+                pairs.filter(F.col("b").isin(selected))
+                .groupBy(F.col("a").alias("c_id"))
+                .agg(F.max("sim").alias("red"))
+            )
+            scored = remaining.join(red, "c_id", "left").select(
+                "c_id",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1 - lam) * F.coalesce(F.col("red"), F.lit(0.0)),
+                    6,
+                ).alias("mmr"),
+            )
+        else:
+            scored = remaining.select(
+                "c_id", F.round(F.lit(lam) * F.col("rel"), 6).alias("mmr")
+            )
+        top = scored.orderBy(F.desc("mmr"), F.asc("c_id")).limit(1).collect()
+        if not top:
+            break
+        out.append((step, top[0].c_id, top[0].mmr))
+        selected.append(top[0].c_id)
+    return out
+
+
+# ------------------------------------------------- registered queries
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 over the 30 best cosine candidates for
+    query vector 0 (λ=0.7)."""
+    rel, pairs = _cand_frames(spark, sf_dir)
+    rows = mmr_select(rel, pairs, LAMBDA, K_OUT)
+    return spark.createDataFrame(rows, "step int, doc_id long, mmr double")
+
+
+QUERIES = {"mmr_rerank": q_mmr_rerank}
+
+
+def _oracle() -> str:
+    from tcrd_spark.pipeline.testdata_queries import (
+        _EMB_NORMED,
+        _sql_pair_score,
+    )
+
+    lam = LAMBDA
+    pre = f"""
+        e AS MATERIALIZED ({_EMB_NORMED}),
+        q AS (SELECT vec_id AS q_id, v, nrm FROM e WHERE vec_id = 0),
+        c AS (SELECT vec_id AS c_id, v, nrm FROM e),
+        cand AS MATERIALIZED (
+            SELECT c.c_id, c.v, c.nrm,
+                   {_sql_pair_score('q', 'c')} AS rel
+            FROM c CROSS JOIN q
+            ORDER BY rel DESC, c.c_id ASC LIMIT {N_CAND}
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.c_id AS a, b.c_id AS b,
+                   {_sql_pair_score('a', 'b')} AS sim
+            FROM cand a JOIN cand b ON a.c_id != b.c_id
+        ),
+        s1 AS MATERIALIZED (
+            SELECT 1 AS step, c_id AS doc_id,
+                   round({lam} * rel, 6) AS mmr
+            FROM cand ORDER BY round({lam} * rel, 6) DESC, c_id ASC
+            LIMIT 1
+        )
+    """
+    steps = []
+    for i in range(2, K_OUT + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+        sel{i} AS MATERIALIZED ({prev_union}),
+        s{i} AS MATERIALIZED (
+            SELECT {i} AS step, cand.c_id AS doc_id,
+                   round({lam} * cand.rel - {1 - lam} * coalesce((
+                       SELECT max(p.sim) FROM pairs p
+                       WHERE p.a = cand.c_id
+                         AND p.b IN (SELECT doc_id FROM sel{i})
+                   ), 0.0), 6) AS mmr
+            FROM cand
+            WHERE cand.c_id NOT IN (SELECT doc_id FROM sel{i})
+            ORDER BY mmr DESC, cand.c_id ASC
+            LIMIT 1
+        )""")
+    final = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, K_OUT + 1))
+    return "WITH " + pre + "," + ",".join(steps) + " " + final
+
+
+ORACLE = {"mmr_rerank": _oracle()}

@@ -190,6 +190,7 @@ PRIORITY = (
     "embedding_meanpool",
     "dedup_containment",
     "rrf_fusion",
+    "mmr_rerank",
 )
 
 
@@ -228,7 +229,7 @@ def _collect():
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.pooling", "pipeline.containment",
-                    "pipeline.fusion",
+                    "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
