@@ -191,6 +191,8 @@ PRIORITY = (
     "dedup_containment",
     "rrf_fusion",
     "mmr_rerank",
+    "welch_ttest",
+    "chi2_independence",
 )
 
 
@@ -219,6 +221,7 @@ def _collect():
                     "operators.skyline", "operators.regress",
                     "operators.scd", "operators.analytic_ext",
                     "operators.attribution", "operators.triangles",
+                    "operators.stats",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
