@@ -78,6 +78,8 @@ BNLJ_OK = {
     "corpus_divergence",        # 1-row corpus totals + slices×vocab grid
     "association_rules",        # 1-row basket total rides a cross join
     "rrf_fusion",               # 1-row query vec + 1-row BM25 stats crossed
+    "welch_ttest",              # two 1-row slice-moment frames crossed
+    "chi2_independence",        # 1-row total + dims frames crossed
 }
 
 
