@@ -138,6 +138,43 @@ def winsorize(
     )
 
 
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """(state_from, state_to, n, p): first-order Markov transition
+    estimates over per-key event sequences.
+
+    One key-partitioned lead() window produces the (from, to) stream;
+    counts combine map-side; row totals are a broadcast-sized
+    |states|-row dimension, so P(to|from) = n / n_from costs no second
+    pass over the data. The |states|² output is the model — broadcast
+    it to score sequences (the nbayes.py deployment shape).
+    """
+    order = [F.asc(ts_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = (
+        df.select(
+            F.col(state_col).alias("state_from"),
+            F.lead(state_col).over(w).alias("state_to"),
+        )
+        .filter(F.col("state_to").isNotNull())
+    )
+    counts = steps.groupBy("state_from", "state_to").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("state_from").agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(totals), "state_from").select(
+        "state_from",
+        "state_to",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("p"),
+    )
+
+
 # ------------------------------------------------- registered queries
 
 
@@ -174,13 +211,44 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(ev, ["event_type"], "value", WINSOR_LO, WINSOR_HI)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Markov transitions: which event follows
+    which, with maximum-likelihood P(to|from)."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", "event_type", "event_id")
+
+
 QUERIES = {
     "rolling_anomaly": q_rolling_anomaly,
     "merge_intervals": q_merge_intervals,
     "winsorize_values": q_winsorize_values,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLE = {
+    "event_transitions": """
+        WITH steps AS (
+            SELECT event_type AS state_from,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS state_to
+            FROM events
+        ),
+        counts AS (
+            SELECT state_from, state_to, count(*) AS n
+            FROM steps WHERE state_to IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT state_from, CAST(sum(n) AS BIGINT) AS tot
+            FROM counts GROUP BY 1
+        )
+        SELECT c.state_from, c.state_to, c.n,
+               round(c.n / t.tot, 6) AS p
+        FROM counts c JOIN totals t USING (state_from)
+    """,
     "rolling_anomaly": f"""
         SELECT user_id, ts, value,
                round(avg(value) OVER w, 6) AS mu,

@@ -193,6 +193,7 @@ PRIORITY = (
     "mmr_rerank",
     "welch_ttest",
     "chi2_independence",
+    "event_transitions",
 )
 
 

@@ -73,3 +73,34 @@ def test_winsorize_clips_only_tails(spark):
     assert got[1.0] > 1.0 and got[100.0] < 100.0  # tails clipped
     assert got[50.0] == 50.0  # interior untouched
     assert min(got.values()) == got[1.0] == got[5.0] or got[1.0] >= 5.0
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.operators.analytic_ext import q_event_transitions
+
+    df = q_event_transitions(spark, sf_dir)
+    sums = df.groupBy("state_from").agg(F.sum("p").alias("s")).collect()
+    assert all(abs(r.s - 1.0) < 1e-4 for r in sums)
+
+
+def test_transition_known_chain(spark):
+    from datetime import datetime
+
+    from tcrd_spark.operators.analytic_ext import transition_matrix
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0.replace(hour=h), s, h)
+        for h, s in enumerate(["a", "b", "a", "b", "a", "c"])
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, s string, e long")
+    got = {
+        (r.state_from, r.state_to): (r.n, r.p)
+        for r in transition_matrix(df, "k", "ts", "s", "e").collect()
+    }
+    # a -> b twice, a -> c once; b -> a twice
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (2, 1.0)
