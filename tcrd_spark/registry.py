@@ -14,27 +14,88 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 # The driver adjudicates only the FIRST 50 registry entries against the
-# DuckDB oracle, so ordering is evidence budget. Round-6 rotation
-# (VERDICT r5 next-step #1, mechanical via tests/test_registry.py::
-# test_past_cap_greens_postdate_code_changes, whose import resolver
-# now expands `from <pkg> import <names>` into submodules — the r5
-# judge's defect #1): the cap takes
-#   (a) the 11 queries registered in round 5 after the cap filled —
-#       sweep-green but never driver-adjudicated (lm ×2, nb_classify,
-#       mixture ×3, decontaminate_bloom, SQ8 ×2, zorder, merge),
-#   (b) the 13 churn-stale queries the FIXED closure exposes: the
-#       corpus.py family (8 + dedup_incremental_lsh, previously hidden
-#       by the from-pkg import hole) and the 5 temporal-family queries
-#       touched by r5's skew-routing change,
-#   (c) queries whose closure is touched in round 6 (corpus.py rep_by
-#       hook; gopher.py/substring.py tokenization fix — ADVICE r5 #1),
-#   (d) queries NEW in round 6 (IVF-PQ, SemDeDup, approx-quantile
-#       Z-order, quality-aware rep election),
-#   (e) stable refreshers filling the remaining slots.
-# The pytest oracle sweep still re-hash-matches every registered query
-# against DuckDB on every run, so past-cap never means unverified.
+# DuckDB oracle, so ordering is evidence budget. Round-7 rotation
+# (mechanical via tests/test_registry.py): the cap takes
+#   (a) the 21 round-6 post-cap additions — sweep- and sf0.1-verified
+#       but never driver-adjudicated (their new-query grace expired
+#       when CORRECTNESS_r06.json was committed),
+#   (b) the 15 churn-stale queries the closure reports: graph.py
+#       changed in round 6 (pagerank landed there) after these queries'
+#       last green, and `_truncate` made graph.py part of the corpus
+#       family's closure (decoupled this round via operators/lineage.py),
+#   (c) queries whose closure round 7 touches (graph.py/corpus.py/
+#       bpe.py `_truncate` split + unpersist fix → pagerank and the
+#       corpus family; scd.py grows scd2_apply_batch),
+#   (d) queries NEW in round 7 (corpus_pipeline_v2, scd2_apply_batch).
+# Four small corpus-family queries implicated by (c) did not fit the
+# 50-slot cap and defer to the round-8 obligation under the one-round
+# grace: sample_stratified, quality_quantile_filter, vocab_topk,
+# line_dedup. The pytest oracle sweep still re-hash-matches every
+# registered query against DuckDB on every run, so past-cap (or
+# deferred) never means unverified.
 PRIORITY = (
-    # (a) round-5 additions, never driver-adjudicated
+    # (a) round-6 additions, never driver-adjudicated
+    "dsir_weights",
+    "dsir_sample",
+    "cube_counts",
+    "grouping_sets_mix",
+    "unpivot_metrics",
+    "winnow_fingerprints",
+    "association_rules",
+    "group_ols",
+    "scd2_history",
+    "rolling_anomaly",
+    "merge_intervals",
+    "winsorize_values",
+    "attribution_touch",
+    "triangle_counts",
+    "embedding_meanpool",
+    "dedup_containment",
+    "rrf_fusion",
+    "mmr_rerank",
+    "welch_ttest",
+    "chi2_independence",
+    "event_transitions",
+    # (b) churn-stale: graph.py changed in r6 after these greens
+    "bpe_pair_counts",
+    "qualitative_levels",
+    "clique_expansion",
+    "tau_ordinal",
+    "tinx_pmid_rankings",
+    "tdl_refresh_delta",
+    "apsp_min_merge",
+    "nearest_flagged",
+    "ancestor_closure",
+    "tdl_classification",
+    "tau_continuous",
+    "consensus_expression",
+    "hgram_cdf",
+    "tinx_novelty",
+    "tinx_importance",
+    # (c) closure touched in round 7 (lineage split, scd growth)
+    "pagerank",
+    "dedup_groups_cc",
+    "dedup_rep_quality",
+    "dedup_incremental",
+    "dedup_incremental_indexed",
+    "dedup_incremental_lsh",
+    "semantic_dedup_pairs",
+    "semantic_dedup",
+    "corpus_pipeline",
+    "corpus_shard_assign",
+    "sequence_pack",
+    "decontaminate",
+    # (d) NEW round 7 queries (uncommented as each lands this round)
+    # "corpus_pipeline_v2",
+    # "scd2_apply_batch",
+    # ---- past the driver's 50-query cap: every entry holds a green
+    # driver CORRECTNESS row from a prior round under unchanged code,
+    # except the four deferred corpus-family queries listed above
+    # (r6-green; one-round grace; head of the r8 cap) ----
+    "sample_stratified",
+    "quality_quantile_filter",
+    "vocab_topk",
+    "line_dedup",
     "lm_perplexity",
     "lm_top_bigrams",
     "nb_classify",
@@ -46,54 +107,29 @@ PRIORITY = (
     "ann_ivfsq",
     "zorder_values",
     "merge_upsert",
-    # (b) churn-stale under the fixed import closure
-    "dedup_incremental_lsh",
     "cohort_retention",
     "asof_join_events",
     "range_join_events",
     "funnel_stages",
     "sessionize_events",
-    "corpus_shard_assign",
-    "sample_stratified",
-    "quality_quantile_filter",
-    "sequence_pack",
-    "vocab_topk",
-    "decontaminate",
-    "line_dedup",
-    # (c) closure touched in round 6
-    "dedup_groups_cc",
-    "dedup_incremental",
-    "dedup_incremental_indexed",
-    "corpus_pipeline",
     "gopher_repetition",
     "gopher_quality_filter",
     "substring_dedup",
     "substring_excise",
     "substring_dedup_incremental",
-    # (d) NEW round 6 queries
     "ann_pq_topk",
     "ann_ivfpq",
     "ann_pq_rerank",
-    "dedup_rep_quality",
-    "semantic_dedup_pairs",
-    "semantic_dedup",
     "zorder_sampled",
     "ccnet_buckets",
     "bm25_search",
-    # (e) the newest round-6 operators take the remaining 8 cap slots —
-    # never-adjudicated queries are worth more driver evidence than
-    # r5-green refreshers whose closure is untouched (those move just
-    # past the cap; the pytest sweep still re-hash-matches them every
-    # run)
     "kmv_distinct",
     "theta_sketch_ops",
     "cms_heavy_hitters",
     "winnow_candidate_pairs",
-    "pagerank",
     "dedup_edit_distance",
     "corpus_divergence",
     "skyline_parts",
-    # displaced refreshers (r5-green, closure untouched)
     "topk_per_group",
     "decile_bucketing",
     "rank_compound_order",
@@ -111,9 +147,6 @@ PRIORITY = (
     "window_session",
     "nested_document",
     "wide_export",
-    # ---- past the driver's 50-query cap: every entry holds a green
-    # driver CORRECTNESS row from a prior round under unchanged code
-    # (enforced by tests/test_registry.py) ----
     "pivot_wide",
     "grouped_set_agg",
     "scan_project_filter",
@@ -137,18 +170,13 @@ PRIORITY = (
     "json_case_funcs",
     "sessionize_skew",
     "asof_join_segmented",
-    "bpe_pair_counts",
     "profile_documents",
     "window_sliding",
     "text_clean_pii",
-    "qualitative_levels",
     "type_histogram",
     "median_per_group",
     "mean_std_population",
     "date_funcs",
-    "clique_expansion",
-    "tau_ordinal",
-    "tinx_pmid_rankings",
     "text_stats",
     "text_quality",
     "lang_id",
@@ -157,43 +185,10 @@ PRIORITY = (
     "ann_bruteforce",
     "kmeans_assign",
     "ann_ivf_indexed",
-    "tdl_refresh_delta",
     "shipping_priority",
     "fallback_join_cascade",
     "self_join_common",
-    "apsp_min_merge",
-    "nearest_flagged",
-    "ancestor_closure",
-    "tdl_classification",
-    "tau_continuous",
-    "consensus_expression",
-    "hgram_cdf",
-    "tinx_novelty",
-    "tinx_importance",
     "ann_ivf",
-    # ---- NEW in round 6 (post-cap additions, new modules → new-query
-    # grace until the next adjudication; sweep-verified every run) ----
-    "dsir_weights",
-    "dsir_sample",
-    "cube_counts",
-    "grouping_sets_mix",
-    "unpivot_metrics",
-    "winnow_fingerprints",
-    "association_rules",
-    "group_ols",
-    "scd2_history",
-    "rolling_anomaly",
-    "merge_intervals",
-    "winsorize_values",
-    "attribution_touch",
-    "triangle_counts",
-    "embedding_meanpool",
-    "dedup_containment",
-    "rrf_fusion",
-    "mmr_rerank",
-    "welch_ttest",
-    "chi2_independence",
-    "event_transitions",
 )
 
 
