@@ -34,22 +34,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-
-def _truncate(df: DataFrame) -> DataFrame:
-    """Cut the logical plan at this point (RDD round-trip, cached).
-
-    Iterative algorithms build self-referential union/join chains whose
-    Catalyst analysis cost grows EXPONENTIALLY with depth — by hop 5 the
-    driver spends minutes analyzing, not computing. An opaque RDD scan
-    resets analysis to O(1) per hop. (localCheckpoint would be the
-    native way, but Spark 4.1 hits a rewriteStatsAndConstraints bug on
-    window-derived plans.)"""
-    rdd = df.rdd.cache()
-    return df.sparkSession.createDataFrame(rdd, df.schema)
+from tcrd_spark.operators.lineage import _truncate
 
 
 def apsp_iterative(
-    edges: DataFrame, graph: str, src: str, dst: str, max_hops: int = 10
+    edges: DataFrame,
+    graph: str,
+    src: str,
+    dst: str,
+    max_hops: int = 10,
+    _caches: list | None = None,
 ) -> DataFrame:
     """All-pairs shortest path lengths per graph via BFS-to-fixpoint.
 
@@ -57,9 +51,21 @@ def apsp_iterative(
     Each hop is one join + min-merge; loop runs on the driver but all
     data stays distributed. Frontier dedup keeps the work linear in
     the true distance closure, not in path multiplicity.
+
+    Hop caches are released as the loop advances (ADVICE r6): once the
+    final path set is materialized, every superseded cut is
+    unpersisted; only the final cut stays pinned (the returned plan
+    reads it), handed to ``_caches`` when given so the caller can
+    release it after its terminal action.
     """
-    e = _truncate(edges.select(graph, src, dst).distinct())
-    paths = _truncate(e.withColumn("dist", F.lit(1)))
+    held: list = []
+
+    def cut(df: DataFrame) -> tuple[DataFrame, object]:
+        out = _truncate(df, held)
+        return out, held[-1]
+
+    e = _truncate(edges.select(graph, src, dst).distinct(), held)
+    paths, paths_rdd = cut(e.withColumn("dist", F.lit(1)))
     frontier = paths
     for _ in range(max_hops - 1):
         grown = (
@@ -81,11 +87,18 @@ def apsp_iterative(
         frontier = _truncate(
             grown.join(
                 paths.select(graph, src, dst), [graph, src, dst], "left_anti"
-            ).distinct()
+            ).distinct(),
+            held,
         )
         if frontier.isEmpty():
             break
-        paths = _truncate(paths.unionByName(frontier))
+        paths, paths_rdd = cut(paths.unionByName(frontier))
+    paths_rdd.count()  # materialize the kept cut before releasing ancestors
+    for r in held:
+        if r is not paths_rdd:
+            r.unpersist()
+    if _caches is not None:
+        _caches.append(paths_rdd)
     return paths.groupBy(graph, src, dst).agg(F.min("dist").alias("dist"))
 
 

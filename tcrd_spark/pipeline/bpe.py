@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tcrd_spark.operators.graph import _truncate
+from tcrd_spark.operators.lineage import _truncate
 from tcrd_spark.pipeline.text import ws_tokens
 
 END = "</w>"
@@ -130,6 +130,9 @@ def bpe_train(
         .cache()
     )
     merges: list[tuple[str, str]] = []
+    held: list = []  # _truncate cut RDDs; DataFrame.unpersist on the
+    # wrapping DF does NOT release them (ADVICE r6) — drain explicitly
+    # once the collect has materialized the newer vocab cache
     try:
         for it in range(n_merges):
             top = (
@@ -138,6 +141,8 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            while len(held) > 1:  # vocab is materialized past the old cut
+                held.pop(0).unpersist()
             if not top or top[0]["n"] < min_pair_freq:
                 break
             a, b = top[0]["pair"].split(" ", 1)
@@ -146,12 +151,14 @@ def bpe_train(
                 _merge_in(F.col("syms"), a, b).alias("syms"), "freq"
             )
             if (it + 1) % 4 == 0:
-                nxt = _truncate(nxt)
+                nxt = _truncate(nxt, held)
             old, vocab = vocab, nxt.cache()
             old.unpersist()
         return merges
     finally:
         vocab.unpersist()
+        for r in held:
+            r.unpersist()
 
 
 def encode_token_counts(

@@ -24,13 +24,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tcrd_spark.functions.hashing import MERSENNE_P, hash60
-from tcrd_spark.operators.graph import _truncate
+from tcrd_spark.operators.lineage import _truncate
 
 
 # ------------------------------------------------------- connected components
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25,
+    _caches: list | None = None,
 ) -> DataFrame:
     """Undirected edge list → (node, component), component = min node
     id reachable. Only nodes that appear in ``edges`` are returned
@@ -65,7 +66,12 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = _truncate(e)
+    # superseded round cuts are unpersisted as the loop advances
+    # (ADVICE r6: these previously pinned one RDD per round for the
+    # session); only the final cut stays pinned — the returned plan
+    # reads it — handed to ``_caches`` when given.
+    held: list = []
+    e = _truncate(e, held)
     prev = _sig(e)
     # per-neighborhood minima via an unordered window (min over the
     # whole u-partition): ONE exchange per star step, versus the
@@ -94,7 +100,7 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        ss = _truncate(ss)
+        ss = _truncate(ss, held)
         # converged ⇔ the edge set is unchanged (a star forest is a
         # fixpoint of both rewrites). The signature is the cheap
         # screen; a matching signature is CONFIRMED with one exact
@@ -103,13 +109,18 @@ def connected_components(
         # Counts match and both sides are distinct sets, so one-sided
         # exceptAll emptiness ⇔ set equality. Runs on the final round
         # only (one extra job across the whole algorithm).
-        cur = _sig(ss)
-        if cur == prev and ss.exceptAll(e).isEmpty():
+        cur = _sig(ss)  # full agg: the new cut is materialized here
+        done = cur == prev and ss.exceptAll(e).isEmpty()
+        while len(held) > 1:  # release every superseded round cut
+            held.pop(0).unpersist()
+        if done:
             e = ss
             converged = True
             break
         prev = cur
         e = ss
+    if _caches is not None:
+        _caches.extend(held)
     if not converged:
         # alternating stars converge in O(log n) rounds (Kiveris §4);
         # exhausting max_iter means labels may be split mid-merge —
@@ -123,7 +134,7 @@ def connected_components(
 
 def dedup_groups(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-    rep_by: str | None = None,
+    rep_by: str | None = None, _caches: list | None = None,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into transitive GROUPS, one row per doc:
     (doc_id, group_id, group_sz). group_id = min doc id of the group
@@ -142,7 +153,7 @@ def dedup_groups(
     a viral million-member group costs its partitions a merge of
     partial maxima, never a single-task sort.
     """
-    cc = connected_components(pairs, "id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b", _caches=_caches)
     labeled = (
         docs.select(
             F.col(id_col).cast("long").alias(id_col),

@@ -72,3 +72,47 @@ def test_nearest_flagged_keeps_ties(spark):
     flagged = spark.createDataFrame([(100,), (200,), (300,)], "k long")
     got = _sorted_rows(nearest_flagged(dist, flagged, "src", "dst", "k"))
     assert got == [(1, 100, 2), (1, 200, 2), (2, 100, 1)]
+
+
+def test_iterative_loops_release_hop_caches(spark):
+    """ADVICE r6: _truncate hop caches must be unpersisted as loops
+    advance — only the FINAL cut may stay pinned (1 per call), and a
+    threaded _caches list releases even that."""
+    from tcrd_spark.operators.graph import apsp_iterative
+    from tcrd_spark.pipeline.corpus import connected_components
+
+    sc = spark.sparkContext
+
+    def pinned() -> int:
+        return sc._jsc.getPersistentRDDs().size()
+
+    edges = spark.createDataFrame(
+        [(1, a, b) for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]],
+        "g long, src long, dst long",
+    )
+    base = pinned()
+    apsp_iterative(edges, "g", "src", "dst", max_hops=8).collect()
+    assert pinned() - base <= 1, "apsp left more than the final cut pinned"
+
+    caches: list = []
+    out = apsp_iterative(
+        edges, "g", "src", "dst", max_hops=8, _caches=caches
+    )
+    out.collect()
+    for r in caches:
+        r.unpersist()
+    # the _caches path releases its own pin; only the first call's
+    # final cut may remain from this test
+    assert pinned() - base <= 1
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)], "u long, v long"
+    )
+    base2 = pinned()
+    caches2: list = []
+    cc = connected_components(e, "u", "v", _caches=caches2)
+    cc.collect()
+    assert pinned() - base2 <= 1, "CC left more than the final cut pinned"
+    for r in caches2:
+        r.unpersist()
+    assert pinned() - base2 <= 0
