@@ -463,3 +463,54 @@ def test_unpivot_is_expand_not_union(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Expand" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_plan_lint_flags_opaque_plans():
+    """VERDICT r6 #2: a registered query whose final plan is an RDD
+    scan must flag OPAQUE-PLAN unless it carries a documented
+    allowance — an all-zero node-count row previously passed silently."""
+    from tools.plan_lint import OPAQUE_OK, classify
+
+    opaque = "== Physical Plan ==\n*(1) Scan ExistingRDD[node#1L,pr#2]\n"
+    _, flags = classify("some_query", opaque)
+    assert "OPAQUE-PLAN" in flags
+    for allowed in OPAQUE_OK:
+        _, flags = classify(allowed, opaque)
+        assert "OPAQUE-PLAN" not in flags, allowed
+    transparent = (
+        "== Physical Plan ==\n*(1) Project [a#1]\n"
+        "+- FileScan parquet [a#1] Batched: true\n"
+    )
+    _, flags = classify("some_query", transparent)
+    assert flags == []
+    # a lineage cut MID-plan leaves the surrounding nodes auditable —
+    # informative row, not a flag
+    mixed = (
+        "== Physical Plan ==\n"
+        "+- HashAggregate(keys=[k#1], functions=[count(1)])\n"
+        "   +- Exchange hashpartitioning(k#1, 32)\n"
+        "      +- *(1) Scan ExistingRDD[k#1]\n"
+    )
+    counts, flags = classify("some_query", mixed)
+    assert "OPAQUE-PLAN" not in flags and counts["exchanges"] == 1
+
+
+def test_plan_lint_counts_cached_build_once():
+    """explainString reprints a cached relation's build plan under
+    every InMemoryTableScan; the audit must count the build once
+    (triangle_counts: 145 printed Exchanges for ~12 executed)."""
+    from tools.plan_lint import classify
+
+    build = (
+        "      +- InMemoryRelation [a#{0}L], StorageLevel(disk)\n"
+        "            +- Exchange hashpartitioning(a#{0}L, 32), [plan_id={1}]\n"
+        "               +- FileScan parquet [a#{0}L]\n"
+    )
+    plan = (
+        "== Physical Plan ==\n"
+        "+- Union\n"
+        "   :- InMemoryTableScan [a#1L]\n" + build.format(1, 10) +
+        "   +- InMemoryTableScan [a#2L]\n" + build.format(2, 20)
+    )
+    counts, _ = classify("some_query", plan)
+    assert counts["exchanges"] == 1
