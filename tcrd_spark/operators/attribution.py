@@ -45,8 +45,15 @@ def touch_attribution(
     conversions with no touch in the window keep NULL touch ids —
     'organic' rows are data, not dropped rows.
     """
-    # order/frame in MICROseconds: second-granularity epoch ties would
-    # make first/last over the frame nondeterministic
+    # order/frame in MICROseconds (second-granularity frames would pull
+    # same-second events in or out of the lookback inconsistently).
+    # first/last(... IGNORE NULLS) over the frame would be
+    # NONDETERMINISTIC whenever two touches share a timestamp — frame
+    # peers have no order (ADVICE r6) — so the earliest/latest touch is
+    # a MIN/MAX over a (time, id) struct instead: total order, id
+    # tie-break, same one-pass frame. (The testdata happens to have
+    # unique (user, ts), asserted in tests/test_attribution.py, but the
+    # operator must not depend on that.)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (
         Window.partitionBy(user_col)
@@ -54,14 +61,18 @@ def touch_attribution(
         .rangeBetween(-lookback_s * 1_000_000, -1)
     )
     touch_id = F.when(F.col(type_col) == touch, F.col(id_col))
+    touch_key = F.when(
+        F.col(type_col) == touch,
+        F.struct(us.alias("us"), F.col(id_col).alias("id")),
+    )
     return (
         events.select(
             user_col,
             ts_col,
             type_col,
             F.col(id_col),
-            F.first(touch_id, ignorenulls=True).over(w).alias("first_touch_id"),
-            F.last(touch_id, ignorenulls=True).over(w).alias("last_touch_id"),
+            F.min(touch_key).over(w).getField("id").alias("first_touch_id"),
+            F.max(touch_key).over(w).getField("id").alias("last_touch_id"),
             F.count(touch_id).over(w).alias("n_touches"),
         )
         .filter(F.col(type_col) == conversion)
@@ -96,12 +107,14 @@ ORACLE = {
     "attribution_touch": f"""
         WITH scored AS (
             SELECT user_id, ts, event_type, event_id,
-                   first_value(CASE WHEN event_type = 'click'
-                                    THEN event_id END IGNORE NULLS)
-                       OVER w AS first_touch_id,
-                   last_value(CASE WHEN event_type = 'click'
-                                   THEN event_id END IGNORE NULLS)
-                       OVER w AS last_touch_id,
+                   struct_extract(min(CASE WHEN event_type = 'click'
+                         THEN struct_pack(us := epoch_us(ts),
+                                          id := event_id) END)
+                       OVER w, 'id') AS first_touch_id,
+                   struct_extract(max(CASE WHEN event_type = 'click'
+                         THEN struct_pack(us := epoch_us(ts),
+                                          id := event_id) END)
+                       OVER w, 'id') AS last_touch_id,
                    count(CASE WHEN event_type = 'click'
                               THEN event_id END) OVER w AS n_touches
             FROM events

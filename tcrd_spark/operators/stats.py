@@ -75,6 +75,13 @@ def chi2_independence(
     rm = obs.groupBy(row_col).agg(F.sum("o").alias("row_n"))
     cm = obs.groupBy(col_col).agg(F.sum("o").alias("col_n"))
     tot = obs.agg(F.sum("o").alias("n_all"))
+    # expected count = row_n * (col_n / n_all), DIVISION FIRST in
+    # double: the naive row_n * col_n BIGINT product overflows int64
+    # once n ~ 1e12 (ADVICE r6 — Spark wraps silently, DuckDB errors);
+    # col_n/n_all <= 1 keeps every intermediate bounded by row_n
+    expected = F.col("row_n").cast("double") * (
+        F.col("col_n").cast("double") / F.col("n_all").cast("double")
+    )
     cells = (
         obs.join(F.broadcast(rm), row_col)
         .join(F.broadcast(cm), col_col)
@@ -82,14 +89,7 @@ def chi2_independence(
         .select(
             row_col,
             col_col,
-            (
-                F.pow(
-                    F.col("o")
-                    - F.col("row_n") * F.col("col_n") / F.col("n_all"),
-                    2,
-                )
-                / (F.col("row_n") * F.col("col_n") / F.col("n_all"))
-            ).alias("term"),
+            (F.pow(F.col("o") - expected, 2) / expected).alias("term"),
         )
     )
     n_rows = rm.agg(F.count("*").alias("r")).crossJoin(
@@ -176,8 +176,14 @@ ORACLE = {
                FROM obs GROUP BY 1),
         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_all FROM obs),
         cells AS (
-            SELECT pow(o - row_n * col_n / CAST(n_all AS DOUBLE), 2)
-                       / (row_n * col_n / CAST(n_all AS DOUBLE)) AS term
+            -- division FIRST (double) to mirror the Spark expression
+            -- bit-for-bit and avoid the int64 product (ADVICE r6)
+            SELECT pow(o - CAST(row_n AS DOUBLE)
+                           * (CAST(col_n AS DOUBLE)
+                              / CAST(n_all AS DOUBLE)), 2)
+                       / (CAST(row_n AS DOUBLE)
+                          * (CAST(col_n AS DOUBLE)
+                             / CAST(n_all AS DOUBLE))) AS term
             FROM obs
             JOIN rm USING (event_type)
             JOIN cm USING (cohort)

@@ -233,10 +233,7 @@ ORACLE = {
                         CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                     + 1) / {_U_DEN!r})), 6) AS gumbel_key
         FROM w
-        ORDER BY (log_w + -ln(-ln(
-                   (CAST(concat('0x', substr(md5('dsir|' ||
-                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                    + 1) / {_U_DEN!r}))) DESC, doc_id
+        ORDER BY gumbel_key DESC, doc_id
         LIMIT {SAMPLE_K}
     """,
 }

@@ -63,3 +63,33 @@ def test_users_are_independent(spark):
     ]
     got = _attr(spark, rows)
     assert got[2].first_touch_id is None
+
+
+def test_tied_timestamps_break_deterministically(spark):
+    """ADVICE r6: two touches at the SAME instant are RANGE-frame
+    peers; first/last must still be deterministic — min/max over the
+    (ts, id) struct breaks ties by id (first -> smallest, last ->
+    largest), never by partition order."""
+    rows = [
+        (1, _t("2024-01-01T10:00"), 7, "click"),
+        (1, _t("2024-01-01T10:00"), 3, "click"),
+        (1, _t("2024-01-02T10:00"), 9, "purchase"),
+    ]
+    for _ in range(3):  # stable across repeated physical runs
+        got = _attr(spark, rows)
+        assert got[9].first_touch_id == 3
+        assert got[9].last_touch_id == 7
+        assert got[9].n_touches == 2
+
+
+def test_testdata_user_ts_is_unique():
+    """The adjudicated query's determinism additionally rests on the
+    testdata having no (user, ts) collisions — pin that property."""
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM ("
+        "  SELECT user_id, ts FROM '/root/testdata/sf0.001/events.parquet'"
+        "  GROUP BY 1, 2 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert n == 0
