@@ -63,6 +63,94 @@ def scd2_history(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Incremental SCD2 upkeep: apply a batch of NEW observations
+    (key, ts, attr[, tiebreak]) to a standing history, returning the
+    updated history — equal to rebuilding `scd2_history` over the
+    union of all observations, provided every batch row is strictly
+    later than its key's current ``valid_from`` (append-in-time; late
+    or out-of-order data takes the batch rebuild path instead).
+
+    Plan: the batch's keys pull ONLY their current version rows
+    (semi-join); each touched key replays (current-version seed ∪
+    batch rows) through the same change-filter windows as the batch
+    build, re-versioning from the seed's version; the resulting delta
+    MERGEs into the standing history on (key, version) — the seed row
+    updates in place (its valid_to closes / stays open), new versions
+    insert, untouched keys' rows and partitions pass through
+    (`sources/merge.py` presence-marker full-outer). Work ∝ batch, not
+    history: N daily batches over a 100 TB dimension never rescan the
+    closed versions.
+    """
+    from tcrd_spark.sources.merge import merge_frames
+
+    hist_cols = [
+        key_col, attr_col, "valid_from", "valid_to", "version",
+        "is_current",
+    ]
+    keys = batch.select(key_col).distinct()
+    seed = (
+        history.filter(F.col("is_current"))
+        .join(keys, key_col, "semi")
+        .select(
+            key_col,
+            F.col("valid_from").alias(ts_col),
+            attr_col,
+            F.col("version").alias("_seed_v"),
+            *(
+                [
+                    F.lit(None)
+                    .cast(batch.schema[tiebreak_col].dataType)
+                    .alias(tiebreak_col)
+                ]
+                if tiebreak_col
+                else []
+            ),
+        )
+    )
+    obs = batch.select(
+        key_col, ts_col, attr_col,
+        F.lit(None).cast("int").alias("_seed_v"),
+        *([tiebreak_col] if tiebreak_col else []),
+    ).unionByName(seed.select(*[
+        key_col, ts_col, attr_col, "_seed_v",
+        *([tiebreak_col] if tiebreak_col else []),
+    ]))
+    order = [F.asc(ts_col)] + (
+        [F.asc(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wk = Window.partitionBy(key_col)
+    changed = obs.select(
+        key_col, ts_col, attr_col, "_seed_v",
+        *([tiebreak_col] if tiebreak_col else []),
+        F.lag(attr_col).over(w).alias("_prev"),
+    ).filter(
+        F.col("_prev").isNull() | (F.col(attr_col) != F.col("_prev"))
+    )
+    # new keys have no seed: versions start at 1
+    base = F.coalesce(F.max("_seed_v").over(wk), F.lit(1))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    delta = changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        (base + F.row_number().over(w2) - 1).cast("int").alias("version"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    return merge_frames(
+        history.select(*hist_cols), delta.select(*hist_cols),
+        [key_col, "version"],
+    )
+
+
 def as_of(history: DataFrame, ts) -> DataFrame:
     """Point-in-time view: the version rows live at `ts`."""
     return history.filter(
@@ -84,7 +172,33 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev, "user_id", "ts", "event_type", "event_id")
 
 
-QUERIES = {"scd2_history": q_scd2_history}
+BATCH_CUTOFF = "2024-01-24 00:00:00"
+
+
+def q_scd2_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental == rebuild, adjudicated: history built from events
+    BEFORE the cutoff, the rest applied as ONE change batch via
+    MERGE — the oracle computes the one-shot rebuild over ALL events,
+    so the hash match proves the N-batch upkeep path exactly
+    reproduces it (the composition SURVEY §2.4 claims)."""
+    from tcrd_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit(BATCH_CUTOFF))
+    old = ev.filter(F.col("ts") < cut)
+    batch = ev.filter(F.col("ts") >= cut).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    hist = scd2_history(old, "user_id", "ts", "event_type", "event_id")
+    return scd2_apply_batch(
+        hist, batch, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+QUERIES = {
+    "scd2_history": q_scd2_history,
+    "scd2_apply_batch": q_scd2_apply_batch,
+}
 
 ORACLE = {
     "scd2_history": """
@@ -109,3 +223,6 @@ ORACLE = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
 }
+
+# the incremental path must land on the ONE-SHOT rebuild — same SQL
+ORACLE["scd2_apply_batch"] = ORACLE["scd2_history"]

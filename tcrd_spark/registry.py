@@ -87,7 +87,7 @@ PRIORITY = (
     "decontaminate",
     # (d) NEW round 7 queries (uncommented as each lands this round)
     # "corpus_pipeline_v2",
-    # "scd2_apply_batch",
+    "scd2_apply_batch",
     # ---- past the driver's 50-query cap: every entry holds a green
     # driver CORRECTNESS row from a prior round under unchanged code,
     # except the four deferred corpus-family queries listed above
