@@ -85,8 +85,8 @@ PRIORITY = (
     "corpus_shard_assign",
     "sequence_pack",
     "decontaminate",
-    # (d) NEW round 7 queries (uncommented as each lands this round)
-    # "corpus_pipeline_v2",
+    # (d) NEW round 7 queries
+    "corpus_pipeline_v2",
     "scd2_apply_batch",
     # ---- past the driver's 50-query cap: every entry holds a green
     # driver CORRECTNESS row from a prior round under unchanged code,
@@ -219,7 +219,8 @@ def _collect():
                     "operators.attribution", "operators.triangles",
                     "operators.stats",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
-                    "pipeline.corpus_queries", "pipeline.substring",
+                    "pipeline.corpus_queries", "pipeline.corpus_v2",
+                    "pipeline.substring",
                     "pipeline.bpe", "pipeline.gopher", "pipeline.lm",
                     "pipeline.nbayes", "pipeline.mixture",
                     "pipeline.bloom", "pipeline.sq", "pipeline.pq",

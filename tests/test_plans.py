@@ -75,6 +75,7 @@ def test_all_query_plans_are_scale_clean(spark, sf_dir, queries):
         "dedup_embedding_cosine",                 # mapInPandas block matmul
         "semantic_dedup_pairs",                   # applyInPandas BLAS matmul
         "semantic_dedup",                         # (same scorer downstream)
+        "corpus_pipeline_v2",                     # SemDeDup stage (same)
     }
 
     def check(item):

@@ -40,6 +40,7 @@ PYTHON_OK = {
     "dedup_embedding_cosine",
     "semantic_dedup_pairs",      # per-(cell, block-pair) BLAS matmul
     "semantic_dedup",            # same blocked pair scorer
+    "corpus_pipeline_v2",        # SemDeDup stage (same blocked scorer)
 }
 
 # BroadcastNestedLoopJoin is allowed ONLY where the build side is
@@ -80,6 +81,8 @@ BNLJ_OK = {
     "rrf_fusion",               # 1-row query vec + 1-row BM25 stats crossed
     "welch_ttest",              # two 1-row slice-moment frames crossed
     "chi2_independence",        # 1-row total + dims frames crossed
+    "corpus_pipeline_v2",       # 1-row LM vocab V + DSIR totals +
+                                # 1-row gumbel median threshold
 }
 
 
