@@ -68,7 +68,9 @@ def test_all_query_plans_are_scale_clean(spark, sf_dir, queries):
 
     (Merged into one test, plan builds fanned over a thread pool:
     Catalyst analysis happens JVM-side so concurrent builds scale,
-    and building all ~90 plans dominates the wall-clock.)"""
+    and building all ~90 plans dominates the wall-clock. PASSES are
+    content-key cached like the oracle sweep — see sweep_cache.py;
+    a fresh clone always builds every plan.)"""
     python_ok = {
         "apsp_min_merge", "nearest_flagged",      # applyInPandas BFS
         "multimodal_features",                    # mapInPandas decode
@@ -99,11 +101,36 @@ def test_all_query_plans_are_scale_clean(spark, sf_dir, queries):
                 )
         return problems
 
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
+    import sweep_cache
+
+    cache_path = os.path.join(sweep_cache.REPO, ".plan_sweep_cache.json")
+    cache = sweep_cache.load(cache_path)
+    env = sweep_cache.env_key(sf_dir, ("tests/test_plans.py",))
+    keys = {
+        n: sweep_cache.closure_key(q, None, env) for n, q in queries.items()
+    }
+    to_run = [
+        (n, q) for n, q in queries.items()
+        if not (sweep_cache.enabled() and cache.get(n) == keys[n])
+    ]
+
     with ThreadPoolExecutor(12) as pool:
-        all_problems = [p for ps in pool.map(check, queries.items())
-                        for p in ps]
+        results = list(pool.map(lambda it: (it[0], check(it)), to_run))
+    all_problems = [p for _, ps in results for p in ps]
+    if sweep_cache.enabled():
+        for n, ps in results:
+            if ps:
+                cache.pop(n, None)
+            else:
+                cache[n] = keys[n]
+        sweep_cache.save(cache_path, cache)
+    print(
+        f"\nplan sweep: {len(to_run)} built, "
+        f"{len(queries) - len(to_run)} cache-skipped"
+    )
     assert not all_problems, all_problems
 
 
