@@ -189,6 +189,11 @@ PRIORITY = (
     "fallback_join_cascade",
     "self_join_common",
     "ann_ivf",
+    # ---- NEW in round 7 past the cap (new-query grace until the next
+    # adjudication; sweep-verified every run; head of the r8 cap) ----
+    "session_durations",
+    "tfidf_topterms",
+    "hard_negatives",
 )
 
 
@@ -217,7 +222,7 @@ def _collect():
                     "operators.skyline", "operators.regress",
                     "operators.scd", "operators.analytic_ext",
                     "operators.attribution", "operators.triangles",
-                    "operators.stats",
+                    "operators.stats", "operators.sessions_ext",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",
@@ -227,6 +232,7 @@ def _collect():
                     "pipeline.semdedup", "pipeline.ccnet",
                     "pipeline.bm25", "pipeline.dsir",
                     "pipeline.sketches", "pipeline.winnow",
+                    "pipeline.tfidf", "pipeline.negatives",
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.fusion", "pipeline.mmr",

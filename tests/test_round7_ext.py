@@ -1,0 +1,86 @@
+"""Axioms for the round-7 extension operators (value parity vs DuckDB
+rides the registry sweep)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+def test_session_stats_respect_gap(spark):
+    from tcrd_spark.operators.sessions_ext import session_stats_batch
+
+    rows = [
+        (1, _t("2024-01-01T10:00"), 1),
+        (1, _t("2024-01-01T10:10"), 2),   # same session (gap 600s)
+        (1, _t("2024-01-01T12:00"), 3),   # new session (> 1800s)
+        (2, _t("2024-01-01T10:00"), 4),
+    ]
+    ev = spark.createDataFrame(rows, "u long, ts timestamp, eid long")
+    got = {
+        (r.u, r.session_id): r
+        for r in session_stats_batch(ev, "u", "ts", "eid", 1800).collect()
+    }
+    assert got[(1, 1)].n_events == 2 and got[(1, 1)].duration_s == 600.0
+    assert got[(1, 2)].n_events == 1 and got[(1, 2)].duration_s == 0.0
+    assert got[(2, 1)].n_events == 1
+    # durations always equal end - start
+    for r in got.values():
+        assert r.duration_s == (r.end_ts - r.start_ts).total_seconds()
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from tcrd_spark.pipeline.tfidf import tfidf_topterms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha zebra common common"),
+            (2, "common beta"),
+            (3, "common gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_topterms(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    # 'alpha' (tf=2, df=1) beats 'common' (tf=2, df=3) and 'zebra' (tf=1)
+    assert d1[0].term == "alpha" and d1[0].df == 1 and d1[0].tf == 2
+    assert all(len(v) == 2 for v in by_doc.values())
+    for rows in by_doc.values():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert rows[0].score >= rows[1].score
+
+
+def test_hard_negatives_exclude_self_and_dups(spark):
+    from tcrd_spark.pipeline.negatives import hard_negatives
+
+    dim = 4
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0 (cos ~1)
+        (2, [0.9, 0.4, 0.0, 0.0]),     # similar, below 0.95
+        (3, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    emb = spark.createDataFrame(vecs, "id long, v array<double>")
+    corpus = emb.select(F.col("id").alias("c_id"), F.col("v").alias("c_vec"))
+    qs = emb.filter("id = 0").select(
+        F.col("id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    got = sorted(
+        hard_negatives(qs, corpus, dim, k=3, dup_threshold=0.95).collect(),
+        key=lambda r: r.rank,
+    )
+    ids = [r.c_id for r in got]
+    assert 0 not in ids, "self must be excluded"
+    assert 1 not in ids, "near-duplicate must be excluded"
+    assert ids[0] == 2, "hardest (most similar sub-threshold) first"
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert got[0].score >= got[1].score >= got[2].score

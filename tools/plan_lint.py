@@ -83,6 +83,8 @@ BNLJ_OK = {
     "chi2_independence",        # 1-row total + dims frames crossed
     "corpus_pipeline_v2",       # 1-row LM vocab V + DSIR totals +
                                 # 1-row gumbel median threshold
+    "tfidf_topterms",           # 1-row corpus doc count rides a cross join
+    "hard_negatives",           # broadcast anchor panel × corpus (by definition)
 }
 
 
