@@ -194,6 +194,8 @@ PRIORITY = (
     "session_durations",
     "tfidf_topterms",
     "hard_negatives",
+    "leakage_safe_split",
+    "chunk_documents",
 )
 
 
@@ -233,6 +235,7 @@ def _collect():
                     "pipeline.bm25", "pipeline.dsir",
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.tfidf", "pipeline.negatives",
+                    "pipeline.splits", "pipeline.chunker",
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.fusion", "pipeline.mmr",

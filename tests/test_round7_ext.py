@@ -84,3 +84,52 @@ def test_hard_negatives_exclude_self_and_dups(spark):
     assert ids[0] == 2, "hardest (most similar sub-threshold) first"
     assert [r.rank for r in got] == [1, 2, 3]
     assert got[0].score >= got[1].score >= got[2].score
+
+
+def test_leakage_safe_split_holds_groups_together(spark):
+    from tcrd_spark.pipeline.splits import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chain 0-1-2 one group; 10-11 another; rest isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r for r in
+           leakage_safe_split(docs, pairs, "doc_id").collect()}
+    assert len(got) == 40
+    assert got[0].split == got[1].split == got[2].split
+    assert got[0].group_id == got[1].group_id == got[2].group_id == 0
+    assert got[10].split == got[11].split
+    assert {r.split for r in got.values()} <= {"train", "val", "test"}
+    # deterministic across invocations
+    again = {r.doc_id: r.split for r in
+             leakage_safe_split(docs, pairs, "doc_id").collect()}
+    assert again == {k: v.split for k, v in got.items()}
+
+
+def test_chunker_covers_every_token_with_overlap(spark):
+    from tcrd_spark.pipeline.chunker import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, "doc_id", "text", size=64, stride=48)
+    by_doc = {}
+    for r in rows.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # ceil(150/48) = 4 chunks; starts at 0,48,96,144
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert [r.n_tok for r in d1] == [64, 64, 54, 6]
+    # coverage: union of chunk tokens == all tokens, in order per chunk
+    toks = text.split()
+    for r in d1:
+        start = r.chunk_id * 48
+        assert r.chunk_text.split() == toks[start:start + 64]
+    # short doc -> one whole chunk; empty doc -> nothing
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b c"
+    assert 3 not in by_doc
