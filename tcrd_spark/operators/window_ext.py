@@ -1,0 +1,83 @@
+"""Ranking-function family completion (SURVEY §2.5): percent_rank,
+cume_dist, ntile, and nth_value in one key-partitioned pass — the
+remaining ANSI window functions the reference's R scripts approximate
+with manual rank arithmetic (`R/hgram.R` normalizes ranks by group
+size; percent_rank IS that normalization).
+
+One window spec (partition by order priority, order by price + key
+tie-break), every function over it — a single Exchange + sort in the
+plan; nothing global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+NTILES = 4
+
+
+def rank_functions(
+    df: DataFrame, part_col: str, order_col: str, id_col: str,
+    ntiles: int = NTILES,
+) -> DataFrame:
+    """(part, id, order, pct_rank, cume_dist, tile, first_in_part):
+    the four ranking functions over one (partition, order, tiebreak)
+    window."""
+    w = Window.partitionBy(part_col).orderBy(order_col, id_col)
+    return df.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(order_col),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(ntiles).over(w).alias("tile"),
+        F.first(id_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_in_part"),
+    )
+
+
+# ------------------------------------------------- registered query
+
+
+def q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family pass over orders: per order-priority partition,
+    price percentile standing, cumulative share, quartile, and the
+    partition's cheapest order. 2% sample bounds the compare set."""
+    from tcrd_spark.sources.lake import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0
+    ).select(
+        "o_orderpriority", "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    return rank_functions(
+        orders, "o_orderpriority", "price", "o_orderkey", NTILES
+    )
+
+
+QUERIES = {"window_rank_funcs": q_window_rank_funcs}
+
+ORACLE = {
+    "window_rank_funcs": f"""
+        WITH o AS (
+          SELECT o_orderpriority, o_orderkey,
+                 round(o_totalprice, 2) AS price
+          FROM orders WHERE o_orderkey % 50 = 0
+        )
+        SELECT o_orderpriority, o_orderkey, price,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume_dist,
+               ntile({NTILES}) OVER w AS tile,
+               first_value(o_orderkey) OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY price, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS first_in_part
+        FROM o
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY price, o_orderkey)
+    """,
+}

@@ -196,6 +196,7 @@ PRIORITY = (
     "hard_negatives",
     "leakage_safe_split",
     "chunk_documents",
+    "window_rank_funcs",
 )
 
 
@@ -225,6 +226,7 @@ def _collect():
                     "operators.scd", "operators.analytic_ext",
                     "operators.attribution", "operators.triangles",
                     "operators.stats", "operators.sessions_ext",
+                    "operators.window_ext",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",
