@@ -197,6 +197,7 @@ PRIORITY = (
     "leakage_safe_split",
     "chunk_documents",
     "window_rank_funcs",
+    "classifier_quality_gate",
 )
 
 
@@ -238,6 +239,7 @@ def _collect():
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.tfidf", "pipeline.negatives",
                     "pipeline.splits", "pipeline.chunker",
+                    "pipeline.clf_gate",
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.fusion", "pipeline.mmr",

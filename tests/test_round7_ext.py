@@ -133,3 +133,36 @@ def test_chunker_covers_every_token_with_overlap(spark):
     # short doc -> one whole chunk; empty doc -> nothing
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b c"
     assert 3 not in by_doc
+
+
+def test_classifier_gate_generalizes_extremes(spark):
+    """NB trained on head/tail extremes must label an UNSEEN middle
+    doc by its lexical profile — good-vocabulary docs keep, bad drop."""
+    from tcrd_spark.pipeline.clf_gate import classifier_quality_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clear prose clear prose fine writing"),
+            (2, "fine writing clear prose good text"),
+            (3, "spam junk spam junk noise noise"),
+            (4, "junk noise spam junk junk spam"),
+            (5, "clear prose good text fine"),   # middle, good-ish
+            (6, "spam noise junk"),              # middle, bad-ish
+        ],
+        "doc_id long, text string",
+    )
+    buckets = spark.createDataFrame(
+        [(1, "head"), (2, "head"), (3, "tail"), (4, "tail"),
+         (5, "middle"), (6, "middle")],
+        "doc_id long, bucket string",
+    )
+    got = {
+        r.doc_id: r
+        for r in classifier_quality_gate(
+            docs, buckets, "doc_id", "text"
+        ).collect()
+    }
+    assert got[1].keep == 1 and got[2].keep == 1   # trained extremes
+    assert got[3].keep == 0 and got[4].keep == 0
+    assert got[5].keep == 1, "good-vocab middle doc must pass the gate"
+    assert got[6].keep == 0, "bad-vocab middle doc must be dropped"
