@@ -166,3 +166,91 @@ def test_classifier_gate_generalizes_extremes(spark):
     assert got[3].keep == 0 and got[4].keep == 0
     assert got[5].keep == 1, "good-vocab middle doc must pass the gate"
     assert got[6].keep == 0, "bad-vocab middle doc must be dropped"
+
+
+def test_corpus_v2_layout_writes_pruned_shards(spark, sf_dir, tmp_path):
+    """The v2 output IS a write layout: materialize it with
+    write_corpus_shards and prove a one-shard read is partition-pruned
+    and position-ordered."""
+    from tcrd_spark.pipeline.corpus import (
+        read_corpus_shard,
+        write_corpus_shards,
+    )
+    from tcrd_spark.pipeline.corpus_v2 import corpus_pipeline_v2
+    from tcrd_spark.sources.lake import load_table
+
+    layout = corpus_pipeline_v2(spark, sf_dir).withColumnRenamed(
+        "chunk_off", "pos"
+    ).select("doc_id", "shard", "pos")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "v2_shards")
+    write_corpus_shards(docs, layout, path)
+
+    got = read_corpus_shard(spark, path, 1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan or (
+        "shard=1" in plan
+    ), "one-shard read must prune partitions"
+    rows = got.select("pos").collect()
+    assert [r.pos for r in rows] == sorted(r.pos for r in rows)
+    expected = {r.doc_id for r in layout.filter("shard = 1").collect()}
+    assert {r.doc_id for r in got.collect()} == expected
+
+
+def test_streaming_session_rollup_equals_batch(spark, tmp_path):
+    """Composition: rolling up the STREAMING sessionizer's per-event
+    output (grouped by its eviction-stable session_start label) equals
+    the batch session_stats rollup."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.operators.sessions_ext import session_stats_batch
+    from tcrd_spark.streaming.jobs import (
+        read_event_replay,
+        run_to_memory_sink,
+        stage_replay_chunks,
+    )
+    from tcrd_spark.streaming.sessions import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), u, "click", 1.0)
+        for i, (u, m) in enumerate(
+            [(1, 0), (1, 10), (1, 120), (2, 5), (2, 200), (1, 125)]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    src = str(tmp_path / "sess_roll_src")
+    stage_replay_chunks(ev, src, n_chunks=3)
+    q = run_to_memory_sink(
+        streaming_sessionize(read_event_replay(spark, src, ev.schema)),
+        "sess_roll", "append", str(tmp_path / "ckpt2"),
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM sess_roll")
+    finally:
+        q.stop()
+    got = sorted(
+        map(tuple, streamed.groupBy("user_id", "session_start").agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, session_stats_batch(ev, "user_id", "ts", "event_id")
+            .groupBy("user_id", "start_ts")
+            .agg(F.sum("n_events").alias("n"),
+                 F.min("start_ts").alias("s"),
+                 F.max("end_ts").alias("e"))
+            .select(
+                "user_id", F.col("start_ts").alias("session_start"),
+                F.col("n"), "s", "e",
+            ).collect())
+    )
+    assert got == want
