@@ -198,6 +198,7 @@ PRIORITY = (
     "chunk_documents",
     "window_rank_funcs",
     "classifier_quality_gate",
+    "asof_forward_events",
 )
 
 
@@ -227,7 +228,7 @@ def _collect():
                     "operators.scd", "operators.analytic_ext",
                     "operators.attribution", "operators.triangles",
                     "operators.stats", "operators.sessions_ext",
-                    "operators.window_ext",
+                    "operators.window_ext", "operators.temporal_ext",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",

@@ -254,3 +254,34 @@ def test_streaming_session_rollup_equals_batch(spark, tmp_path):
             ).collect())
     )
     assert got == want
+
+
+def test_forward_asof_picks_next_event_with_tolerance(spark):
+    from tcrd_spark.operators.temporal_ext import forward_asof_join
+
+    left = spark.createDataFrame(
+        [(1, _t("2024-01-01T10:00"), 100)],
+        "k long, ts timestamp, lv long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _t("2024-01-01T09:00"), 1, 9.0),   # before: ignored
+            (1, _t("2024-01-01T10:30"), 2, 30.0),  # NEXT (earliest >=)
+            (1, _t("2024-01-01T10:30"), 3, 31.0),  # tie: larger id loses
+            (1, _t("2024-01-01T11:00"), 4, 60.0),
+        ],
+        "k long, ts timestamp, rid long, rv double",
+    )
+    got = forward_asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rid", "rv"], right_order="rid",
+    ).collect()
+    assert len(got) == 1
+    assert got[0].r_rid == 2 and got[0].r_rv == 30.0
+    # tolerance: next event further ahead than 10 min -> NULLs
+    got2 = forward_asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rid", "rv"], right_order="rid",
+        tolerance_seconds=600,
+    ).collect()
+    assert got2[0].r_rid is None and got2[0].r_rv is None
