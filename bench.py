@@ -143,12 +143,15 @@ def main():
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query, first_run = _run_section(spark, queries, names, sf_dir, reps)
     total = round(sum(per_query.values()), 3)
+    # Key ORDER is load-bearing (VERDICT r7 #3): the driver records only
+    # the TAIL of this line, so the primary per-query seconds and total
+    # must be the LAST keys — the sf1 scaling section prints first.
+    # r6/r7 had them first and every wall-clock number was truncated
+    # away; only the ratios survived.
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
         "unit": "sec",
         "reps": reps,  # per-query timing = min of this many runs
-        "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
@@ -179,6 +182,9 @@ def main():
                 if first_run.get(n)
             },
         }
+    # last keys survive the driver's tail truncation
+    out["queries"] = per_query
+    out["value"] = total
     print(json.dumps(out))
 
 

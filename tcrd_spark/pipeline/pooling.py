@@ -23,6 +23,24 @@ from pyspark.sql import functions as F
 POOL_GROUPS = 50
 
 
+def mean_pool_dims(df: DataFrame, group_col, vec_col: str) -> DataFrame:
+    """(grp, n_vectors, d, m): flat per-dimension mean rows — the
+    driver-hashable form (every column atomic). `mean_pool` reassembles
+    these into the array the ANN/SQ/PQ stack consumes; registered
+    queries return THIS shape (the adjudication harness canonicalizes
+    rows by sorting/hashing values, which nested arrays break)."""
+    g = group_col if not isinstance(group_col, str) else F.col(group_col)
+    per_dim = (
+        df.select(g.alias("grp"), F.posexplode(vec_col).alias("d", "v"))
+        .groupBy("grp", "d")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+    )
+    counts = df.select(g.alias("grp")).groupBy("grp").agg(
+        F.count("*").alias("n_vectors")
+    )
+    return per_dim.join(counts, "grp").select("grp", "n_vectors", "d", "m")
+
+
 def mean_pool(df: DataFrame, group_col, vec_col: str) -> DataFrame:
     """(group, n_vectors, pooled): element-wise mean vector per group,
     each dimension rounded to 6 (cross-engine float-sum stability)."""
@@ -54,11 +72,13 @@ def mean_pool(df: DataFrame, group_col, vec_col: str) -> DataFrame:
 
 def q_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-pool every 'document' of chunk embeddings (vec_id % 50
-    buckets stand in for chunk→doc membership)."""
+    buckets stand in for chunk→doc membership). Flat per-dim rows:
+    the driver's canonicalizer hashes atomic columns only (an
+    array<double> output column is unhashable in its pandas canon)."""
     from tcrd_spark.sources.lake import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return mean_pool(emb, F.col("vec_id") % POOL_GROUPS, "embedding")
+    return mean_pool_dims(emb, F.col("vec_id") % POOL_GROUPS, "embedding")
 
 
 QUERIES = {"embedding_meanpool": q_embedding_meanpool}
@@ -72,16 +92,14 @@ ORACLE = {
             FROM embeddings
         ),
         per_dim AS (
-            SELECT grp, d, round(avg(v), 6) AS m
+            SELECT grp, d - 1 AS d, round(avg(v), 6) AS m
             FROM e GROUP BY 1, 2
         ),
         counts AS (
             SELECT vec_id % {POOL_GROUPS} AS grp, count(*) AS n_vectors
             FROM embeddings GROUP BY 1
         )
-        SELECT p.grp, c.n_vectors,
-               list(p.m ORDER BY p.d) AS pooled
+        SELECT p.grp, c.n_vectors, p.d, p.m
         FROM per_dim p JOIN counts c USING (grp)
-        GROUP BY p.grp, c.n_vectors
     """,
 }

@@ -26,6 +26,13 @@ def enabled() -> bool:
     return not os.environ.get("SPARK_GRAFT_NO_ORACLE_CACHE")
 
 
+# Harness files whose edits can change ANY verdict regardless of which
+# sweep calls in: the session/fixture config (timezone, ANSI mode) and
+# this module itself (r7 ADVICE — omitting them let a session-config
+# change keep stale cached PASSes green).
+_ALWAYS = ("tests/conftest.py", "tests/sweep_cache.py")
+
+
 def env_key(sf_dir: str, extra_files: tuple[str, ...] = ()) -> str:
     """Everything shared across queries that can change a verdict."""
     import duckdb
@@ -40,7 +47,7 @@ def env_key(sf_dir: str, extra_files: tuple[str, ...] = ()) -> str:
         if os.path.exists(p):
             st = os.stat(p)
             h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
-    for rel in extra_files:
+    for rel in _ALWAYS + extra_files:
         with open(os.path.join(REPO, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()

@@ -29,7 +29,7 @@ from concurrent.futures import ThreadPoolExecutor
 import sweep_cache
 
 from tcrd_spark.registry import all_oracle_sql, all_queries
-from tools.check import compare
+from tools.check import compare, nested_output_fields
 
 QUERIES = all_queries()
 ORACLE = all_oracle_sql()
@@ -40,6 +40,12 @@ CACHE_PATH = os.path.join(REPO, ".oracle_sweep_cache.json")
 
 def _check_one(name, spark, duck_cursor, sf_dir):
     df = QUERIES[name](spark, sf_dir)
+    bad = nested_output_fields(df.schema)
+    if bad:
+        # the driver's pandas canon cannot sort/hash nested cells —
+        # this harness would mask it (_norm stringifies lists), so
+        # fail here first (VERDICT r7 #2)
+        return [f"nested output columns (driver-unhashable): {bad}"]
     spark_rows = df.collect()
     if name not in ORACLE:
         # non-SQL-expressible op: rows-only smoke (the driver's weak
@@ -55,7 +61,9 @@ def test_all_queries_match_oracle(spark, duck, sf_dir):
     names = sorted(QUERIES)
     use_cache = sweep_cache.enabled()
     cache = sweep_cache.load(CACHE_PATH)
-    env = sweep_cache.env_key(sf_dir, ("tools/check.py",))
+    env = sweep_cache.env_key(
+        sf_dir, ("tools/check.py", "tests/test_operators.py")
+    )
     keys = {
         n: sweep_cache.closure_key(QUERIES[n], ORACLE.get(n), env)
         for n in names

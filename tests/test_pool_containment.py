@@ -6,7 +6,34 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tcrd_spark.pipeline.containment import containment_pairs
-from tcrd_spark.pipeline.pooling import mean_pool
+from tcrd_spark.pipeline.pooling import mean_pool, mean_pool_dims
+
+
+def test_mean_pool_dims_flat_and_consistent(spark):
+    """The registered (driver-hashable) per-dim form carries exactly
+    the values mean_pool reassembles, with atomic columns only."""
+    from tools.check import nested_output_fields
+
+    rows = [(1, [1.0, 2.0]), (1, [3.0, 6.0]), (2, [5.0, 5.0])]
+    df = spark.createDataFrame(rows, "g long, vec array<double>")
+    flat = mean_pool_dims(df, "g", "vec")
+    assert nested_output_fields(flat.schema) == []
+    got = {(r.grp, r.d): r for r in flat.collect()}
+    assert got[(1, 0)].m == 2.0 and got[(1, 1)].m == 4.0
+    assert got[(1, 0)].n_vectors == 2
+    pooled = {r.grp: r.pooled for r in mean_pool(df, "g", "vec").collect()}
+    for (grp, d), r in got.items():
+        assert pooled[grp][d] == r.m
+
+
+def test_nested_output_lint_flags_arrays(spark):
+    """The lint is red on a nested-output frame — the exact class the
+    round-7 embedding_meanpool driver-err belonged to."""
+    from tools.check import nested_output_fields
+
+    df = spark.createDataFrame([(1, [1.0])], "g long, vec array<double>")
+    assert nested_output_fields(df.schema) == ["vec"]
+    assert nested_output_fields(df.select("g").schema) == []
 
 
 def test_mean_pool_exact_values(spark):

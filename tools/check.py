@@ -45,6 +45,22 @@ def _norm(v):
     return str(v)
 
 
+def nested_output_fields(schema) -> list[str]:
+    """Names of output columns with a non-atomic type (array/map/
+    struct). The driver's adjudication canonicalizer sorts/hashes rows
+    in pandas, where a list/dict cell is unhashable — a registered
+    query emitting one passes this harness (``_norm`` stringifies
+    lists) but errs in the driver (the round-7 ``embedding_meanpool``
+    defect). Every registered query's output must be flat."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     problems = []
     if sorted(spark_cols) != sorted(duck_cols):
@@ -91,6 +107,12 @@ def main():
         t0 = time.time()
         try:
             df = qs[name](spark, sf_dir)
+            bad = nested_output_fields(df.schema)
+            if bad:
+                print(f"FAIL {name}: nested output columns "
+                      f"(driver-unhashable): {bad}")
+                n_fail += 1
+                continue
             spark_rows = df.collect()
             spark_cols = df.columns
         except Exception as ex:
