@@ -70,6 +70,7 @@ def scd2_apply_batch(
     ts_col: str,
     attr_col: str,
     tiebreak_col: str | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Incremental SCD2 upkeep: apply a batch of NEW observations
     (key, ts, attr[, tiebreak]) to a standing history, returning the
@@ -77,6 +78,15 @@ def scd2_apply_batch(
     union of all observations, provided every batch row is strictly
     later than its key's current ``valid_from`` (append-in-time; late
     or out-of-order data takes the batch rebuild path instead).
+
+    ``validate=True`` (default) enforces that precondition eagerly
+    instead of trusting the caller: batch rows at or before their
+    key's current ``valid_from`` would silently produce history that
+    diverges from the rebuild (the seed's NULL tiebreak sorts before
+    same-ts batch rows, compounding it), so the guard raises with the
+    violating keys. Cost ∝ batch (one semi-join against current rows —
+    the same rows the seed join reads anyway); pass ``validate=False``
+    only when the source is append-in-time by construction.
 
     Plan: the batch's keys pull ONLY their current version rows
     (semi-join); each touched key replays (current-version seed ∪
@@ -95,6 +105,26 @@ def scd2_apply_batch(
         key_col, attr_col, "valid_from", "valid_to", "version",
         "is_current",
     ]
+    if validate:
+        viol = (
+            batch.select(key_col, ts_col)
+            .join(
+                history.filter(F.col("is_current")).select(
+                    key_col, "valid_from"
+                ),
+                key_col,
+            )
+            .filter(F.col(ts_col) <= F.col("valid_from"))
+        )
+        sample = viol.select(key_col, ts_col, "valid_from").take(3)
+        if sample:
+            raise ValueError(
+                "scd2_apply_batch: batch rows not strictly later than "
+                "their key's current valid_from (late/out-of-order "
+                "data) — the incremental path would diverge from the "
+                f"rebuild; route these keys through scd2_history "
+                f"instead. Examples: {[tuple(r) for r in sample]}"
+            )
     keys = batch.select(key_col).distinct()
     seed = (
         history.filter(F.col("is_current"))

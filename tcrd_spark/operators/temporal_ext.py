@@ -43,6 +43,20 @@ def forward_asof_join(
     l2 = left.withColumn(f"_neg_{left_ts}", neg(left_ts))
     r2 = right.withColumn(f"_neg_{right_ts}", neg(right_ts))
     if right_order is not None:
+        # the tie-break rides through negation, so it must be numeric —
+        # a string order column would cast('double') to NULL silently,
+        # making same-timestamp ties nondeterministic (r7 ADVICE)
+        from pyspark.sql import types as T
+
+        dt = right.schema[right_order].dataType
+        if not isinstance(dt, T.NumericType):
+            raise TypeError(
+                f"forward_asof_join: right_order={right_order!r} has "
+                f"non-numeric type {dt.simpleString()}; the tie-break "
+                "is negated numerically — pass a numeric column or a "
+                "monotone numeric surrogate (e.g. xxhash64 is NOT "
+                "monotone; a row_number over the natural order is)"
+            )
         r2 = r2.withColumn(
             "_neg_ord", -F.col(right_order).cast("double")
         )

@@ -103,6 +103,17 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tcrd_spark.operators.graph import _order_chain_edges
 
     key = (spark.sparkContext.applicationId, sf_dir)
+    # evict every other entry (r7 ADVICE): dead applications' frames
+    # are unreachable anyway, and a second sf_dir's cached edges would
+    # otherwise pin executor storage for the session lifetime — no
+    # caller interleaves sf_dirs, so at most ONE live entry is ever
+    # useful
+    for stale in [k for k in _TRI_EDGE_MEMO if k != key]:
+        df = _TRI_EDGE_MEMO.pop(stale)
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # frame from a dead application: nothing to release
     o = _TRI_EDGE_MEMO.get(key)
     if o is None:
         edges = _order_chain_edges(spark, sf_dir).filter(F.col("g") % 50 == 0)

@@ -285,3 +285,24 @@ def test_forward_asof_picks_next_event_with_tolerance(spark):
         tolerance_seconds=600,
     ).collect()
     assert got2[0].r_rid is None and got2[0].r_rv is None
+
+
+def test_forward_asof_rejects_non_numeric_tiebreak(spark):
+    """r7 ADVICE: a string right_order would cast('double') to NULL and
+    silently randomize same-ts tie-breaks — raise instead."""
+    import pytest
+
+    from tcrd_spark.operators.temporal_ext import forward_asof_join
+
+    left = spark.createDataFrame(
+        [(1, _t("2024-01-01T10:00"))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _t("2024-01-01T10:30"), "id-2")],
+        "k long, ts timestamp, rid string",
+    )
+    with pytest.raises(TypeError, match="non-numeric"):
+        forward_asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], right_order="rid",
+        )

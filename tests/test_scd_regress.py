@@ -138,3 +138,35 @@ def test_scd2_apply_batch_touches_only_batch_keys(spark):
     assert len(got) == 11
     untouched = [r for r in got if r[0] != 0]
     assert all(r[5] is True for r in untouched)  # still current
+
+
+def test_scd2_apply_batch_rejects_out_of_order_rows(spark):
+    """r7 ADVICE (medium): a batch row at or before its key's current
+    valid_from would make the incremental path silently diverge from
+    the rebuild — the guard raises instead of trusting the docstring."""
+    import pytest
+
+    from tcrd_spark.operators.scd import scd2_apply_batch
+
+    rows = [(1, _t("2024-01-01"), "a", 1), (1, _t("2024-01-03"), "b", 2)]
+    hist = scd2_history(
+        spark.createDataFrame(rows, "key long, ts timestamp, attr string, seq long"),
+        "key", "ts", "attr", "seq",
+    )
+    late = spark.createDataFrame(
+        [(1, _t("2024-01-02"), "c", 3)],
+        "key long, ts timestamp, attr string, seq long",
+    )
+    with pytest.raises(ValueError, match="not strictly later"):
+        scd2_apply_batch(hist, late, "key", "ts", "attr", "seq")
+    # same-ts as the current valid_from is equally out of contract
+    same = spark.createDataFrame(
+        [(1, _t("2024-01-03"), "c", 3)],
+        "key long, ts timestamp, attr string, seq long",
+    )
+    with pytest.raises(ValueError, match="not strictly later"):
+        scd2_apply_batch(hist, same, "key", "ts", "attr", "seq")
+    # validate=False preserves the trusting (append-in-time) behavior
+    scd2_apply_batch(
+        hist, same, "key", "ts", "attr", "seq", validate=False
+    ).collect()

@@ -42,3 +42,21 @@ def test_orientation_is_acyclic_by_degree(spark):
     df = spark.createDataFrame(pairs, "src long, dst long")
     o = oriented_edges(df, "src", "dst").collect()
     assert all(r.hi == 1 for r in o if 1 in (r.lo, r.hi))
+
+
+def test_tri_edge_memo_evicts_other_keys(spark, sf_dir):
+    """r7 ADVICE: the oriented-edge memo keeps at most the current
+    (applicationId, sf_dir) entry — dead apps' and other sf_dirs'
+    frames are unpersisted, not pinned for the session lifetime."""
+    from tcrd_spark.operators import triangles as tri
+
+    tri.q_triangle_counts(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert set(tri._TRI_EDGE_MEMO) == {key}
+    # plant a foreign entry (dead app) and an alternate sf_dir entry
+    ghost = spark.createDataFrame([(1,)], "x long").cache()
+    tri._TRI_EDGE_MEMO[("dead-app", sf_dir)] = ghost
+    tri._TRI_EDGE_MEMO[(key[0], "/elsewhere")] = ghost
+    tri.q_triangle_counts(spark, sf_dir)
+    assert set(tri._TRI_EDGE_MEMO) == {key}
+    assert not ghost.is_cached
