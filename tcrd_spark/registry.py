@@ -14,27 +14,82 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 # The driver adjudicates only the FIRST 50 registry entries against the
-# DuckDB oracle, so ordering is evidence budget. Round-7 rotation
-# (mechanical via tests/test_registry.py): the cap takes
-#   (a) the 21 round-6 post-cap additions — sweep- and sf0.1-verified
-#       but never driver-adjudicated (their new-query grace expired
-#       when CORRECTNESS_r06.json was committed),
-#   (b) the 15 churn-stale queries the closure reports: graph.py
-#       changed in round 6 (pagerank landed there) after these queries'
-#       last green, and `_truncate` made graph.py part of the corpus
-#       family's closure (decoupled this round via operators/lineage.py),
-#   (c) queries whose closure round 7 touches (graph.py/corpus.py/
-#       bpe.py `_truncate` split + unpersist fix → pagerank and the
-#       corpus family; scd.py grows scd2_apply_batch),
-#   (d) queries NEW in round 7 (corpus_pipeline_v2, scd2_apply_batch).
-# Four small corpus-family queries implicated by (c) did not fit the
-# 50-slot cap and defer to the round-8 obligation under the one-round
-# grace: sample_stratified, quality_quantile_filter, vocab_topk,
-# line_dedup. The pytest oracle sweep still re-hash-matches every
-# registered query against DuckDB on every run, so past-cap (or
-# deferred) never means unverified.
+# DuckDB oracle, so ordering is evidence budget. Round-8 rotation,
+# computed by tools/rotate_cap.py (obligations from the same closure
+# resolver the test_registry invariants use, filler oldest-green-first):
+#   (a) the 9 round-7 post-cap additions (new-query grace expired when
+#       CORRECTNESS_r07.json landed) + the reshaped embedding_meanpool
+#       (the one r7 driver-err row — flat per-dim output now);
+#   (b) the 4 corpus-family refreshers deferred from r7 under the
+#       one-round grace (closure churn: pipeline/corpus.py);
+#   (c) closure churn from this round's ADVICE fixes: scd.py (batch
+#       guard) → scd2_history/scd2_apply_batch; triangles.py (memo
+#       eviction) → triangle_counts;
+#   (d) queries NEW in round 8;
+#   (e) filler: the whole r4-green tier (oldest in the registry), then
+#       the oldest r5 queries — no query's last adjudication ages past
+#       3 rounds (MAX_STALE_ROUNDS in tools/rotate_cap.py).
+# The pytest oracle sweep still re-hash-matches every registered query
+# against DuckDB on every run, so past-cap never means unverified.
 PRIORITY = (
-    # (a) round-6 additions, never driver-adjudicated
+    # (a) round-7 grace + the meanpool refit
+    "asof_forward_events",
+    "chunk_documents",
+    "classifier_quality_gate",
+    "embedding_meanpool",
+    "hard_negatives",
+    "leakage_safe_split",
+    "session_durations",
+    "tfidf_topterms",
+    "window_rank_funcs",
+    # (b) deferred corpus-family refreshers (r6-green, one-round grace)
+    "sample_stratified",
+    "quality_quantile_filter",
+    "vocab_topk",
+    "line_dedup",
+    # (c) round-8 ADVICE-fix closure churn
+    "scd2_history",
+    "scd2_apply_batch",
+    "triangle_counts",
+    # (d) NEW round 8 queries
+    "hard_negatives_shortlist",
+    # (e) filler — the full r4 tier (oldest greens in the registry)
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_ivf_indexed",
+    "date_funcs",
+    "dedup_exact",
+    "entity_tagging",
+    "fallback_join_cascade",
+    "kmeans_assign",
+    "lang_id",
+    "mean_std_population",
+    "median_per_group",
+    "profile_documents",
+    "self_join_common",
+    "shipping_priority",
+    "text_clean_pii",
+    "text_quality",
+    "text_stats",
+    "type_histogram",
+    "window_sliding",
+    # (e) filler — oldest r5 greens
+    "anti_join_notfnd",
+    "asof_join_segmented",
+    "beans_counts",
+    "bridge_m2n_join",
+    "corpus_clean",
+    "decile_bucketing",
+    "dedup_composite_key",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_projection",
+    "except_sets",
+    # ---- past the driver's 50-query cap: every entry holds a green
+    # driver CORRECTNESS row from a prior round under unchanged code ----
     "dsir_weights",
     "dsir_sample",
     "cube_counts",
@@ -43,20 +98,16 @@ PRIORITY = (
     "winnow_fingerprints",
     "association_rules",
     "group_ols",
-    "scd2_history",
     "rolling_anomaly",
     "merge_intervals",
     "winsorize_values",
     "attribution_touch",
-    "triangle_counts",
-    "embedding_meanpool",
     "dedup_containment",
     "rrf_fusion",
     "mmr_rerank",
     "welch_ttest",
     "chi2_independence",
     "event_transitions",
-    # (b) churn-stale: graph.py changed in r6 after these greens
     "bpe_pair_counts",
     "qualitative_levels",
     "clique_expansion",
@@ -72,7 +123,6 @@ PRIORITY = (
     "hgram_cdf",
     "tinx_novelty",
     "tinx_importance",
-    # (c) closure touched in round 7 (lineage split, scd growth)
     "pagerank",
     "dedup_groups_cc",
     "dedup_rep_quality",
@@ -85,17 +135,7 @@ PRIORITY = (
     "corpus_shard_assign",
     "sequence_pack",
     "decontaminate",
-    # (d) NEW round 7 queries
     "corpus_pipeline_v2",
-    "scd2_apply_batch",
-    # ---- past the driver's 50-query cap: every entry holds a green
-    # driver CORRECTNESS row from a prior round under unchanged code,
-    # except the four deferred corpus-family queries listed above
-    # (r6-green; one-round grace; head of the r8 cap) ----
-    "sample_stratified",
-    "quality_quantile_filter",
-    "vocab_topk",
-    "line_dedup",
     "lm_perplexity",
     "lm_top_bigrams",
     "nb_classify",
@@ -131,17 +171,10 @@ PRIORITY = (
     "corpus_divergence",
     "skyline_parts",
     "topk_per_group",
-    "decile_bucketing",
     "rank_compound_order",
     "mode_consensus",
     "frank_level_buckets",
     "min_tie_expansion",
-    "dedup_simhash_pairs",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "corpus_clean",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "multimodal_features",
     "window_tumbling",
     "window_session",
@@ -152,53 +185,17 @@ PRIORITY = (
     "scan_project_filter",
     "three_way_entity_join",
     "semi_join",
-    "anti_join_notfnd",
     "union_dedup",
     "filter_like_null",
     "keyset_pagination",
     "lookup_point_join",
-    "bridge_m2n_join",
     "pricing_summary",
-    "beans_counts",
     "rollup_counts",
     "group_sum",
     "intersect_sets",
-    "except_sets",
-    "distinct_projection",
-    "dedup_composite_key",
     "string_math_funcs",
     "json_case_funcs",
     "sessionize_skew",
-    "asof_join_segmented",
-    "profile_documents",
-    "window_sliding",
-    "text_clean_pii",
-    "type_histogram",
-    "median_per_group",
-    "mean_std_population",
-    "date_funcs",
-    "text_stats",
-    "text_quality",
-    "lang_id",
-    "entity_tagging",
-    "dedup_exact",
-    "ann_bruteforce",
-    "kmeans_assign",
-    "ann_ivf_indexed",
-    "shipping_priority",
-    "fallback_join_cascade",
-    "self_join_common",
-    "ann_ivf",
-    # ---- NEW in round 7 past the cap (new-query grace until the next
-    # adjudication; sweep-verified every run; head of the r8 cap) ----
-    "session_durations",
-    "tfidf_topterms",
-    "hard_negatives",
-    "leakage_safe_split",
-    "chunk_documents",
-    "window_rank_funcs",
-    "classifier_quality_gate",
-    "asof_forward_events",
 )
 
 

@@ -85,6 +85,7 @@ BNLJ_OK = {
                                 # 1-row gumbel median threshold
     "tfidf_topterms",           # 1-row corpus doc count rides a cross join
     "hard_negatives",           # broadcast anchor panel × corpus (by definition)
+    "hard_negatives_shortlist", # broadcast centroid set (8 rows) + anchor probes
     "classifier_quality_gate",  # nb_classify's stages: 1-row vocab V +
                                 # broadcast label totals + 1-row LM V
 }
