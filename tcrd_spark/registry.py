@@ -53,6 +53,7 @@ PRIORITY = (
     "triangle_counts",
     # (d) NEW round 8 queries
     "hard_negatives_shortlist",
+    "html_extract",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -236,6 +237,7 @@ def _collect():
                     "pipeline.bm25", "pipeline.dsir",
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.tfidf", "pipeline.negatives",
+                    "pipeline.html",
                     "pipeline.splits", "pipeline.chunker",
                     "pipeline.clf_gate",
                     "pipeline.editdist", "pipeline.divergence",
