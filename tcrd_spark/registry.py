@@ -54,6 +54,7 @@ PRIORITY = (
     # (d) NEW round 8 queries
     "hard_negatives_shortlist",
     "html_extract",
+    "lm_trigram_perplexity",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -237,7 +238,7 @@ def _collect():
                     "pipeline.bm25", "pipeline.dsir",
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.tfidf", "pipeline.negatives",
-                    "pipeline.html",
+                    "pipeline.html", "pipeline.lm3",
                     "pipeline.splits", "pipeline.chunker",
                     "pipeline.clf_gate",
                     "pipeline.editdist", "pipeline.divergence",
