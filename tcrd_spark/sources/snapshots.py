@@ -1,0 +1,228 @@
+"""Versioned-manifest table reads — lake time travel (VERDICT r7 #7).
+
+MERGE (`sources/merge.py`) and SCD2 (`operators/scd.py`) give
+row-level history; what a 100 TB training deployment additionally
+leans on is SNAPSHOT reproducibility: "train on the corpus exactly as
+it was at version N" (the Delta/Iceberg capability, and the
+engine-level analogue of the reference's provenance/dataset lineage
+tables, SQL/create-TCRDv7.sql:297,1693).
+
+Minimal honest design, the same shape the real formats use:
+
+- data files live in hive partition directories
+  (``<table>/data/<part>=<val>/v{N}-{i}.parquet``) and are IMMUTABLE —
+  a commit never rewrites or deletes a live file;
+- each commit writes a JSON manifest ``<table>/_manifests/v{N}.json``
+  listing the data files (relative paths) that constitute that
+  version, plus parent/op metadata;
+- a versioned read plans from the MANIFEST, not a directory listing
+  (``read_version``): old versions stay byte-identically readable
+  after any number of later commits, and at scale the read never
+  pays an object-store LIST;
+- ``merge_version`` is copy-on-write at PARTITION granularity: the
+  source's affected partitions are read from the current snapshot
+  (pruned), merged (`merge_frames`), and written as NEW files; the
+  next manifest carries the untouched partitions' OLD files forward
+  by reference. Bytes written ∝ change, exactly like
+  `merge_partitioned_write` — but the previous version survives.
+
+Commit protocol: manifests are written to a temp name and renamed —
+atomic on POSIX/HDFS; single writer assumed (a real deployment puts a
+catalog/lock in front, same as Delta's log store contract).
+``manifest_diff`` exposes the provenance view (files added/removed
+per version). Not oracle-adjudicated: the semantics are filesystem
+state over self-written tables, outside the driver's fixed
+table views — pytest-pinned instead (tests/test_snapshots.py: write
+v1 → merge → v1 re-reads byte-identical, untouched files shared by
+reference, diff accounts every file).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tcrd_spark.sources.merge import affected_partitions, merge_frames
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifests")
+
+
+def _data_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "data")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
+
+
+def versions(table_dir: str) -> list[int]:
+    """Committed version numbers, ascending."""
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(os.path.join(_manifest_dir(table_dir), "v*.json"))
+    )
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as f:
+        return json.load(f)
+
+
+def _commit(table_dir: str, manifest: dict) -> None:
+    """Atomic manifest publish: write-temp + rename (POSIX/HDFS)."""
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    final = _manifest_path(table_dir, manifest["version"])
+    if os.path.exists(final):
+        raise FileExistsError(
+            f"version {manifest['version']} already committed "
+            f"(concurrent writer?): {final}"
+        )
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.rename(tmp, final)
+
+
+def _partition_of(relpath: str) -> str:
+    """'lang=en/v00001-0.parquet' → 'lang=en'."""
+    return os.path.dirname(relpath)
+
+
+def _stage_files(
+    df: DataFrame, table_dir: str, part_col: str, version: int
+) -> list[str]:
+    """Write df hive-partitioned to a temp dir, then move each data
+    file into the table's partition directories under an immutable
+    version-tagged name. Returns the new files' relative paths."""
+    tmp = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:8]}")
+    df.write.partitionBy(part_col).mode("overwrite").parquet(tmp)
+    moved: list[str] = []
+    for src in glob.glob(
+        os.path.join(tmp, f"{part_col}=*", "*.parquet")
+    ):
+        part = os.path.basename(os.path.dirname(src))
+        dest_dir = os.path.join(_data_dir(table_dir), part)
+        os.makedirs(dest_dir, exist_ok=True)
+        rel = os.path.join(part, f"v{version:05d}-{len(moved):04d}.parquet")
+        os.rename(src, os.path.join(_data_dir(table_dir), rel))
+        moved.append(rel)
+    shutil.rmtree(tmp)
+    return sorted(moved)
+
+
+def create_table(
+    df: DataFrame, table_dir: str, part_col: str
+) -> int:
+    """Commit version 1 of a partitioned versioned table."""
+    if versions(table_dir):
+        raise FileExistsError(f"versioned table exists: {table_dir}")
+    files = _stage_files(df, table_dir, part_col, 1)
+    _commit(table_dir, {
+        "version": 1, "parent": None, "op": "create",
+        "part_col": part_col, "columns": df.columns, "files": files,
+    })
+    return 1
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table exactly as of `version` (default: latest). Plans
+    from the manifest's file list — no directory listing, and later
+    commits never change what this returns."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(table_dir, v)
+    base = _data_dir(table_dir)
+    paths = [os.path.join(base, rel) for rel in m["files"]]
+    df = spark.read.option("basePath", base).parquet(*paths)
+    # hive reads surface the partition column last; restore the
+    # committed column order so a snapshot read is schema-stable
+    return df.select(*m["columns"])
+
+
+def merge_version(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    delete_condition: str | None = None,
+) -> int:
+    """Copy-on-write MERGE commit: affected partitions (from the
+    source) are read from the CURRENT snapshot, merged, rewritten as
+    new files; untouched partitions carry forward by reference. The
+    previous version stays readable byte-identically."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    cur_v = vs[-1]
+    m = _read_manifest(table_dir, cur_v)
+    part_col = m["part_col"]
+    parts = affected_partitions(source, part_col)
+    hive = {f"{part_col}={p}" for p in parts}
+    keep = [f for f in m["files"] if _partition_of(f) not in hive]
+    touched = [f for f in m["files"] if _partition_of(f) in hive]
+    base = _data_dir(table_dir)
+    if touched:
+        target = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, f) for f in touched]
+        )
+    else:  # merge into partitions the table has never seen
+        target = read_version(spark, table_dir, cur_v).limit(0)
+    merged = merge_frames(
+        target.select(source.columns), source, keys, delete_condition
+    )
+    new_files = _stage_files(
+        merged.repartition(part_col), table_dir, part_col, cur_v + 1
+    )
+    _commit(table_dir, {
+        "version": cur_v + 1, "parent": cur_v, "op": "merge",
+        "part_col": part_col, "columns": m["columns"],
+        "files": sorted(keep + new_files),
+    })
+    return cur_v + 1
+
+
+def manifest_diff(table_dir: str, v_from: int, v_to: int) -> dict:
+    """Provenance between two versions: files added/removed/carried.
+    The engine-level analogue of the reference's dataset-lineage
+    tables — every byte of a snapshot is accounted for by a commit."""
+    a = set(_read_manifest(table_dir, v_from)["files"])
+    b = set(_read_manifest(table_dir, v_to)["files"])
+    return {
+        "added": sorted(b - a),
+        "removed": sorted(a - b),
+        "carried": sorted(a & b),
+    }
+
+
+def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
+    """Retention GC: delete data files referenced ONLY by manifests
+    older than the newest `keep_versions` (and those manifests). The
+    bounded cleanup loop a deployment runs — never touches any file a
+    retained version references."""
+    vs = versions(table_dir)
+    retain, drop = vs[-keep_versions:], vs[:-keep_versions]
+    live = {
+        f for v in retain for f in _read_manifest(table_dir, v)["files"]
+    }
+    removed = []
+    for v in drop:
+        for f in _read_manifest(table_dir, v)["files"]:
+            if f not in live:
+                p = os.path.join(_data_dir(table_dir), f)
+                if os.path.exists(p):
+                    os.remove(p)
+                    removed.append(f)
+        os.remove(_manifest_path(table_dir, v))
+    return sorted(set(removed))
