@@ -161,7 +161,70 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"html_extract": q_html_extract}
+# ------------------------------------------- composed web pipeline
+#
+# Stage-0 integration proof (the optional wiring of VERDICT r7 #5):
+# synthesized pages → html_extract → Gopher structural/repetition gate
+# (stopword rule excluded — the synthetic corpus has none, the
+# corpus_v2 precedent) → CCNet head/middle gate → exact-dedup reps.
+# Stages reuse the adjudicated library functions; boundaries are RDD
+# lineage cuts (the corpus_v2 lesson: stacked HOF stages stall
+# Catalyst re-analysis, and stage 0 is the heaviest HOF chain in the
+# tree); the oracle nests each stage's proven fragment with its input
+# rebound, so a mismatch localizes to one stage.
+
+
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars) of documents surviving the web recipe's
+    first four stages, from raw markup."""
+    from tcrd_spark.operators.lineage import _truncate
+    from tcrd_spark.pipeline import dedup, gopher
+    from tcrd_spark.pipeline.ccnet import ccnet_buckets, lang_nll
+    from tcrd_spark.pipeline.sq import _memo_cached
+
+    ex = q_html_extract(spark, sf_dir)
+    w0 = _truncate(
+        ex.select("doc_id", F.col("extracted").alias("text"))
+    )
+    stats = gopher.gopher_stats(w0, "doc_id", "text")
+    keep = (
+        F.col("n_words").between(gopher.MIN_WORDS, gopher.MAX_WORDS)
+        & F.col("mean_word_len").between(
+            gopher.MIN_MEAN_WORD_LEN, gopher.MAX_MEAN_WORD_LEN
+        )
+        & (F.col("alpha_frac") >= gopher.MIN_ALPHA_FRAC)
+    )
+    for n, t in gopher.TOP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"top{n}gram_frac") <= t)
+    for n, t in gopher.DUP_NGRAM_MAX.items():
+        keep = keep & (F.col(f"dup{n}gram_frac") <= t)
+    g = _truncate(
+        w0.join(stats.filter(keep).select("doc_id"), "doc_id", "semi")
+    )
+    labeled = _memo_cached(
+        spark, (sf_dir, "web-labeled"),
+        lambda: lang_nll(g, "doc_id", "text"),
+    )
+    buck = ccnet_buckets(g, "doc_id", "text", _labeled=labeled)
+    c = _truncate(
+        g.join(
+            buck.filter(F.col("bucket").isin("head", "middle"))
+            .select("doc_id"),
+            "doc_id", "semi",
+        )
+    )
+    reps = dedup.exact_dedup(c, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return c.join(reps, "doc_id", "semi").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+QUERIES = {
+    "html_extract": q_html_extract,
+    "web_pipeline": q_web_pipeline,
+}
 
 
 # ------------------------------------------------------ DuckDB oracle
@@ -226,4 +289,56 @@ def _oracle() -> str:
     """
 
 
-ORACLE = {"html_extract": _oracle()}
+def _oracle_web() -> str:
+    """Stage-nested composition: each stage's PROVEN oracle fragment
+    runs over the previous stage's CTE (`documents` rebound), so a
+    hash mismatch localizes to one stage — the corpus_v2 discipline."""
+    import re
+
+    from tcrd_spark.functions.hashing import sql_hash60
+    from tcrd_spark.pipeline.ccnet import ORACLE as CCNET_ORACLE
+    from tcrd_spark.pipeline.gopher import (
+        _KEEP_EXPR,
+        _STATS_CTES,
+        _STATS_SELECT,
+    )
+
+    def on(fragment: str, table: str) -> str:
+        return re.sub(r"\bdocuments\b", table, fragment)
+
+    keep = _KEEP_EXPR.replace(" AND (n_stopwords >= 2)", "")
+    assert "n_stopwords" not in keep, "stopword rule not excised"
+    return f"""
+        WITH ex AS MATERIALIZED ({_oracle()}),
+        webx AS MATERIALIZED (
+          SELECT doc_id, extracted AS text FROM ex
+        ),
+        gkeep AS MATERIALIZED (
+          WITH {on(_STATS_CTES, "webx")},
+          stats AS ({_STATS_SELECT})
+          SELECT doc_id FROM stats WHERE {keep}
+        ),
+        gsurv AS MATERIALIZED (
+          SELECT webx.* FROM webx JOIN gkeep USING (doc_id)
+        ),
+        cbuck AS MATERIALIZED (
+          {on(CCNET_ORACLE["ccnet_buckets"], "gsurv")}
+        ),
+        csurv AS MATERIALIZED (
+          SELECT gsurv.* FROM gsurv
+          JOIN cbuck USING (doc_id)
+          WHERE cbuck.bucket IN ('head', 'middle')
+        ),
+        ereps AS (
+          SELECT min(doc_id) AS doc_id
+          FROM csurv GROUP BY {sql_hash60('text')}
+        )
+        SELECT c.doc_id, length(c.text) AS n_chars
+        FROM csurv c JOIN ereps USING (doc_id)
+    """
+
+
+ORACLE = {
+    "html_extract": _oracle(),
+    "web_pipeline": _oracle_web(),
+}

@@ -54,6 +54,7 @@ PRIORITY = (
     # (d) NEW round 8 queries
     "hard_negatives_shortlist",
     "html_extract",
+    "web_pipeline",
     "lm_trigram_perplexity",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",

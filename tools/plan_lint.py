@@ -57,6 +57,7 @@ BNLJ_OK = {
     "dedup_embedding_cosine",   # broadcast block-pair grid (B(B+1)/2 rows)
     "lm_perplexity",            # 1-row vocab-size V rides a cross join
     "lm_top_bigrams",           # same 1-row V
+    "lm_trigram_perplexity",    # same 1-row (v, n) totals frame
     "nb_classify",              # broadcast label totals (|labels| rows) + 1-row V
     "mixture_weights",          # 1-row Σsqrt + 1-row corpus total
     "domain_mixture_sample",    # same plan stage, broadcast back to docs
@@ -88,6 +89,8 @@ BNLJ_OK = {
     "hard_negatives_shortlist", # broadcast centroid set (8 rows) + anchor probes
     "classifier_quality_gate",  # nb_classify's stages: 1-row vocab V +
                                 # broadcast label totals + 1-row LM V
+    "web_pipeline",             # ccnet stage: 1-row LM vocab V rides
+                                # a cross join (same as ccnet_buckets)
 }
 
 
