@@ -174,45 +174,69 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rebound, so a mismatch localizes to one stage.
 
 
-def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_chars) of documents surviving the web recipe's
-    first four stages, from raw markup."""
+def _web_stages(spark: SparkSession, sf_dir: str):
+    """(extracted, gopher-survivors, ccnet-survivors) stage frames —
+    each a lineage-cut, session-memoized DataFrame so the pipeline
+    query, the funnel query, and bench reps share one materialization
+    per (session, sf_dir)."""
     from tcrd_spark.operators.lineage import _truncate
-    from tcrd_spark.pipeline import dedup, gopher
+    from tcrd_spark.pipeline import gopher
     from tcrd_spark.pipeline.ccnet import ccnet_buckets, lang_nll
     from tcrd_spark.pipeline.sq import _memo_cached
 
-    ex = q_html_extract(spark, sf_dir)
-    w0 = _truncate(
-        ex.select("doc_id", F.col("extracted").alias("text"))
-    )
-    stats = gopher.gopher_stats(w0, "doc_id", "text")
-    keep = (
-        F.col("n_words").between(gopher.MIN_WORDS, gopher.MAX_WORDS)
-        & F.col("mean_word_len").between(
-            gopher.MIN_MEAN_WORD_LEN, gopher.MAX_MEAN_WORD_LEN
+    def build_w0():
+        ex = q_html_extract(spark, sf_dir)
+        return _truncate(
+            ex.select("doc_id", F.col("extracted").alias("text"))
         )
-        & (F.col("alpha_frac") >= gopher.MIN_ALPHA_FRAC)
-    )
-    for n, t in gopher.TOP_NGRAM_MAX.items():
-        keep = keep & (F.col(f"top{n}gram_frac") <= t)
-    for n, t in gopher.DUP_NGRAM_MAX.items():
-        keep = keep & (F.col(f"dup{n}gram_frac") <= t)
-    g = _truncate(
-        w0.join(stats.filter(keep).select("doc_id"), "doc_id", "semi")
-    )
-    labeled = _memo_cached(
-        spark, (sf_dir, "web-labeled"),
-        lambda: lang_nll(g, "doc_id", "text"),
-    )
-    buck = ccnet_buckets(g, "doc_id", "text", _labeled=labeled)
-    c = _truncate(
-        g.join(
-            buck.filter(F.col("bucket").isin("head", "middle"))
-            .select("doc_id"),
-            "doc_id", "semi",
+
+    w0 = _memo_cached(spark, (sf_dir, "web-w0"), build_w0)
+
+    def build_g():
+        stats = gopher.gopher_stats(w0, "doc_id", "text")
+        keep = (
+            F.col("n_words").between(gopher.MIN_WORDS, gopher.MAX_WORDS)
+            & F.col("mean_word_len").between(
+                gopher.MIN_MEAN_WORD_LEN, gopher.MAX_MEAN_WORD_LEN
+            )
+            & (F.col("alpha_frac") >= gopher.MIN_ALPHA_FRAC)
         )
-    )
+        for n, t in gopher.TOP_NGRAM_MAX.items():
+            keep = keep & (F.col(f"top{n}gram_frac") <= t)
+        for n, t in gopher.DUP_NGRAM_MAX.items():
+            keep = keep & (F.col(f"dup{n}gram_frac") <= t)
+        return _truncate(
+            w0.join(
+                stats.filter(keep).select("doc_id"), "doc_id", "semi"
+            )
+        )
+
+    g = _memo_cached(spark, (sf_dir, "web-gopher"), build_g)
+
+    def build_c():
+        labeled = _memo_cached(
+            spark, (sf_dir, "web-labeled"),
+            lambda: lang_nll(g, "doc_id", "text"),
+        )
+        buck = ccnet_buckets(g, "doc_id", "text", _labeled=labeled)
+        return _truncate(
+            g.join(
+                buck.filter(F.col("bucket").isin("head", "middle"))
+                .select("doc_id"),
+                "doc_id", "semi",
+            )
+        )
+
+    c = _memo_cached(spark, (sf_dir, "web-ccnet"), build_c)
+    return w0, g, c
+
+
+def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars) of documents surviving the web recipe's
+    first four stages, from raw markup."""
+    from tcrd_spark.pipeline import dedup
+
+    _, _, c = _web_stages(spark, sf_dir)
     reps = dedup.exact_dedup(c, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
     )
@@ -221,9 +245,39 @@ def q_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_web_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage_no, stage, n_docs): per-stage survivor counts — the
+    funnel observability every corpus pipeline ships with its build
+    (silent over-filtering is the classic corpus bug; the funnel makes
+    each gate's reduction rate a first-class, adjudicated number)."""
+    from tcrd_spark.pipeline import dedup
+
+    w0, g, c = _web_stages(spark, sf_dir)
+    final = c.join(
+        dedup.exact_dedup(c, "doc_id", "text").select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "doc_id", "semi",
+    )
+    def cnt(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    return (
+        cnt(0, "extracted", w0)
+        .unionAll(cnt(1, "gopher", g))
+        .unionAll(cnt(2, "ccnet", c))
+        .unionAll(cnt(3, "exact_dedup", final))
+    )
+
+
 QUERIES = {
     "html_extract": q_html_extract,
     "web_pipeline": q_web_pipeline,
+    "web_pipeline_funnel": q_web_pipeline_funnel,
 }
 
 
@@ -338,7 +392,26 @@ def _oracle_web() -> str:
     """
 
 
+def _oracle_funnel() -> str:
+    """The same nested stage CTEs, reduced to per-stage counts."""
+    web = _oracle_web()
+    # reuse everything up to the final SELECT of the pipeline oracle
+    head, _, _ = web.rpartition("SELECT c.doc_id")
+    return f"""{head}
+        SELECT 0 AS stage_no, 'extracted' AS stage,
+               count(*) AS n_docs FROM webx
+        UNION ALL
+        SELECT 1, 'gopher', count(*) FROM gsurv
+        UNION ALL
+        SELECT 2, 'ccnet', count(*) FROM csurv
+        UNION ALL
+        SELECT 3, 'exact_dedup', count(*)
+        FROM csurv c JOIN ereps USING (doc_id)
+    """
+
+
 ORACLE = {
     "html_extract": _oracle(),
     "web_pipeline": _oracle_web(),
+    "web_pipeline_funnel": _oracle_funnel(),
 }

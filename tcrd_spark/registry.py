@@ -55,6 +55,7 @@ PRIORITY = (
     "hard_negatives_shortlist",
     "html_extract",
     "web_pipeline",
+    "web_pipeline_funnel",
     "lm_trigram_perplexity",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
