@@ -87,33 +87,41 @@ def train_trigram_lm(
         "bigrams": bigrams,
         "trigrams": trigrams,
         "totals": totals,
+        "_mapped": mapped,
     }
 
 
 def score_trigram_perplexity(
-    toks: DataFrame, lm: dict[str, DataFrame], id_col: str
+    toks: DataFrame,
+    lm: dict[str, DataFrame],
+    id_col: str,
+    reuse_mapping: bool = False,
 ) -> DataFrame:
     """Per-document (id, n_trigrams, nll, ppl) under the trained
     model. Docs with fewer than three tokens score NULL (they form no
     trigram); unknown tokens map to <unk> by vocabulary membership —
     identical to the training mapping when scoring the training
-    corpus."""
-    mapped = (
-        toks.join(
-            lm["unigrams"]
-            .select(F.col("w").alias("tok"))
-            .withColumn("_known", F.lit(1)),
-            "tok",
-            "left",
+    corpus, so self-scoring passes ``reuse_mapping=True`` to skip the
+    redundant membership join (one count agg + one join saved)."""
+    if reuse_mapping:
+        mapped = lm["_mapped"]
+    else:
+        mapped = (
+            toks.join(
+                lm["unigrams"]
+                .select(F.col("w").alias("tok"))
+                .withColumn("_known", F.lit(1)),
+                "tok",
+                "left",
+            )
+            .select(
+                id_col,
+                "pos",
+                F.when(F.col("_known").isNotNull(), F.col("tok"))
+                .otherwise(F.lit("<unk>"))
+                .alias("w"),
+            )
         )
-        .select(
-            id_col,
-            "pos",
-            F.when(F.col("_known").isNotNull(), F.col("tok"))
-            .otherwise(F.lit("<unk>"))
-            .alias("w"),
-        )
-    )
     w = Window.partitionBy(id_col).orderBy("pos")
     tg = (
         mapped.select(
@@ -180,9 +188,9 @@ def trigram_lang_nll(
 
     toks = tokenize(docs, id_col, text_col)
     lm = train_trigram_lm(toks, id_col)
-    scored = score_trigram_perplexity(toks, lm, id_col).select(
-        id_col, F.round("nll", 6).alias("nll")
-    )
+    scored = score_trigram_perplexity(
+        toks, lm, id_col, reuse_mapping=True
+    ).select(id_col, F.round("nll", 6).alias("nll"))
     return docs.select(
         F.col(id_col),
         text.lang_id(F.col(text_col)).alias("pred_lang"),
@@ -199,7 +207,9 @@ def q_lm_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = tokenize(docs, "doc_id", "text")
     lm = train_trigram_lm(toks, "doc_id")
-    scored = score_trigram_perplexity(toks, lm, "doc_id")
+    scored = score_trigram_perplexity(
+        toks, lm, "doc_id", reuse_mapping=True
+    )
     return docs.select("doc_id").join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),

@@ -88,12 +88,13 @@ PRIORITY = (
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    # ---- past the driver's 50-query cap (position 51+): every entry
+    # holds a green driver CORRECTNESS row from a prior round under
+    # unchanged code ----
     "dedup_simhash",
     "dedup_simhash_pairs",
     "distinct_projection",
     "except_sets",
-    # ---- past the driver's 50-query cap: every entry holds a green
-    # driver CORRECTNESS row from a prior round under unchanged code ----
     "dsir_weights",
     "dsir_sample",
     "cube_counts",
