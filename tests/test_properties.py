@@ -263,3 +263,81 @@ def test_stratified_sample_is_quota_capped_prefix(spark, labels, quota):
     for lang, ranks in per.items():
         assert len(ranks) == min(quota, avail[lang])
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ---------------------------------------------------------- round 8
+
+_SAFE_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+blocks_strategy = st.lists(
+    st.lists(st.sampled_from(_SAFE_WORDS), min_size=0, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(blocks_strategy)
+@SETTINGS
+def test_html_extract_never_leaks_markup(spark, blocks):
+    """Whatever the page shape, extraction output carries no tags, no
+    raw entities, and only blocks meeting the keep rule (>= 3 words)."""
+    from tcrd_spark.pipeline.html import html_extract
+
+    page = (
+        "<html><head><script>var x = 1;</script></head><body>"
+        '<div class="nav"><a href="/">Home of links</a></div>'
+        + "".join(f"<p>{' '.join(b)} &amp; tail</p>" for b in blocks)
+        + "</body></html>"
+    )
+    df = spark.createDataFrame([(page,)], "page string")
+    got = df.select(html_extract("page").alias("x")).collect()[0].x
+    assert "<" not in got and ">" not in got
+    assert "&amp;" not in got and "&lt;" not in got
+    for line in got.split("\n"):
+        if line:
+            assert len(line.split()) >= 3
+    # every block with >= 1 safe word survives (body words + '& tail'
+    # pushes past MIN_WORDS); empty blocks yield nothing
+    want = [" ".join(b) + " & tail" for b in blocks if len(b) >= 1]
+    assert [l for l in got.split("\n") if l] == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_SAFE_WORDS), min_size=1, max_size=9),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@SETTINGS
+def test_token_budget_selection_is_hash_prefix(spark, docs, budget):
+    """The kept set is exactly the maximal prefix of the hash order
+    whose running total fits the budget (plus the guaranteed head)."""
+    from tcrd_spark.functions.hashing import hash60
+    from tcrd_spark.pipeline.budget import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t), "d") for i, t in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    order = [
+        r.doc_id
+        for r in df.select(
+            "doc_id", hash60(F.col("doc_id").cast("string")).alias("h")
+        ).orderBy("h", "doc_id").collect()
+    ]
+    toks = {i: len(t) for i, t in enumerate(docs)}  # pure-alpha words
+    want, cum = [], 0
+    for d in order:
+        cum += toks[d]
+        if cum <= budget or not want:
+            want.append(d)
+        else:
+            break
+    got = token_budget_sample(
+        df, "doc_id", "text", "source", budget=budget
+    ).collect()
+    assert sorted(r.doc_id for r in got) == sorted(want)
+    for r in got:
+        assert r.n_tok == toks[r.doc_id]
