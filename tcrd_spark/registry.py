@@ -58,6 +58,7 @@ PRIORITY = (
     "web_pipeline_funnel",
     "lm_trigram_perplexity",
     "mixture_token_budget",
+    "url_filter",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -87,10 +88,10 @@ PRIORITY = (
     "decile_bucketing",
     "dedup_composite_key",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
     # ---- past the driver's 50-query cap (position 51+): every entry
     # holds a green driver CORRECTNESS row from a prior round under
     # unchanged code ----
+    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -243,6 +244,7 @@ def _collect():
                     "pipeline.sketches", "pipeline.winnow",
                     "pipeline.tfidf", "pipeline.negatives",
                     "pipeline.html", "pipeline.lm3", "pipeline.budget",
+                    "pipeline.urlfilter",
                     "pipeline.splits", "pipeline.chunker",
                     "pipeline.clf_gate",
                     "pipeline.editdist", "pipeline.divergence",
