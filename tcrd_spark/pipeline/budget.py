@@ -99,9 +99,9 @@ ORACLE = {
         ),
         r AS (
           SELECT doc_id, domain, n_tok,
-                 sum(n_tok) OVER (
+                 CAST(sum(n_tok) OVER (
                    PARTITION BY domain ORDER BY h, doc_id
-                   ROWS UNBOUNDED PRECEDING) AS cum_tok,
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
                  row_number() OVER (
                    PARTITION BY domain ORDER BY h, doc_id) AS rn
           FROM t
