@@ -151,6 +151,60 @@ def read_version(
     return df.select(*m["columns"])
 
 
+def append_version(
+    table_dir: str,
+    df: DataFrame,
+    txn_id: int | None = None,
+) -> int | None:
+    """Append-only commit: new files land, every existing file carries
+    forward by reference. ``txn_id`` makes the commit IDEMPOTENT — the
+    Delta txnAppId/txnVersion pattern: if any manifest already records
+    this txn_id, the commit is a no-op (returns None). That is exactly
+    what an at-least-once streaming sink needs: a replayed micro-batch
+    re-offers the same txn_id and is skipped instead of duplicated."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    if txn_id is not None:
+        for v in vs:
+            if _read_manifest(table_dir, v).get("txn_id") == txn_id:
+                return None  # already committed: replay is a no-op
+    cur_v = vs[-1]
+    m = _read_manifest(table_dir, cur_v)
+    new_files = _stage_files(
+        df.select(*m["columns"]), table_dir, m["part_col"], cur_v + 1
+    )
+    _commit(table_dir, {
+        "version": cur_v + 1, "parent": cur_v, "op": "append",
+        "part_col": m["part_col"], "columns": m["columns"],
+        "txn_id": txn_id, "files": sorted(m["files"] + new_files),
+    })
+    return cur_v + 1
+
+
+def streaming_snapshot_append(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+):
+    """Structured-Streaming sink into a versioned table: every
+    micro-batch is one append COMMIT whose txn_id is the checkpointed
+    batch_id, so at-least-once foreachBatch becomes exactly-once at
+    the manifest layer (a replayed batch finds its txn_id committed
+    and no-ops) — and every micro-batch boundary is a time-travelable
+    snapshot for free."""
+
+    def _one(batch_df: DataFrame, batch_id: int) -> None:
+        append_version(table_dir, batch_df, txn_id=batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_one)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def merge_version(
     spark: SparkSession,
     table_dir: str,
