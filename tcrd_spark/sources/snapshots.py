@@ -247,6 +247,39 @@ def merge_version(
     return cur_v + 1
 
 
+def optimize_version(
+    spark: SparkSession,
+    table_dir: str,
+    target_files_per_partition: int = 1,
+) -> int:
+    """Delta-OPTIMIZE-style compaction AS A COMMIT: the current
+    snapshot's rows are rewritten bin-packed (few files per
+    partition), published as a new version whose manifest references
+    only the compacted files — while every PRIOR version keeps
+    reading its original files untouched (plain `lake.compact_table`
+    would rewrite in place and break time travel). Streaming appends
+    (one file per micro-batch per partition) make this the table's
+    periodic maintenance loop; `vacuum` reclaims the small files once
+    retention passes. Data is bit-identical by construction
+    (pytest-pinned)."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    cur_v = vs[-1]
+    m = _read_manifest(table_dir, cur_v)
+    cur = read_version(spark, table_dir, cur_v)
+    packed = cur.repartition(
+        max(1, target_files_per_partition), m["part_col"]
+    )
+    new_files = _stage_files(packed, table_dir, m["part_col"], cur_v + 1)
+    _commit(table_dir, {
+        "version": cur_v + 1, "parent": cur_v, "op": "optimize",
+        "part_col": m["part_col"], "columns": m["columns"],
+        "files": new_files,
+    })
+    return cur_v + 1
+
+
 def manifest_diff(table_dir: str, v_from: int, v_to: int) -> dict:
     """Provenance between two versions: files added/removed/carried.
     The engine-level analogue of the reference's dataset-lineage

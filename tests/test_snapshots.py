@@ -230,3 +230,41 @@ def test_streaming_snapshot_append_is_exactly_once(
         for v in snap.versions(table)
     ]
     assert counts == sorted(counts)
+
+
+def test_optimize_compacts_without_breaking_time_travel(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE as a commit: many small appended files compact into
+    few, rows bit-identical, prior versions untouched, and vacuum
+    then reclaims the small files."""
+    table = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(0, "O", 0.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    snap.create_table(seed, table, "o_orderstatus")
+    for b in range(5):  # streaming-shaped small appends
+        snap.append_version(
+            table,
+            spark.createDataFrame(
+                [(100 + b * 2 + j, "NO"[j], float(b)) for j in (0, 1)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            ),
+            txn_id=b,
+        )
+    pre_v = snap.versions(table)[-1]
+    pre_rows = _rows(snap.read_version(spark, table, pre_v))
+    pre_files = len(snap._read_manifest(table, pre_v)["files"])
+
+    v = snap.optimize_version(spark, table)
+    m = snap._read_manifest(table, v)
+    assert m["op"] == "optimize"
+    assert len(m["files"]) < pre_files
+    assert _rows(snap.read_version(spark, table, v)) == pre_rows
+    # the pre-optimize version still reads its original files
+    assert _rows(snap.read_version(spark, table, pre_v)) == pre_rows
+    # retention GC now reclaims the superseded small files
+    removed = snap.vacuum(table, keep_versions=1)
+    assert removed, "small files should be reclaimable after optimize"
+    assert _rows(snap.read_version(spark, table, v)) == pre_rows
