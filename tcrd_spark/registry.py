@@ -59,6 +59,7 @@ PRIORITY = (
     "lm_trigram_perplexity",
     "mixture_token_budget",
     "url_filter",
+    "snapshot_changes",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -87,10 +88,10 @@ PRIORITY = (
     "corpus_clean",
     "decile_bucketing",
     "dedup_composite_key",
-    "dedup_embedding_cosine",
     # ---- past the driver's 50-query cap (position 51+): every entry
     # holds a green driver CORRECTNESS row from a prior round under
     # unchanged code ----
+    "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -251,6 +252,7 @@ def _collect():
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
+                    "sources.snapshots",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:

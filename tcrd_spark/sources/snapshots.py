@@ -96,15 +96,53 @@ def _partition_of(relpath: str) -> str:
     return os.path.dirname(relpath)
 
 
+def _file_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet FOOTER (no data read) —
+    the zone-map metadata Delta/Iceberg keep per data file. Only
+    JSON-portable primitives (int/float/str/bool) are recorded; a
+    column without usable footer stats is simply absent, which the
+    pruner treats as \"must scan\" (always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name in bad:
+                continue
+            st = c.statistics
+            if (
+                st is None
+                or not st.has_min_max
+                or not isinstance(st.min, (int, float, str, bool))
+            ):
+                stats.pop(name, None)
+                bad.add(name)
+                continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = [st.min, st.max]
+            else:
+                cur[0] = min(cur[0], st.min)
+                cur[1] = max(cur[1], st.max)
+    return stats
+
+
 def _stage_files(
     df: DataFrame, table_dir: str, part_col: str, version: int
-) -> list[str]:
+) -> tuple[list[str], dict[str, dict]]:
     """Write df hive-partitioned to a temp dir, then move each data
     file into the table's partition directories under an immutable
-    version-tagged name. Returns the new files' relative paths."""
+    version-tagged name. Returns (relative paths, per-file footer
+    stats for data skipping)."""
     tmp = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:8]}")
     df.write.partitionBy(part_col).mode("overwrite").parquet(tmp)
     moved: list[str] = []
+    stats: dict[str, dict] = {}
     for src in glob.glob(
         os.path.join(tmp, f"{part_col}=*", "*.parquet")
     ):
@@ -112,10 +150,12 @@ def _stage_files(
         dest_dir = os.path.join(_data_dir(table_dir), part)
         os.makedirs(dest_dir, exist_ok=True)
         rel = os.path.join(part, f"v{version:05d}-{len(moved):04d}.parquet")
-        os.rename(src, os.path.join(_data_dir(table_dir), rel))
+        dest = os.path.join(_data_dir(table_dir), rel)
+        os.rename(src, dest)
+        stats[rel] = _file_stats(dest)
         moved.append(rel)
     shutil.rmtree(tmp)
-    return sorted(moved)
+    return sorted(moved), stats
 
 
 def create_table(
@@ -124,10 +164,11 @@ def create_table(
     """Commit version 1 of a partitioned versioned table."""
     if versions(table_dir):
         raise FileExistsError(f"versioned table exists: {table_dir}")
-    files = _stage_files(df, table_dir, part_col, 1)
+    files, stats = _stage_files(df, table_dir, part_col, 1)
     _commit(table_dir, {
         "version": 1, "parent": None, "op": "create",
         "part_col": part_col, "columns": df.columns, "files": files,
+        "stats": stats,
     })
     return 1
 
@@ -151,6 +192,58 @@ def read_version(
     return df.select(*m["columns"])
 
 
+def plan_files(
+    table_dir: str,
+    version: int,
+    col: str,
+    lo,
+    hi,
+) -> tuple[list[str], int]:
+    """Data skipping from manifest zone maps: the files of `version`
+    whose footer [min, max] for `col` intersects [lo, hi], plus the
+    snapshot's total file count. A file with no recorded stats for
+    the column is kept (pruning is only ever an IO optimization).
+    This is the Delta/Iceberg min-max skip — the planner never opens
+    a data file, and combined with a clustered layout (sources/
+    zorder.py supplies the clustering) a selective predicate reads a
+    small fraction of the snapshot."""
+    m = _read_manifest(table_dir, version)
+    stats = m.get("stats", {})
+    kept = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None or (s[0] <= hi and lo <= s[1]):
+            kept.append(f)
+    return kept, len(m["files"])
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """`read_version` + `col BETWEEN lo AND hi`, planning ONLY the
+    files the zone maps admit; the exact predicate is re-applied so
+    results equal the unpruned filter exactly (pytest-pinned)."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(table_dir, v)
+    kept, _total = plan_files(table_dir, v, col, lo, hi)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not kept:
+        return read_version(spark, table_dir, v).where(pred).limit(0)
+    base = _data_dir(table_dir)
+    df = spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, f) for f in kept]
+    )
+    return df.select(*m["columns"]).where(pred)
+
+
 def append_version(
     table_dir: str,
     df: DataFrame,
@@ -171,13 +264,14 @@ def append_version(
                 return None  # already committed: replay is a no-op
     cur_v = vs[-1]
     m = _read_manifest(table_dir, cur_v)
-    new_files = _stage_files(
+    new_files, new_stats = _stage_files(
         df.select(*m["columns"]), table_dir, m["part_col"], cur_v + 1
     )
     _commit(table_dir, {
         "version": cur_v + 1, "parent": cur_v, "op": "append",
         "part_col": m["part_col"], "columns": m["columns"],
         "txn_id": txn_id, "files": sorted(m["files"] + new_files),
+        "stats": {**m.get("stats", {}), **new_stats},
     })
     return cur_v + 1
 
@@ -236,13 +330,17 @@ def merge_version(
     merged = merge_frames(
         target.select(source.columns), source, keys, delete_condition
     )
-    new_files = _stage_files(
+    new_files, new_stats = _stage_files(
         merged.repartition(part_col), table_dir, part_col, cur_v + 1
     )
+    kept_stats = {
+        f: s for f, s in m.get("stats", {}).items() if f in set(keep)
+    }
     _commit(table_dir, {
         "version": cur_v + 1, "parent": cur_v, "op": "merge",
         "part_col": part_col, "columns": m["columns"],
         "files": sorted(keep + new_files),
+        "stats": {**kept_stats, **new_stats},
     })
     return cur_v + 1
 
@@ -271,11 +369,14 @@ def optimize_version(
     packed = cur.repartition(
         max(1, target_files_per_partition), m["part_col"]
     )
-    new_files = _stage_files(packed, table_dir, m["part_col"], cur_v + 1)
+    new_files, new_stats = _stage_files(
+        packed, table_dir, m["part_col"], cur_v + 1
+    )
     _commit(table_dir, {
         "version": cur_v + 1, "parent": cur_v, "op": "optimize",
         "part_col": m["part_col"], "columns": m["columns"],
         "files": new_files,
+        "stats": new_stats,
     })
     return cur_v + 1
 
@@ -291,6 +392,91 @@ def manifest_diff(table_dir: str, v_from: int, v_to: int) -> dict:
         "removed": sorted(a - b),
         "carried": sorted(a & b),
     }
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshots — the Delta CDF /
+    Iceberg incremental-read analogue, and the piece that turns the
+    versioned lake into an INCREMENTAL pipeline source: a downstream
+    job consumes `read_changes(last_seen, latest)` instead of
+    re-reading 100 TB.
+
+    Emits one row per insert/delete and an update_pre + update_post
+    pair per changed row (`change_type` first, then the table's
+    columns). Cost ∝ CHANGE, not table: only the files the commits
+    touched (manifest_diff added/removed) are ever opened — carried
+    files, i.e. the untouched bulk of the table, are never scanned.
+    Unchanged rows inside rewritten partitions cancel out via a
+    null-safe full-row comparison, so an `optimize` commit (every
+    file rewritten, no row changed) yields an EMPTY feed
+    (pytest-pinned).
+
+    Contract: both versions share a schema, and a key's partition
+    value never changes across commits (the COW-merge contract — a
+    partition-moving update would strand the old copy in a carried
+    file this read never opens)."""
+    ma = _read_manifest(table_dir, v_from)
+    mb = _read_manifest(table_dir, v_to)
+    if ma["columns"] != mb["columns"]:
+        raise ValueError(
+            f"read_changes requires a stable schema: "
+            f"{ma['columns']} vs {mb['columns']}"
+        )
+    cols = mb["columns"]
+    val_cols = [c for c in cols if c not in keys]
+    d = manifest_diff(table_dir, v_from, v_to)
+    base = _data_dir(table_dir)
+
+    def _rd(files: list[str]) -> DataFrame:
+        if not files:
+            return read_version(spark, table_dir, v_to).limit(0)
+        df = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, f) for f in files]
+        )
+        return df.select(*cols)
+
+    old = _rd(d["removed"]).withColumn("_t_present", F.lit(1)).alias("t")
+    new = _rd(d["added"]).withColumn("_s_present", F.lit(1)).alias("s")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = old.join(new, cond, "full_outer")
+    matched = (
+        F.col("t._t_present").isNotNull()
+        & F.col("s._s_present").isNotNull()
+    )
+    ins_only = F.col("t._t_present").isNull()
+    del_only = F.col("s._s_present").isNull()
+    differs = F.lit(False)
+    for c in val_cols:
+        differs = differs | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+
+    def _side(side: str, typ: str):
+        return F.struct(
+            F.lit(typ).alias("change_type"),
+            *[F.col(f"{side}.{c}").alias(c) for c in cols],
+        )
+
+    # one pass over the join: each row contributes 0, 1, or (for an
+    # update) 2 change rows via a filtered array explode — no
+    # four-branch union re-running the join per change type
+    arr = F.array(
+        F.when(ins_only, _side("s", "insert")),
+        F.when(del_only, _side("t", "delete")),
+        F.when(matched & differs, _side("t", "update_pre")),
+        F.when(matched & differs, _side("s", "update_post")),
+    )
+    ch = j.select(
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_c")
+    )
+    return ch.select("_c.change_type", *[F.col(f"_c.{c}") for c in cols])
 
 
 def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
@@ -313,3 +499,106 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
                     removed.append(f)
         os.remove(_manifest_path(table_dir, v))
     return sorted(set(removed))
+
+
+# ------------------------------------------------- registered query
+
+_SNAP_LAKE_CACHE: dict[str, str] = {}
+
+
+def _changes_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic two-version orders lake for the CDC query: v1 =
+    orders with key % 7 != 0; v2 = COW MERGE of a source batch (key %
+    3 == 0, totalprice +100, matched 'F'-status rows deleted).
+    Built once per process per sf_dir (the build is the commit
+    history, not the query)."""
+    import hashlib
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    path = _SNAP_LAKE_CACHE.get(key)
+    if path is None:
+        from tcrd_spark.sources.lake import load_table
+
+        tag = hashlib.md5(f"{key}:{os.getpid()}".encode()).hexdigest()[:12]
+        path = os.path.join(
+            tempfile.gettempdir(), f"tcrd_snap_lake_{tag}", "orders"
+        )
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        create_table(
+            orders.filter(F.col("o_orderkey") % 7 != 0),
+            path,
+            "o_orderpriority",
+        )
+        # +100.0 not ×1.1: an IEEE-exact double op, so Spark and the
+        # DuckDB oracle agree bit-for-bit with no round-half-tie risk
+        src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100.0
+        )
+        merge_version(
+            spark, path, src, ["o_orderkey"],
+            delete_condition="s.o_orderstatus = 'F'",
+        )
+        _SNAP_LAKE_CACHE[key] = path
+    return path
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed v1 → v2 over the deterministic orders lake: inserts
+    (source-only keys), deletes (matched 'F' rows), update_pre/post
+    pairs (price bump), computed from the commits' touched files
+    only."""
+    path = _changes_lake(spark, sf_dir)
+    return read_changes(spark, path, 1, 2, ["o_orderkey"])
+
+
+QUERIES = {"snapshot_changes": q_snapshot_changes}
+
+# The oracle replays the lake's commit history logically: v1 and the
+# merge source are pure filters of `orders`, so the row-level diff —
+# which is exactly what read_changes computes from the touched files —
+# is SQL over the base table.
+ORACLE = {
+    "snapshot_changes": """
+        WITH v1 AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+          FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        src AS (
+          SELECT o_orderkey, o_orderstatus,
+                 o_totalprice + 100.0 AS o_totalprice,
+                 o_orderpriority
+          FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        j AS (
+          SELECT v1.o_orderkey AS tk, src.o_orderkey AS sk,
+                 v1.o_orderstatus AS t_st, v1.o_totalprice AS t_pr,
+                 v1.o_orderpriority AS t_pri,
+                 src.o_orderstatus AS s_st, src.o_totalprice AS s_pr,
+                 src.o_orderpriority AS s_pri
+          FROM v1 FULL OUTER JOIN src ON v1.o_orderkey = src.o_orderkey
+        ),
+        upd AS (
+          SELECT * FROM j
+          WHERE tk IS NOT NULL AND sk IS NOT NULL AND t_st <> 'F'
+            AND (t_st IS DISTINCT FROM s_st
+                 OR t_pr IS DISTINCT FROM s_pr
+                 OR t_pri IS DISTINCT FROM s_pri)
+        )
+        SELECT 'insert' AS change_type, sk AS o_orderkey,
+               s_st AS o_orderstatus, s_pr AS o_totalprice,
+               s_pri AS o_orderpriority
+        FROM j WHERE tk IS NULL
+        UNION ALL
+        SELECT 'delete', tk, t_st, t_pr, t_pri
+        FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND t_st = 'F'
+        UNION ALL
+        SELECT 'update_pre', tk, t_st, t_pr, t_pri FROM upd
+        UNION ALL
+        SELECT 'update_post', sk, s_st, s_pr, s_pri FROM upd
+    """,
+}

@@ -268,3 +268,159 @@ def test_optimize_compacts_without_breaking_time_travel(
     removed = snap.vacuum(table, keep_versions=1)
     assert removed, "small files should be reclaimable after optimize"
     assert _rows(snap.read_version(spark, table, v)) == pre_rows
+
+
+# ---------------------------------------------------------- CDC feed
+
+
+def test_read_changes_classifies_insert_update_delete(
+    spark, sf_dir, tmp_path
+):
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(
+        orders.where("o_orderkey % 7 != 0"), table, "o_orderstatus"
+    )
+    src = orders.where("o_orderkey % 3 = 0").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
+    )
+    snap.merge_version(
+        spark, table, src, ["o_orderkey"],
+        delete_condition="s.o_orderstatus = 'F'",
+    )
+    feed = snap.read_changes(spark, table, 1, 2, ["o_orderkey"])
+    got = {
+        t: {r["o_orderkey"] for r in rows}
+        for t, rows in __import__("itertools").groupby(
+            sorted(feed.collect(), key=lambda r: r["change_type"]),
+            key=lambda r: r["change_type"],
+        )
+    }
+    base = {r["o_orderkey"]: r for r in orders.collect()}
+    in_v1 = {k for k in base if k % 7 != 0}
+    in_src = {k for k in base if k % 3 == 0}
+    want_ins = in_src - in_v1
+    want_del = {k for k in in_src & in_v1
+                if base[k]["o_orderstatus"] == "F"}
+    want_upd = (in_src & in_v1) - want_del
+    assert got["insert"] == want_ins
+    assert got["delete"] == want_del
+    assert got["update_pre"] == want_upd
+    assert got["update_post"] == want_upd
+    # pre carries v1 values, post carries source values
+    pre = {r["o_orderkey"]: r["o_totalprice"]
+           for r in feed.where("change_type = 'update_pre'").collect()}
+    post = {r["o_orderkey"]: r["o_totalprice"]
+            for r in feed.where("change_type = 'update_post'").collect()}
+    for k in list(want_upd)[:20]:
+        assert abs(post[k] - pre[k] - 100.0) < 1e-6
+
+
+def test_read_changes_empty_for_optimize_and_spans_commits(
+    spark, sf_dir, tmp_path
+):
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    # optimize rewrites EVERY file but changes no row: empty feed
+    snap.optimize_version(spark, table)
+    assert snap.read_changes(spark, table, 1, 2, ["o_orderkey"]).count() == 0
+    # an append after the optimize: the 1→3 span reports exactly the
+    # appended rows as inserts (carried files never scanned, but the
+    # optimize's rewrites cancel row-wise)
+    extra = orders.limit(5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    )
+    snap.append_version(table, extra)
+    feed = snap.read_changes(spark, table, 1, 3, ["o_orderkey"])
+    rows = feed.collect()
+    assert {r["change_type"] for r in rows} == {"insert"}
+    assert {r["o_orderkey"] for r in rows} == {
+        r["o_orderkey"] for r in extra.collect()
+    }
+
+
+def test_read_changes_scans_only_touched_files(spark, sf_dir, tmp_path):
+    """CDC cost ∝ change: the diff between consecutive merge commits
+    never references files of untouched partitions."""
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    src = orders.where(
+        "o_orderstatus = 'F' and o_orderkey % 11 = 0"
+    ).select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") + 1.0, 2).alias("o_totalprice"),
+    )
+    snap.merge_version(spark, table, src, ["o_orderkey"])
+    d = snap.manifest_diff(table, 1, 2)
+    touched = {snap._partition_of(f) for f in d["added"] + d["removed"]}
+    assert touched == {"o_orderstatus=F"}
+    feed = snap.read_changes(spark, table, 1, 2, ["o_orderkey"])
+    ks = {r["o_orderkey"] for r in feed.collect()}
+    assert ks == {r["o_orderkey"] for r in src.collect()}
+
+
+# --------------------------------------------------- data skipping
+
+
+def test_zone_map_pruning_skips_files_and_matches_full_scan(
+    spark, sf_dir, tmp_path
+):
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    # range-cluster by key before the write: each task's files cover a
+    # disjoint key range, so the footer zone maps are tight — the
+    # layout sources/zorder.py produces for real tables
+    snap.create_table(
+        orders.repartitionByRange(8, "o_orderkey"), table, "o_orderstatus"
+    )
+    n = orders.count()
+    lo, hi = n // 4, n // 4 + n // 10
+    kept, total = snap.plan_files(table, 1, "o_orderkey", lo, hi)
+    assert total > 8
+    assert 0 < len(kept) < total / 2  # most files skipped
+    got = _rows(snap.read_version_pruned(spark, table, "o_orderkey", lo, hi))
+    want = _rows(
+        snap.read_version(spark, table, 1).where(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        )
+    )
+    assert got == want and got
+
+
+def test_zone_maps_carry_through_commits(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(
+        orders.repartitionByRange(8, "o_orderkey"), table, "o_orderstatus"
+    )
+    src = orders.where("o_orderstatus = 'F' and o_orderkey % 9 = 0").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") + 5.0, 2).alias("o_totalprice"),
+    )
+    snap.merge_version(spark, table, src, ["o_orderkey"])
+    m = snap._read_manifest(table, 2)
+    # every live file (carried AND rewritten) still has zone maps
+    assert set(m["stats"]) == set(m["files"])
+    assert all("o_orderkey" in s for s in m["stats"].values())
+    lo, hi = 1, 50
+    got = _rows(snap.read_version_pruned(spark, table, "o_orderkey", lo, hi, 2))
+    want = _rows(
+        snap.read_version(spark, table, 2).where(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        )
+    )
+    assert got == want
+
+
+def test_pruned_read_empty_range_returns_no_rows(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    df = snap.read_version_pruned(
+        spark, table, "o_orderkey", 10**12, 10**12 + 5
+    )
+    assert df.count() == 0
