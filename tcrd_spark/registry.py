@@ -60,6 +60,7 @@ PRIORITY = (
     "mixture_token_budget",
     "url_filter",
     "snapshot_changes",
+    "dq_expectations",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -87,10 +88,10 @@ PRIORITY = (
     "bridge_m2n_join",
     "corpus_clean",
     "decile_bucketing",
-    "dedup_composite_key",
     # ---- past the driver's 50-query cap (position 51+): every entry
     # holds a green driver CORRECTNESS row from a prior round under
     # unchanged code ----
+    "dedup_composite_key",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -252,7 +253,7 @@ def _collect():
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
-                    "sources.snapshots",
+                    "sources.snapshots", "quality.expectations",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
