@@ -61,6 +61,7 @@ PRIORITY = (
     "url_filter",
     "snapshot_changes",
     "dq_expectations",
+    "embedding_covariance",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -87,10 +88,10 @@ PRIORITY = (
     "beans_counts",
     "bridge_m2n_join",
     "corpus_clean",
-    "decile_bucketing",
     # ---- past the driver's 50-query cap (position 51+): every entry
     # holds a green driver CORRECTNESS row from a prior round under
     # unchanged code ----
+    "decile_bucketing",
     "dedup_composite_key",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
@@ -248,6 +249,7 @@ def _collect():
                     "pipeline.html", "pipeline.lm3", "pipeline.budget",
                     "pipeline.urlfilter",
                     "pipeline.splits", "pipeline.chunker",
+                    "pipeline.linalg",
                     "pipeline.clf_gate",
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.pooling", "pipeline.containment",
