@@ -62,6 +62,7 @@ PRIORITY = (
     "snapshot_changes",
     "dq_expectations",
     "embedding_covariance",
+    "tokenizer_fertility",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -87,10 +88,10 @@ PRIORITY = (
     "asof_join_segmented",
     "beans_counts",
     "bridge_m2n_join",
-    "corpus_clean",
     # ---- past the driver's 50-query cap (position 51+): every entry
     # holds a green driver CORRECTNESS row from a prior round under
     # unchanged code ----
+    "corpus_clean",
     "decile_bucketing",
     "dedup_composite_key",
     "dedup_embedding_cosine",
@@ -249,7 +250,7 @@ def _collect():
                     "pipeline.html", "pipeline.lm3", "pipeline.budget",
                     "pipeline.urlfilter",
                     "pipeline.splits", "pipeline.chunker",
-                    "pipeline.linalg",
+                    "pipeline.linalg", "pipeline.fertility",
                     "pipeline.clf_gate",
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.pooling", "pipeline.containment",
