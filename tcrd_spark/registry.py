@@ -63,6 +63,7 @@ PRIORITY = (
     "dq_expectations",
     "embedding_covariance",
     "tokenizer_fertility",
+    "incremental_orders_agg",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -87,10 +88,10 @@ PRIORITY = (
     "anti_join_notfnd",
     "asof_join_segmented",
     "beans_counts",
-    "bridge_m2n_join",
     # ---- past the driver's 50-query cap (position 51+): every entry
     # holds a green driver CORRECTNESS row from a prior round under
     # unchanged code ----
+    "bridge_m2n_join",
     "corpus_clean",
     "decile_bucketing",
     "dedup_composite_key",
@@ -256,7 +257,8 @@ def _collect():
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
-                    "sources.snapshots", "quality.expectations",
+                    "sources.snapshots", "sources.incremental",
+                    "quality.expectations",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
