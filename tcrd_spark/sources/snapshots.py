@@ -186,7 +186,16 @@ def read_version(
     m = _read_manifest(table_dir, v)
     base = _data_dir(table_dir)
     paths = [os.path.join(base, rel) for rel in m["files"]]
-    df = spark.read.option("basePath", base).parquet(*paths)
+    # mergeSchema: files from before a column was added (schema
+    # evolution via append_version(merge_schema=True)) surface the
+    # missing column as NULL. A production manifest would persist the
+    # full schema and skip the footer merge; the semantics are the
+    # same.
+    df = (
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
     # hive reads surface the partition column last; restore the
     # committed column order so a snapshot read is schema-stable
     return df.select(*m["columns"])
@@ -248,13 +257,19 @@ def append_version(
     table_dir: str,
     df: DataFrame,
     txn_id: int | None = None,
+    merge_schema: bool = False,
 ) -> int | None:
     """Append-only commit: new files land, every existing file carries
     forward by reference. ``txn_id`` makes the commit IDEMPOTENT — the
     Delta txnAppId/txnVersion pattern: if any manifest already records
     this txn_id, the commit is a no-op (returns None). That is exactly
     what an at-least-once streaming sink needs: a replayed micro-batch
-    re-offers the same txn_id and is skipped instead of duplicated."""
+    re-offers the same txn_id and is skipped instead of duplicated.
+
+    ``merge_schema=True`` is additive schema evolution (Delta's
+    mergeSchema): the frame may carry NEW columns (it must still hold
+    every existing one); they append to the committed column order,
+    and snapshots containing pre-evolution files read them as NULL."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -264,12 +279,23 @@ def append_version(
                 return None  # already committed: replay is a no-op
     cur_v = vs[-1]
     m = _read_manifest(table_dir, cur_v)
+    cols = m["columns"]
+    extra = [c for c in df.columns if c not in cols]
+    if extra and not merge_schema:
+        raise ValueError(
+            f"append has columns the table lacks {extra}; pass "
+            "merge_schema=True for additive evolution"
+        )
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"append is missing table columns {missing}")
+    cols = cols + extra if merge_schema else cols
     new_files, new_stats = _stage_files(
-        df.select(*m["columns"]), table_dir, m["part_col"], cur_v + 1
+        df.select(*cols), table_dir, m["part_col"], cur_v + 1
     )
     _commit(table_dir, {
         "version": cur_v + 1, "parent": cur_v, "op": "append",
-        "part_col": m["part_col"], "columns": m["columns"],
+        "part_col": m["part_col"], "columns": cols,
         "txn_id": txn_id, "files": sorted(m["files"] + new_files),
         "stats": {**m.get("stats", {}), **new_stats},
     })

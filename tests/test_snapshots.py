@@ -424,3 +424,54 @@ def test_pruned_read_empty_range_returns_no_rows(spark, sf_dir, tmp_path):
         spark, table, "o_orderkey", 10**12, 10**12 + 5
     )
     assert df.count() == 0
+
+
+# ----------------------------------------------- schema evolution
+
+
+def test_additive_schema_evolution(spark, sf_dir, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    evolved = orders.limit(3).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+        F.lit("round8").alias("batch_tag"),
+    )
+    # unflagged evolution is refused loudly
+    with pytest.raises(ValueError, match="merge_schema"):
+        snap.append_version(table, evolved)
+    v = snap.append_version(table, evolved, merge_schema=True)
+    latest = snap.read_version(spark, table, v)
+    assert latest.columns[-1] == "batch_tag"
+    tags = {
+        r["batch_tag"]
+        for r in latest.where("o_orderkey >= 1000000000").collect()
+    }
+    assert tags == {"round8"}
+    # pre-evolution rows surface NULL in the new column
+    assert (
+        latest.where("o_orderkey < 1000000000")
+        .where(F.col("batch_tag").isNotNull()).count() == 0
+    )
+    # the pre-evolution snapshot is untouched: still three columns
+    assert snap.read_version(spark, table, 1).columns == [
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ]
+    # CDC across an evolution boundary refuses (stable-schema contract)
+    with pytest.raises(ValueError, match="stable schema"):
+        snap.read_changes(spark, table, 1, v, ["o_orderkey"])
+
+
+def test_append_missing_column_is_refused(spark, sf_dir, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    with pytest.raises(ValueError, match="missing table columns"):
+        snap.append_version(
+            table, orders.limit(1).drop("o_totalprice")
+        )
