@@ -1,0 +1,192 @@
+"""The versioned lake as a Structured-Streaming SOURCE — a custom
+PySpark (4.x) Python DataSource whose offsets are COMMIT VERSIONS.
+
+`streaming/web_ingest.py` and `snapshots.streaming_snapshot_append`
+put streams INTO the lake; this is the other half (Delta's streaming
+source): a downstream job tails a versioned table and receives each
+append commit's files as one micro-batch, exactly once, resuming from
+the checkpointed version offset after a restart.
+
+Semantics (mirrors Delta's defaults):
+
+- offsets are ``{"version": N}`` = "commits through N consumed"; the
+  initial offset is ``startingVersion`` (default 0 = from the table's
+  beginning — a backfill-then-tail read);
+- each micro-batch covers versions (start, end]; its input partitions
+  are the data FILES those commits ADDED (manifest diff vs parent),
+  one partition per file — natural parallelism, no directory listing;
+- a non-append commit (merge/optimize rewrite) is NOT representable
+  as an append delta: the reader RAISES unless
+  ``skipChangeCommits=true`` (Delta's option of the same name), in
+  which case rewrite commits are passed over and only append commits
+  feed the stream;
+- readers run executor-side on parquet footer+data via pyarrow and
+  re-attach the hive partition value from the file path; rows reach
+  Spark as Arrow batches (no per-row Python).
+
+100 TB shape: offset bookkeeping is one JSON manifest read per
+trigger; per-batch work ∝ the files the tailed commits added. This is
+the engine-level CDC-pipeline pattern: producer commits snapshots,
+consumers tail versions — nobody rescans the table.
+
+Reference parity: none (extension; SURVEY §2.11 streaming, with
+sources/snapshots.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, part_col: str, part_val: str,
+                 columns: list[str]):
+        self.path = path
+        self.part_col = part_col
+        self.part_val = part_val
+        self.columns = columns
+
+
+def _manifest(table_dir: str, version: int) -> dict:
+    p = os.path.join(table_dir, "_manifests", f"v{version:05d}.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+def _versions(table_dir: str) -> list[int]:
+    import glob
+
+    return sorted(
+        int(os.path.basename(q)[1:-5])
+        for q in glob.glob(
+            os.path.join(table_dir, "_manifests", "v*.json")
+        )
+    )
+
+
+def _arrow_ddl(table_dir: str) -> str:
+    """Schema DDL from the newest manifest's column order + a data
+    file's footer types; the hive partition column surfaces as
+    STRING (its value lives in the path, not the file)."""
+    import pyarrow.parquet as pq
+
+    vs = _versions(table_dir)
+    m = _manifest(table_dir, vs[-1])
+    sample = os.path.join(table_dir, "data", m["files"][0])
+    sch = pq.ParquetFile(sample).schema_arrow
+    mapping = {}
+    for field in sch:
+        t = field.type
+        import pyarrow as pa
+
+        if pa.types.is_int64(t):
+            ddl = "bigint"
+        elif pa.types.is_int32(t):
+            ddl = "int"
+        elif pa.types.is_float64(t):
+            ddl = "double"
+        elif pa.types.is_float32(t):
+            ddl = "float"
+        elif pa.types.is_boolean(t):
+            ddl = "boolean"
+        elif pa.types.is_timestamp(t):
+            ddl = "timestamp"
+        else:
+            ddl = "string"
+        mapping[field.name] = ddl
+    mapping[m["part_col"]] = "string"
+    return ", ".join(f"{c} {mapping[c]}" for c in m["columns"])
+
+
+class LakeCommitsStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        # Spark hands options through a case-insensitive map that
+        # lower-cases keys — normalize before lookup
+        opts = {k.lower(): v for k, v in options.items()}
+        self._table = opts["path"]
+        self._skip_changes = (
+            str(opts.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        self._start = int(opts.get("startingversion", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self._table)
+        return {"version": vs[-1] if vs else self._start}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[_FilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            m = _manifest(self._table, v)
+            if m["op"] not in ("create", "append"):
+                if self._skip_changes:
+                    continue
+                raise ValueError(
+                    f"version {v} is a '{m['op']}' commit — a rewrite "
+                    "is not an append delta; set "
+                    "skipChangeCommits=true to pass over it"
+                )
+            parent = m.get("parent")
+            prev = set(
+                _manifest(self._table, parent)["files"]
+            ) if parent else set()
+            for rel in m["files"]:
+                if rel in prev:
+                    continue
+                part_dir = os.path.dirname(rel)
+                val = part_dir.split("=", 1)[1]
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self._table, "data", rel),
+                        m["part_col"],
+                        val,
+                        m["columns"],
+                    )
+                )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        arrays, names = [], []
+        for c in partition.columns:
+            if c == partition.part_col:
+                arrays.append(
+                    pa.array([partition.part_val] * n, type=pa.string())
+                )
+            else:
+                arrays.append(tbl.column(c).combine_chunks())
+            names.append(c)
+        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LakeCommitsDataSource(DataSource):
+    """spark.readStream.format("tcrd_lake_commits")
+    .option("path", table_dir).load() after
+    spark.dataSource.register(LakeCommitsDataSource)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tcrd_lake_commits"
+
+    def schema(self) -> str:
+        return _arrow_ddl(self.options["path"])
+
+    def streamReader(self, schema):
+        return LakeCommitsStreamReader(dict(self.options))
