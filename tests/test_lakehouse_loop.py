@@ -1,0 +1,98 @@
+"""End-to-end lakehouse loop: a producer STREAM commits micro-batch
+snapshots into the versioned table (exactly-once txn appends), a
+consumer STREAM tails the commit log (LakeCommitsDataSource) and
+maintains a grouped aggregate — which must equal a full recompute of
+the latest snapshot. Producer and consumer never coordinate beyond
+the manifest log."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from tcrd_spark.sources import snapshots as snap
+from tcrd_spark.streaming.lake_source import LakeCommitsDataSource
+
+SCHEMA = StructType([
+    StructField("o_orderkey", LongType()),
+    StructField("o_orderstatus", StringType()),
+    StructField("o_totalprice", DoubleType()),
+])
+
+
+def test_producer_consumer_loop(spark, tmp_path):
+    table = str(tmp_path / "t")
+    src = tmp_path / "src"
+    src.mkdir()
+    seed = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0)], SCHEMA
+    )
+    snap.create_table(seed, table, "o_orderstatus")
+    spark.dataSource.register(LakeCommitsDataSource)
+
+    def write_chunk(name, rows):
+        p = os.path.join(str(src), f"{name}.json")
+        with open(p + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(p + ".tmp", p)
+
+    write_chunk("a", [
+        {"o_orderkey": 10 + i, "o_orderstatus": "OF"[i % 2],
+         "o_totalprice": float(i)} for i in range(6)
+    ])
+    write_chunk("b", [
+        {"o_orderkey": 100 + i, "o_orderstatus": "P",
+         "o_totalprice": 2.0 * i} for i in range(4)
+    ])
+
+    # producer: file stream -> one snapshot commit per micro-batch
+    producer = snap.streaming_snapshot_append(
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1).json(str(src)),
+        table,
+        str(tmp_path / "ckpt_prod"),
+    )
+    try:
+        producer.processAllAvailable()
+    finally:
+        producer.stop()
+    assert len(snap.versions(table)) >= 3  # seed + 2 commits
+
+    # consumer: tail the commit log, maintain count/sum per status
+    state: dict[str, list[float]] = {}
+
+    def fold(df, _bid):
+        for r in df.collect():
+            s = state.setdefault(r["o_orderstatus"], [0, 0.0])
+            s[0] += 1
+            s[1] += r["o_totalprice"]
+
+    consumer = (
+        spark.readStream.format("tcrd_lake_commits")
+        .option("path", table).load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cons"))
+        .start()
+    )
+    try:
+        consumer.processAllAvailable()
+    finally:
+        consumer.stop()
+
+    want = {
+        r["o_orderstatus"]: (r["n"], r["s"])
+        for r in snap.read_version(spark, table)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    assert set(state) == set(want)
+    for k, (n, s) in want.items():
+        assert state[k][0] == n
+        assert abs(state[k][1] - s) < 1e-9
