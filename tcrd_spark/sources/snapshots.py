@@ -375,6 +375,7 @@ def optimize_version(
     spark: SparkSession,
     table_dir: str,
     target_files_per_partition: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Delta-OPTIMIZE-style compaction AS A COMMIT: the current
     snapshot's rows are rewritten bin-packed (few files per
@@ -392,9 +393,22 @@ def optimize_version(
     cur_v = vs[-1]
     m = _read_manifest(table_dir, cur_v)
     cur = read_version(spark, table_dir, cur_v)
-    packed = cur.repartition(
-        max(1, target_files_per_partition), m["part_col"]
-    )
+    if cluster_by:
+        # OPTIMIZE ZORDER BY: the compaction commit lays rows along
+        # the Morton curve of `cluster_by`, so the freshly-harvested
+        # zone maps turn selective on every clustered column — the
+        # compaction pass is when clustering is cheapest, exactly
+        # Delta's pairing of the two
+        from tcrd_spark.sources.zorder import zorder_layout
+
+        packed = zorder_layout(
+            cur, cluster_by,
+            max(1, target_files_per_partition) * 8,
+        )
+    else:
+        packed = cur.repartition(
+            max(1, target_files_per_partition), m["part_col"]
+        )
     new_files, new_stats = _stage_files(
         packed, table_dir, m["part_col"], cur_v + 1
     )

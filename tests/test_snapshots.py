@@ -475,3 +475,44 @@ def test_append_missing_column_is_refused(spark, sf_dir, tmp_path):
         snap.append_version(
             table, orders.limit(1).drop("o_totalprice")
         )
+
+
+def test_optimize_zorder_makes_zone_maps_selective(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE ZORDER: after a clustered compaction commit, the
+    zone maps prune a narrow key-range predicate that the unclustered
+    layout could not — same rows, new layout, prior version intact."""
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    # deliberately scatter keys across files
+    snap.create_table(
+        orders.repartition(12, "o_totalprice"), table, "o_orderstatus"
+    )
+    n = orders.count()
+    lo, hi = n // 3, n // 3 + n // 20
+    kept_before, total_before = snap.plan_files(
+        table, 1, "o_orderkey", lo, hi
+    )
+    assert len(kept_before) > total_before * 0.8  # no pruning possible
+
+    v = snap.optimize_version(
+        spark, table, cluster_by=["o_orderkey", "o_totalprice"]
+    )
+    kept_after, total_after = snap.plan_files(
+        table, v, "o_orderkey", lo, hi
+    )
+    assert len(kept_after) < total_after / 2, (
+        len(kept_after), total_after
+    )
+    # data unchanged; pruned read equals unpruned filter; v1 intact
+    got = _rows(
+        snap.read_version_pruned(spark, table, "o_orderkey", lo, hi, v)
+    )
+    want = _rows(
+        snap.read_version(spark, table, 1).where(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+        )
+    )
+    assert got == want
+    assert _rows(snap.read_version(spark, table, v)) == _rows(orders)
