@@ -77,7 +77,12 @@ def _read_manifest(table_dir: str, version: int) -> dict:
 
 
 def _commit(table_dir: str, manifest: dict) -> None:
-    """Atomic manifest publish: write-temp + rename (POSIX/HDFS)."""
+    """Atomic manifest publish: write-temp + rename (POSIX/HDFS).
+    Stamps commit wall-time (`ts`, epoch seconds) unless the caller
+    provided one — the TIMESTAMP AS OF axis."""
+    import time
+
+    manifest.setdefault("ts", time.time())
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     final = _manifest_path(table_dir, manifest["version"])
     if os.path.exists(final):
@@ -158,6 +163,23 @@ def _stage_files(
     return sorted(moved), stats
 
 
+def _enforce_expectations(df: DataFrame, specs) -> None:
+    """Commit-time quality gate (the Delta CHECK-constraint shape,
+    with quality/expectations.py as the predicate language): the
+    incoming frame's one-pass verdict suite must be all-green or the
+    commit NEVER STAGES A BYTE. Cost: one aggregate pass over the
+    batch being committed — not the table."""
+    from tcrd_spark.quality.expectations import run_expectations
+
+    verdicts = run_expectations(df, specs).collect()
+    failed = [r for r in verdicts if r["passed"] != 1]
+    if failed:
+        detail = ", ".join(
+            f"{r['check_name']}(metric={r['metric']})" for r in failed
+        )
+        raise ValueError(f"commit refused — failed expectations: {detail}")
+
+
 def create_table(
     df: DataFrame, table_dir: str, part_col: str
 ) -> int:
@@ -199,6 +221,29 @@ def read_version(
     # hive reads surface the partition column last; restore the
     # committed column order so a snapshot read is schema-stable
     return df.select(*m["columns"])
+
+
+def version_as_of(table_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest version committed at or
+    before `ts` (epoch seconds). Raises if the table is younger than
+    the asked-for time."""
+    best = None
+    for v in versions(table_dir):
+        if _read_manifest(table_dir, v).get("ts", float("inf")) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version at or before ts={ts} in {table_dir}"
+        )
+    return best
+
+
+def read_as_of(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """`read_version` addressed by commit TIME instead of number —
+    'the corpus exactly as it was when run X trained'."""
+    return read_version(spark, table_dir, version_as_of(table_dir, ts))
 
 
 def plan_files(
@@ -258,6 +303,7 @@ def append_version(
     df: DataFrame,
     txn_id: int | None = None,
     merge_schema: bool = False,
+    expectations=None,
 ) -> int | None:
     """Append-only commit: new files land, every existing file carries
     forward by reference. ``txn_id`` makes the commit IDEMPOTENT — the
@@ -289,6 +335,8 @@ def append_version(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"append is missing table columns {missing}")
+    if expectations:
+        _enforce_expectations(df, expectations)
     cols = cols + extra if merge_schema else cols
     new_files, new_stats = _stage_files(
         df.select(*cols), table_dir, m["part_col"], cur_v + 1
@@ -331,6 +379,7 @@ def merge_version(
     source: DataFrame,
     keys: list[str],
     delete_condition: str | None = None,
+    expectations=None,
 ) -> int:
     """Copy-on-write MERGE commit: affected partitions (from the
     source) are read from the CURRENT snapshot, merged, rewritten as
@@ -339,6 +388,8 @@ def merge_version(
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
+    if expectations:
+        _enforce_expectations(source, expectations)
     cur_v = vs[-1]
     m = _read_manifest(table_dir, cur_v)
     part_col = m["part_col"]

@@ -516,3 +516,68 @@ def test_optimize_zorder_makes_zone_maps_selective(
     )
     assert got == want
     assert _rows(snap.read_version(spark, table, v)) == _rows(orders)
+
+
+# ------------------------------- time travel by time + commit gates
+
+
+def test_read_as_of_timestamp(spark, sf_dir, tmp_path):
+    import pytest
+
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    t1 = snap._read_manifest(table, 1)["ts"]
+    src = orders.limit(5).select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") + 9.0, 2).alias("o_totalprice"),
+    )
+    snap.merge_version(spark, table, src, ["o_orderkey"])
+    # pin deterministic, strictly-ordered commit times
+    import json as _json
+
+    m2p = snap._manifest_path(table, 2)
+    m2 = snap._read_manifest(table, 2)
+    m2["ts"] = t1 + 100.0
+    with open(m2p, "w") as f:
+        _json.dump(m2, f)
+
+    assert snap.version_as_of(table, t1) == 1
+    assert snap.version_as_of(table, t1 + 50) == 1
+    assert snap.version_as_of(table, t1 + 100) == 2
+    assert snap.version_as_of(table, t1 + 1e6) == 2
+    with pytest.raises(ValueError, match="no version"):
+        snap.version_as_of(table, t1 - 1)
+    assert _rows(snap.read_as_of(spark, table, t1 + 50)) == _rows(
+        snap.read_version(spark, table, 1)
+    )
+
+
+def test_commit_time_expectations_gate(spark, sf_dir, tmp_path):
+    import pytest
+
+    from tcrd_spark.quality import expectations as dq
+
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    suite = [
+        dq.completeness("o_totalprice"),
+        dq.min_value("o_totalprice", 0.0),
+    ]
+    bad = orders.limit(4).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    ).withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+    before = snap.versions(table)
+    with pytest.raises(ValueError, match="failed expectations: min_"):
+        snap.append_version(table, bad, expectations=suite)
+    with pytest.raises(ValueError, match="failed expectations"):
+        snap.merge_version(
+            spark, table, bad, ["o_orderkey"], expectations=suite
+        )
+    # a refused commit never stages a byte: version list unchanged
+    assert snap.versions(table) == before
+    good = orders.limit(4).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10**9
+    )
+    assert snap.append_version(table, good, expectations=suite) == 2
