@@ -380,11 +380,26 @@ def merge_version(
     keys: list[str],
     delete_condition: str | None = None,
     expectations=None,
+    granularity: str = "partition",
 ) -> int:
-    """Copy-on-write MERGE commit: affected partitions (from the
-    source) are read from the CURRENT snapshot, merged, rewritten as
-    new files; untouched partitions carry forward by reference. The
-    previous version stays readable byte-identically."""
+    """Copy-on-write MERGE commit. The previous version stays
+    readable byte-identically; untouched files carry forward by
+    reference.
+
+    ``granularity="partition"`` (default): rewrite the partitions the
+    source touches — sound with no stats, but a coarse partition
+    scheme rewrites (and later CDC-scans) far more than the change.
+
+    ``granularity="file"``: the Delta MERGE shape — rewrite ONLY the
+    files whose key ZONE MAP intersects a source key (zone maps are
+    sound: a file that could contain a matched key is always
+    rewritten; a file with no stats for the key is conservatively
+    rewritten). With a key-clustered layout (OPTIMIZE ZORDER), a
+    narrow-key batch touches a handful of files regardless of the
+    partition scheme, and the CDC feed's cost follows. The match is
+    distributed: the kilobyte file-range frame broadcast-semi-joins
+    the source's distinct keys — no driver-side key list. Single-key
+    tables only (composite keys fall back to partition granularity)."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -393,10 +408,36 @@ def merge_version(
     cur_v = vs[-1]
     m = _read_manifest(table_dir, cur_v)
     part_col = m["part_col"]
-    parts = affected_partitions(source, part_col)
-    hive = {f"{part_col}={p}" for p in parts}
-    keep = [f for f in m["files"] if _partition_of(f) not in hive]
-    touched = [f for f in m["files"] if _partition_of(f) in hive]
+    if granularity == "file" and len(keys) == 1:
+        key = keys[0]
+        stats = m.get("stats", {})
+        no_stats = [
+            f for f in m["files"] if stats.get(f, {}).get(key) is None
+        ]
+        ranged = [
+            (f, stats[f][key][0], stats[f][key][1])
+            for f in m["files"]
+            if stats.get(f, {}).get(key) is not None
+        ]
+        hit: set[str] = set()
+        if ranged:
+            rng = spark.createDataFrame(ranged, ["_f", "_lo", "_hi"])
+            hit = {
+                r["_f"]
+                for r in rng.join(
+                    F.broadcast(source.select(key).distinct()),
+                    (F.col(key) >= F.col("_lo"))
+                    & (F.col(key) <= F.col("_hi")),
+                    "left_semi",
+                ).collect()
+            }
+        touched = sorted(hit | set(no_stats))
+        keep = [f for f in m["files"] if f not in set(touched)]
+    else:
+        parts = affected_partitions(source, part_col)
+        hive = {f"{part_col}={p}" for p in parts}
+        keep = [f for f in m["files"] if _partition_of(f) not in hive]
+        touched = [f for f in m["files"] if _partition_of(f) in hive]
     base = _data_dir(table_dir)
     if touched:
         target = spark.read.option("basePath", base).parquet(
@@ -608,6 +649,10 @@ def _changes_lake(spark: SparkSession, sf_dir: str) -> str:
 
     key = os.path.realpath(sf_dir)
     path = _SNAP_LAKE_CACHE.get(key)
+    if path is not None and not os.path.isdir(
+        _manifest_dir(path)
+    ):  # externally wiped tmp dir — rebuild, don't serve a ghost
+        path = None
     if path is None:
         from tcrd_spark.sources.lake import load_table
 

@@ -581,3 +581,58 @@ def test_commit_time_expectations_gate(spark, sf_dir, tmp_path):
         "o_orderkey", F.col("o_orderkey") + 10**9
     )
     assert snap.append_version(table, good, expectations=suite) == 2
+
+
+def test_file_granular_merge_rewrites_only_intersecting_files(
+    spark, sf_dir, tmp_path
+):
+    """Delta-shape MERGE: with a key-clustered layout, a narrow-key
+    source rewrites a handful of files — and the result equals the
+    partition-granular (and full merge_frames) answer exactly."""
+    from tcrd_spark.sources.merge import merge_frames
+
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(
+        orders.repartitionByRange(12, "o_orderkey"), table,
+        "o_orderstatus",
+    )
+    n = orders.count()
+    lo = n // 2
+    src = orders.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + n // 20)
+    ).select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") + 3.0, 2).alias("o_totalprice"),
+    )
+    v = snap.merge_version(
+        spark, table, src, ["o_orderkey"], granularity="file"
+    )
+    d = snap.manifest_diff(table, 1, v)
+    total = len(snap._read_manifest(table, 1)["files"])
+    assert 0 < len(d["removed"]) <= total // 3, (len(d["removed"]), total)
+    got = _rows(snap.read_version(spark, table, v))
+    want = _rows(merge_frames(orders, src, ["o_orderkey"]))
+    assert got == want
+    # CDC over the file-granular commit reports exactly the source keys
+    feed = snap.read_changes(spark, table, 1, v, ["o_orderkey"])
+    ks = {r["o_orderkey"] for r in feed.collect()}
+    assert ks == {r["o_orderkey"] for r in src.collect()}
+
+
+def test_file_granular_merge_inserts_new_keys(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(
+        orders.repartitionByRange(6, "o_orderkey"), table, "o_orderstatus"
+    )
+    novel = spark.createDataFrame(
+        [(10**10 + 1, "O", 1.0), (10**10 + 2, "Z", 2.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    v = snap.merge_version(
+        spark, table, novel, ["o_orderkey"], granularity="file"
+    )
+    latest = snap.read_version(spark, table, v)
+    assert latest.count() == orders.count() + 2
+    assert latest.where("o_orderstatus = 'Z'").count() == 1
