@@ -636,6 +636,7 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
 # ------------------------------------------------- registered query
 
 _SNAP_LAKE_CACHE: dict[str, str] = {}
+_SNAP_LAKE_LOCK = __import__("threading").Lock()
 
 
 def _changes_lake(spark: SparkSession, sf_dir: str) -> str:
@@ -643,44 +644,52 @@ def _changes_lake(spark: SparkSession, sf_dir: str) -> str:
     orders with key % 7 != 0; v2 = COW MERGE of a source batch (key %
     3 == 0, totalprice +100, matched 'F'-status rows deleted).
     Built once per process per sf_dir (the build is the commit
-    history, not the query)."""
+    history, not the query). Serialized under a lock: the oracle
+    sweep runs queries from a thread pool, and two registered queries
+    share this lake — unsynchronized, both threads would build (and
+    rmtree) the same path concurrently."""
     import hashlib
     import tempfile
 
     key = os.path.realpath(sf_dir)
-    path = _SNAP_LAKE_CACHE.get(key)
-    if path is not None and not os.path.isdir(
-        _manifest_dir(path)
-    ):  # externally wiped tmp dir — rebuild, don't serve a ghost
-        path = None
-    if path is None:
-        from tcrd_spark.sources.lake import load_table
+    with _SNAP_LAKE_LOCK:
+        path = _SNAP_LAKE_CACHE.get(key)
+        if path is not None and not os.path.isdir(
+            _manifest_dir(path)
+        ):  # externally wiped tmp dir — rebuild, don't serve a ghost
+            path = None
+        if path is None:
+            from tcrd_spark.sources.lake import load_table
 
-        tag = hashlib.md5(f"{key}:{os.getpid()}".encode()).hexdigest()[:12]
-        path = os.path.join(
-            tempfile.gettempdir(), f"tcrd_snap_lake_{tag}", "orders"
-        )
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
-        )
-        create_table(
-            orders.filter(F.col("o_orderkey") % 7 != 0),
-            path,
-            "o_orderpriority",
-        )
-        # +100.0 not ×1.1: an IEEE-exact double op, so Spark and the
-        # DuckDB oracle agree bit-for-bit with no round-half-tie risk
-        src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
-            "o_totalprice", F.col("o_totalprice") + 100.0
-        )
-        merge_version(
-            spark, path, src, ["o_orderkey"],
-            delete_condition="s.o_orderstatus = 'F'",
-        )
-        _SNAP_LAKE_CACHE[key] = path
-    return path
+            tag = hashlib.md5(
+                f"{key}:{os.getpid()}".encode()
+            ).hexdigest()[:12]
+            path = os.path.join(
+                tempfile.gettempdir(), f"tcrd_snap_lake_{tag}", "orders"
+            )
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority",
+            )
+            create_table(
+                orders.filter(F.col("o_orderkey") % 7 != 0),
+                path,
+                "o_orderpriority",
+            )
+            # +100.0 not ×1.1: an IEEE-exact double op, so Spark and
+            # the DuckDB oracle agree bit-for-bit with no
+            # round-half-tie risk
+            src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 100.0
+            )
+            merge_version(
+                spark, path, src, ["o_orderkey"],
+                delete_condition="s.o_orderstatus = 'F'",
+            )
+            _SNAP_LAKE_CACHE[key] = path
+        return path
 
 
 def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
