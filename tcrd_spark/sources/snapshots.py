@@ -553,6 +553,10 @@ def read_changes(
     value never changes across commits (the COW-merge contract — a
     partition-moving update would strand the old copy in a carried
     file this read never opens)."""
+    if v_from >= v_to:
+        raise ValueError(
+            f"read_changes requires v_from < v_to, got {v_from} >= {v_to}"
+        )
     ma = _read_manifest(table_dir, v_from)
     mb = _read_manifest(table_dir, v_to)
     if ma["columns"] != mb["columns"]:

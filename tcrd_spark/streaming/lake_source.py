@@ -79,7 +79,11 @@ def _arrow_ddl(table_dir: str) -> str:
 
     vs = _versions(table_dir)
     m = _manifest(table_dir, vs[-1])
-    sample = os.path.join(table_dir, "data", m["files"][0])
+    # sample the NEWEST file (version-tagged basenames sort by
+    # commit): after additive schema evolution, only files from the
+    # evolving commit onward carry every current column
+    newest = max(m["files"], key=os.path.basename)
+    sample = os.path.join(table_dir, "data", newest)
     sch = pq.ParquetFile(sample).schema_arrow
     mapping = {}
     for field in sch:
@@ -116,6 +120,13 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
             == "true"
         )
         self._start = int(opts.get("startingversion", 0))
+        vs = _versions(self._table)
+        # the stream's schema is fixed at start (the latest manifest);
+        # a commit with different columns is a schema-evolution
+        # boundary the fixed-schema stream cannot cross
+        self._cols = (
+            _manifest(self._table, vs[-1])["columns"] if vs else None
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -128,6 +139,13 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _manifest(self._table, v)
+            if self._cols is not None and m["columns"] != self._cols:
+                raise ValueError(
+                    f"version {v} has columns {m['columns']} but the "
+                    f"stream's schema was fixed at {self._cols} — "
+                    "restart the stream to cross a schema-evolution "
+                    "boundary (Delta's contract)"
+                )
             if m["op"] not in ("create", "append"):
                 if self._skip_changes:
                     continue

@@ -125,3 +125,25 @@ def test_rewrite_commits_refused_then_skipped(spark, sf_dir, tmp_path):
         for r in _shift(seed.limit(2), 10**9).collect()
     }
     assert set(got2) == want and len(got2) == len(want)
+
+
+def test_schema_evolution_boundary_stops_the_stream(
+    spark, sf_dir, tmp_path
+):
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    table = str(tmp_path / "t")
+    seed = _orders(spark, sf_dir, n=10)
+    _mk(spark, table, seed)
+    evolved = _shift(seed.limit(2), 10**9).withColumn(
+        "batch_tag", F.lit("x")
+    )
+    snap.append_version(table, evolved, merge_schema=True)
+    _got, sink = _collector()
+    with pytest.raises(StreamingQueryException, match="schema-evolution"):
+        q = _start(spark, table, str(tmp_path / "c"), sink)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
