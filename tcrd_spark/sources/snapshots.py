@@ -148,13 +148,20 @@ def _stage_files(
     df.write.partitionBy(part_col).mode("overwrite").parquet(tmp)
     moved: list[str] = []
     stats: dict[str, dict] = {}
+    # a per-stage uuid in the data-file name: two writers staging for
+    # the same target version (optimistic-append race) must never
+    # rename onto each other's files — the version tag is provenance,
+    # the uuid is the uniqueness guarantee
+    stage_tag = uuid.uuid4().hex[:8]
     for src in glob.glob(
         os.path.join(tmp, f"{part_col}=*", "*.parquet")
     ):
         part = os.path.basename(os.path.dirname(src))
         dest_dir = os.path.join(_data_dir(table_dir), part)
         os.makedirs(dest_dir, exist_ok=True)
-        rel = os.path.join(part, f"v{version:05d}-{len(moved):04d}.parquet")
+        rel = os.path.join(
+            part, f"v{version:05d}-{stage_tag}-{len(moved):04d}.parquet"
+        )
         dest = os.path.join(_data_dir(table_dir), rel)
         os.rename(src, dest)
         stats[rel] = _file_stats(dest)
@@ -341,13 +348,39 @@ def append_version(
     new_files, new_stats = _stage_files(
         df.select(*cols), table_dir, m["part_col"], cur_v + 1
     )
-    _commit(table_dir, {
-        "version": cur_v + 1, "parent": cur_v, "op": "append",
-        "part_col": m["part_col"], "columns": cols,
-        "txn_id": txn_id, "files": sorted(m["files"] + new_files),
-        "stats": {**m.get("stats", {}), **new_stats},
-    })
-    return cur_v + 1
+    # Optimistic concurrency (the Delta conflict-resolution rule for
+    # blind appends): if another writer commits first, an append
+    # conflicts with NOTHING — its staged files are disjoint by
+    # construction — so re-read the current manifest and re-offer the
+    # commit on top. Only the manifest CAS retries; data files are
+    # staged once. (Concurrent MERGEs are write conflicts and keep
+    # the loud FileExistsError — the caller must re-run the merge.)
+    while True:
+        base_m = _read_manifest(table_dir, versions(table_dir)[-1])
+        if base_m["columns"] != m["columns"]:
+            raise ValueError(
+                "concurrent schema change during append — re-run the "
+                "append against the evolved table"
+            )
+        v_next = base_m["version"] + 1
+        if txn_id is not None and any(
+            _read_manifest(table_dir, v).get("txn_id") == txn_id
+            for v in versions(table_dir)
+        ):
+            return None  # the race was with our own replay
+        try:
+            _commit(table_dir, {
+                "version": v_next, "parent": base_m["version"],
+                "op": "append",
+                "part_col": base_m["part_col"],
+                "columns": cols if merge_schema else base_m["columns"],
+                "txn_id": txn_id,
+                "files": sorted(base_m["files"] + new_files),
+                "stats": {**base_m.get("stats", {}), **new_stats},
+            })
+            return v_next
+        except FileExistsError:
+            continue  # lost the CAS — rebase on the new current
 
 
 def streaming_snapshot_append(

@@ -636,3 +636,46 @@ def test_file_granular_merge_inserts_new_keys(spark, sf_dir, tmp_path):
     latest = snap.read_version(spark, table, v)
     assert latest.count() == orders.count() + 2
     assert latest.where("o_orderstatus = 'Z'").count() == 1
+
+
+def test_concurrent_appends_both_land(spark, sf_dir, tmp_path):
+    """Optimistic concurrency: two appends racing for the same
+    version both commit (the loser rebases its manifest CAS on the
+    winner); every row lands exactly once across two new versions."""
+    import threading
+
+    table = str(tmp_path / "t")
+    orders = _orders(spark, sf_dir)
+    snap.create_table(orders, table, "o_orderstatus")
+    a = orders.limit(4).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    ).collect()
+    b = orders.limit(4).select(
+        (F.col("o_orderkey") + 2 * 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    ).collect()
+    dfa = spark.createDataFrame(a, orders.schema)
+    dfb = spark.createDataFrame(b, orders.schema)
+
+    # force the race: stage both, then commit through a barrier
+    results, errs = [], []
+    barrier = threading.Barrier(2)
+
+    def appender(df):
+        try:
+            barrier.wait(timeout=60)
+            results.append(snap.append_version(table, df))
+        except Exception as e:  # noqa: BLE001 — surface in the assert
+            errs.append(e)
+
+    t1 = threading.Thread(target=appender, args=(dfa,))
+    t2 = threading.Thread(target=appender, args=(dfb,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert sorted(results) == [2, 3]
+    latest = snap.read_version(spark, table)
+    assert latest.count() == orders.count() + 8
+    ks = {r["o_orderkey"] for r in latest.collect()}
+    for r in a + b:
+        assert r["o_orderkey"] in ks
