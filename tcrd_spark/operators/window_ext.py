@@ -39,7 +39,47 @@ def rank_functions(
     )
 
 
+LOOKBACK_S = 3600
+
+
+def range_interval_rollup(
+    events: DataFrame, user_col: str, ts_col: str, id_col: str,
+    val_col: str, lookback_s: int = LOOKBACK_S,
+) -> DataFrame:
+    """Per event: sum/count of the SAME USER's values within the
+    trailing `lookback_s` seconds — a RANGE (value-based) frame, the
+    window feature ROWS frames can't express when events are
+    irregularly spaced (velocity checks, rate limits, trailing
+    exposure). One user-keyed exchange; the frame is evaluated over
+    the sorted run, never materialized. Ties share the frame by VALUE
+    (RANGE semantics) so no tie-break is needed for determinism."""
+    epoch = F.col(ts_col).cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(epoch.alias("_ep"))
+        .rangeBetween(-lookback_s, 0)
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        epoch.alias("epoch_s"),
+        F.round(F.sum(val_col).over(w), 4).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+
+
 # ------------------------------------------------- registered query
+
+
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-user value rollup over the events stream —
+    the RANGE-frame complement to the ROWS-frame rolling_anomaly."""
+    from tcrd_spark.sources.lake import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return range_interval_rollup(
+        events, "user_id", "ts", "event_id", "value", LOOKBACK_S
+    )
 
 
 def q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +99,10 @@ def q_window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"window_rank_funcs": q_window_rank_funcs}
+QUERIES = {
+    "window_rank_funcs": q_window_rank_funcs,
+    "window_range_interval": q_window_range_interval,
+}
 
 ORACLE = {
     "window_rank_funcs": f"""
@@ -79,5 +122,15 @@ ORACLE = {
         FROM o
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY price, o_orderkey)
+    """,
+    "window_range_interval": f"""
+        SELECT event_id, user_id,
+               epoch(ts) AS epoch_s,
+               round(sum(value) OVER w, 4) AS trail_sum,
+               count(*) OVER w AS trail_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN {LOOKBACK_S} PRECEDING
+                     AND CURRENT ROW)
     """,
 }
