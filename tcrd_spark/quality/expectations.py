@@ -153,6 +153,47 @@ def run_expectations(df: DataFrame, specs: list[dict]) -> DataFrame:
     )
 
 
+def run_group_expectations(
+    df: DataFrame, group_col: str, specs: list[dict]
+) -> DataFrame:
+    """Per-slice verdicts: the same one-pass compilation, grouped —
+    each (slice, check) gets its own metric and pass/fail. This is
+    how ingest monitors catch a REGIONAL failure a global average
+    hides (one language's completeness collapsing while the corpus
+    mean barely moves). Still ONE aggregate over one scan; output is
+    |slices| × |checks| rows."""
+    metrics = df.groupBy(group_col).agg(
+        *[s["metric"]().alias(f"_m{i}") for i, s in enumerate(specs)]
+    )
+    rows = metrics.select(
+        F.col(group_col).alias("slice"),
+        F.expr(
+            "stack({n}, {args}) AS (check_name, column_name, metric)".format(
+                n=len(specs),
+                args=", ".join(
+                    f"'{s['name']}', '{s['column']}', _m{i}"
+                    for i, s in enumerate(specs)
+                ),
+            )
+        ),
+    )
+    passed = None
+    for s in specs:
+        arm = s["passed"](F.col("metric"))
+        cond = F.col("check_name") == s["name"]
+        passed = (
+            F.when(cond, arm) if passed is None
+            else passed.when(cond, arm)
+        )
+    return rows.select(
+        "slice",
+        "check_name",
+        "column_name",
+        F.round("metric", 6).alias("metric"),
+        passed.cast("int").alias("passed"),
+    )
+
+
 # ------------------------------------------------- registered query
 
 _ORDERS_SUITE = (
@@ -178,7 +219,30 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dq_expectations": q_dq_expectations}
+_DOCS_SUITE = (
+    lambda: [
+        row_count_min(1),
+        completeness("text"),
+        uniqueness("doc_id"),
+        min_value("n_chars", 0.0),
+    ]
+)
+
+
+def q_dq_group_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table's quality suite PER LANGUAGE — the slice
+    view that catches a single language's pipeline breaking."""
+    from tcrd_spark.sources.lake import load_table
+
+    return run_group_expectations(
+        load_table(spark, sf_dir, "documents"), "lang", _DOCS_SUITE()
+    )
+
+
+QUERIES = {
+    "dq_expectations": q_dq_expectations,
+    "dq_group_expectations": q_dq_group_expectations,
+}
 
 
 def _oracle() -> str:
@@ -198,4 +262,27 @@ def _oracle() -> str:
     return f"WITH a AS (SELECT {m_cols} FROM orders)\n{arms}"
 
 
-ORACLE = {"dq_expectations": _oracle()}
+def _group_oracle() -> str:
+    specs = _DOCS_SUITE()
+    m_cols = ", ".join(
+        f"{s['sql_metric']} AS _m{i}" for i, s in enumerate(specs)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT slice, '{s['name']}' AS check_name,
+               '{s['column']}' AS column_name,
+               round(_m{i}, 6) AS metric,
+               CASE WHEN {s['sql_passed'].replace('m ', f'_m{i} ')}
+                    THEN 1 ELSE 0 END AS passed
+        FROM a"""
+        for i, s in enumerate(specs)
+    )
+    return (
+        f"WITH a AS (SELECT lang AS slice, {m_cols} "
+        f"FROM documents GROUP BY lang)\n{arms}"
+    )
+
+
+ORACLE = {
+    "dq_expectations": _oracle(),
+    "dq_group_expectations": _group_oracle(),
+}

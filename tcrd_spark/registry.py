@@ -65,6 +65,7 @@ PRIORITY = (
     "tokenizer_fertility",
     "incremental_orders_agg",
     "window_range_interval",
+    "dq_group_expectations",
     # (e) filler — the full r4 tier (oldest greens in the registry)
     "ann_bruteforce",
     "ann_ivf",
@@ -87,10 +88,10 @@ PRIORITY = (
     "window_sliding",
     # (e) filler — oldest r5 greens
     "anti_join_notfnd",
-    "asof_join_segmented",
     # ---- past the driver's 50-query cap (position 51+): every entry
     # holds a green driver CORRECTNESS row from a prior round under
     # unchanged code ----
+    "asof_join_segmented",
     "beans_counts",
     "bridge_m2n_join",
     "corpus_clean",

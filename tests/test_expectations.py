@@ -68,3 +68,41 @@ def test_suite_is_one_scan(spark, sf_dir):
     out = dq.run_expectations(load_table(spark, sf_dir, "orders"), _suite())
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_group_expectations_catch_a_single_bad_slice(spark, sf_dir):
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    # break ONE language: null texts appended only for 'de'
+    bad = docs.where("lang = 'de'").limit(5).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        "lang", "n_chars",
+    )
+    dirty = docs.unionByName(bad)
+    out = dq.run_group_expectations(
+        dirty, "lang",
+        [dq.completeness("text"), dq.uniqueness("doc_id")],
+    )
+    v = {
+        (r["slice"], r["check_name"]): r["passed"]
+        for r in out.collect()
+    }
+    assert v[("de", "completeness_text")] == 0
+    for (slc, chk), p in v.items():
+        if slc != "de":
+            assert p == 1, (slc, chk)
+
+
+def test_group_suite_is_one_scan(spark, sf_dir):
+    from tcrd_spark.sources.lake import load_table
+
+    out = dq.run_group_expectations(
+        load_table(spark, sf_dir, "documents"), "lang",
+        [dq.completeness("text"), dq.min_value("n_chars", 0.0)],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
