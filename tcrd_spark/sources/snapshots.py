@@ -387,15 +387,54 @@ def streaming_snapshot_append(
     stream: DataFrame,
     table_dir: str,
     checkpoint_dir: str,
+    expectations=None,
+    quarantine_dir: str | None = None,
 ):
     """Structured-Streaming sink into a versioned table: every
     micro-batch is one append COMMIT whose txn_id is the checkpointed
     batch_id, so at-least-once foreachBatch becomes exactly-once at
     the manifest layer (a replayed batch finds its txn_id committed
     and no-ops) — and every micro-batch boundary is a time-travelable
-    snapshot for free."""
+    snapshot for free.
+
+    With `expectations` this becomes WRITE-AUDIT-PUBLISH: each
+    micro-batch's one-pass quality verdicts run BEFORE the commit; a
+    failing batch never publishes. If `quarantine_dir` is given, the
+    failing batch lands there under `batch_id=N/` (overwrite —
+    replay-idempotent) with its verdicts JSON beside it, and the
+    stream continues; without a quarantine the stream fails loudly.
+    Readers of the TABLE only ever see audited data."""
 
     def _one(batch_df: DataFrame, batch_id: int) -> None:
+        if expectations is not None:
+            from tcrd_spark.quality.expectations import run_expectations
+
+            verdicts = run_expectations(batch_df, expectations).collect()
+            failed = [r for r in verdicts if r["passed"] != 1]
+            if failed:
+                detail = ", ".join(
+                    f"{r['check_name']}(metric={r['metric']})"
+                    for r in failed
+                )
+                if quarantine_dir is None:
+                    raise ValueError(
+                        f"micro-batch {batch_id} failed expectations "
+                        f"({detail}) and no quarantine is configured"
+                    )
+                qdir = os.path.join(
+                    quarantine_dir, f"batch_id={batch_id}"
+                )
+                batch_df.write.mode("overwrite").parquet(qdir)
+                with open(
+                    os.path.join(
+                        quarantine_dir, f"verdicts-{batch_id}.json"
+                    ),
+                    "w",
+                ) as f:
+                    json.dump(
+                        [r.asDict() for r in verdicts], f, indent=1
+                    )
+                return
         append_version(table_dir, batch_df, txn_id=batch_id)
 
     return (

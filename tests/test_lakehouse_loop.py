@@ -96,3 +96,73 @@ def test_producer_consumer_loop(spark, tmp_path):
     for k, (n, s) in want.items():
         assert state[k][0] == n
         assert abs(state[k][1] - s) < 1e-9
+
+
+def test_write_audit_publish_quarantines_bad_batches(spark, tmp_path):
+    """WAP: a poisoned micro-batch never publishes — it lands in the
+    quarantine with its verdicts; clean batches commit; a restart
+    replays nothing into duplicates."""
+    import glob
+    import os
+
+    from tcrd_spark.quality import expectations as dq
+
+    table = str(tmp_path / "t")
+    src = tmp_path / "src"
+    src.mkdir()
+    qdir = str(tmp_path / "quarantine")
+    os.makedirs(qdir)
+    seed = spark.createDataFrame([(1, "O", 10.0)], SCHEMA)
+    snap.create_table(seed, table, "o_orderstatus")
+    suite = [dq.min_value("o_totalprice", 0.0)]
+
+    def write_chunk(name, rows):
+        p = os.path.join(str(src), f"{name}.json")
+        with open(p + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(p + ".tmp", p)
+
+    write_chunk("good1", [
+        {"o_orderkey": 10, "o_orderstatus": "O", "o_totalprice": 5.0}
+    ])
+    write_chunk("poison", [
+        {"o_orderkey": 20, "o_orderstatus": "F", "o_totalprice": -3.0}
+    ])
+    write_chunk("good2", [
+        {"o_orderkey": 30, "o_orderstatus": "P", "o_totalprice": 7.0}
+    ])
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        return snap.streaming_snapshot_append(
+            stream, table, str(tmp_path / "ckpt"),
+            expectations=suite, quarantine_dir=qdir,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = snap.read_version(spark, table)
+    ks = {r["o_orderkey"] for r in latest.collect()}
+    assert ks == {1, 10, 30}  # the poisoned row never published
+    quarantined = spark.read.parquet(
+        *glob.glob(os.path.join(qdir, "batch_id=*"))
+    )
+    assert {r["o_orderkey"] for r in quarantined.collect()} == {20}
+    assert glob.glob(os.path.join(qdir, "verdicts-*.json"))
+
+    # restart: nothing replays into duplicates, table unchanged
+    before = latest.count()
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snap.read_version(spark, table).count() == before
