@@ -140,3 +140,44 @@ def test_corpus_build_cli_end_to_end(spark, tmp_path, capsys):
 
     report2 = build(spark, sf_dir, out, n_shards=4)
     assert report2 == report
+
+
+def test_lake_admin_surface(spark, sf_dir, tmp_path, capsys):
+    """lake history/diff/changes/optimize/vacuum over a versioned
+    table — the DESCRIBE HISTORY / table_changes CLI shape."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.sources import snapshots as snap
+    from tcrd_spark.sources.lake import load_table
+    from tools.tcrd_query import main
+
+    table = str(tmp_path / "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(200)
+    snap.create_table(orders, table, "o_orderstatus")
+    src = orders.where("o_orderstatus = 'F'").limit(5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    snap.merge_version(spark, table, src, ["o_orderkey"])
+
+    assert main(["--lake", table, "lake", "history"]) == 0
+    out = capsys.readouterr().out
+    assert "v1\top=create" in out and "v2\top=merge" in out
+
+    assert main(["--lake", table, "lake", "diff",
+                 "--from", "1", "--to", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "added\t" in out and "carried\t" in out
+
+    assert main(["--lake", table, "lake", "changes",
+                 "--from", "1", "--to", "2",
+                 "--keys", "o_orderkey"]) == 0
+    out = capsys.readouterr().out
+    assert "update_pre" in out and "update_post" in out
+
+    assert main(["--lake", table, "lake", "optimize"]) == 0
+    assert "committed v3" in capsys.readouterr().out
+
+    assert main(["--lake", table, "lake", "vacuum", "--keep", "1"]) == 0
+    assert snap.versions(table) == [3]

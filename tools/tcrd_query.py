@@ -24,6 +24,61 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _lake_cmd(args) -> int:
+    """Versioned-table administration over the manifest log — the
+    DESCRIBE HISTORY / table_changes / OPTIMIZE / VACUUM surface."""
+    from tcrd_spark.sources import snapshots as snap
+
+    table = args.lake
+    vs = snap.versions(table)
+    if not vs:
+        print(f"no versions at {table}", file=sys.stderr)
+        return 1
+    if args.action == "history":
+        for v in vs:
+            m = snap._read_manifest(table, v)
+            print(
+                f"v{v}\top={m['op']}\tts={m.get('ts', 0):.3f}\t"
+                f"files={len(m['files'])}\tparent={m.get('parent')}"
+                + (f"\ttxn={m['txn_id']}" if m.get("txn_id") is not None
+                   else "")
+            )
+        return 0
+    v_from = args.v_from if args.v_from is not None else vs[0]
+    v_to = args.v_to if args.v_to is not None else vs[-1]
+    if args.action == "diff":
+        d = snap.manifest_diff(table, v_from, v_to)
+        for kind in ("added", "removed", "carried"):
+            for f in d[kind]:
+                print(f"{kind}\t{f}")
+        return 0
+    from tcrd_spark.session import get_spark
+
+    spark = get_spark("tcrd_query")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.action == "changes":
+        if not args.keys:
+            print("--keys required for changes", file=sys.stderr)
+            return 1
+        feed = snap.read_changes(
+            spark, table, v_from, v_to, args.keys.split(",")
+        )
+        for r in feed.orderBy(*feed.columns).collect():
+            print("\t".join(str(v) for v in r))
+        return 0
+    if args.action == "optimize":
+        cluster = args.cluster_by.split(",") if args.cluster_by else None
+        v = snap.optimize_version(spark, table, cluster_by=cluster)
+        print(f"committed v{v}")
+        return 0
+    if args.action == "vacuum":
+        removed = snap.vacuum(table, keep_versions=args.keep)
+        for f in removed:
+            print(f"removed\t{f}")
+        return 0
+    return 2
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--lake", required=True, help="parquet lake directory")
@@ -56,7 +111,27 @@ def main(argv: list[str] | None = None) -> int:
     ex = sub.add_parser("export")
     ex.add_argument("--out", default="-", help="CSV path or - for stdout")
 
+    # versioned-lake administration: here --lake is the TABLE dir
+    # (the directory create_table committed), not the sf parquet lake
+    lk = sub.add_parser(
+        "lake",
+        help="versioned-table ops; --lake is the table directory",
+    )
+    lk.add_argument(
+        "action",
+        choices=["history", "diff", "changes", "optimize", "vacuum"],
+    )
+    lk.add_argument("--from", dest="v_from", type=int, default=None)
+    lk.add_argument("--to", dest="v_to", type=int, default=None)
+    lk.add_argument("--keys", default=None, help="comma-joined key columns")
+    lk.add_argument("--keep", type=int, default=2, help="vacuum retention")
+    lk.add_argument("--cluster-by", default=None,
+                    help="comma-joined OPTIMIZE ZORDER columns")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "lake":
+        return _lake_cmd(args)
 
     from tcrd_spark.api import adaptor
     from tcrd_spark.session import get_spark
