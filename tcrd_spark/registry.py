@@ -210,6 +210,10 @@ PRIORITY = (
     "string_math_funcs",
     "json_case_funcs",
     "sessionize_skew",
+    # ---- round-8 POST-cap additions (new-query grace: module added
+    # after CORRECTNESS_r07 landed; pytest-sweep + sf0.1 check now,
+    # rotate into the r9 cap) ----
+    "resample_gapfill",
 )
 
 
@@ -240,6 +244,7 @@ def _collect():
                     "operators.attribution", "operators.triangles",
                     "operators.stats", "operators.sessions_ext",
                     "operators.window_ext", "operators.temporal_ext",
+                    "operators.timeseries",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",

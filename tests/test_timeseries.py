@@ -1,0 +1,74 @@
+"""Gapfill semantics pins (operators/timeseries.py): the dense grid
+spans each key's own observed range, LOCF carries the last rollup
+forward, the fixed-point lerp hits the exact linear values, and a
+single-observation key degenerates to one grid row."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tcrd_spark.operators.timeseries import (
+    bucket_rollup, gapfill, resample_gapfill,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _events(spark):
+    rows = [
+        # key "a": observations at hours 0, 0, 3 → grid 0..3, gaps 1-2
+        ("a", _ts(0, 10), 10.0),
+        ("a", _ts(0, 40), 20.0),
+        ("a", _ts(3, 5), 45.0),
+        # key "b": single observation → one grid row, no gaps
+        ("b", _ts(7, 30), 5.0),
+    ]
+    return spark.createDataFrame(rows, "key string, ts timestamp, v double")
+
+
+def test_bucket_rollup_averages_within_bucket(spark):
+    obs = bucket_rollup(_events(spark), "key", "ts", "v", "hour")
+    got = {(r.key, r.bucket.hour): (r.v, r.n_obs) for r in obs.collect()}
+    assert got[("a", 0)] == (15.0, 2)
+    assert got[("a", 3)] == (45.0, 1)
+    assert got[("b", 7)] == (5.0, 1)
+
+
+def test_gapfill_grid_locf_and_linear_interp(spark):
+    out = resample_gapfill(_events(spark), "key", "ts", "v", "hour")
+    rows = {(r.key, r.bucket.hour): r for r in out.collect()}
+    # grid spans exactly [min bucket, max bucket] per key
+    assert sorted(h for k, h in rows if k == "a") == [0, 1, 2, 3]
+    assert sorted(h for k, h in rows if k == "b") == [7]
+    a1, a2 = rows[("a", 1)], rows[("a", 2)]
+    assert (a1.is_gap, a2.is_gap) == (1, 1)
+    assert a1.v is None and a1.n_obs == 0
+    # LOCF carries the hour-0 rollup (15.0) across both gap hours
+    assert a1.locf_v == 15.0 and a2.locf_v == 15.0
+    # linear: 15 → 45 over 3 hours ⇒ 25 at h1, 35 at h2
+    assert a1.interp_v == 25.0 and a2.interp_v == 35.0
+    # observed rows: both fills equal the rollup value
+    a3 = rows[("a", 3)]
+    assert (a3.v, a3.locf_v, a3.interp_v, a3.is_gap) == (45.0, 45.0, 45.0, 0)
+    b = rows[("b", 7)]
+    assert (b.v, b.is_gap) == (5.0, 0)
+
+
+def test_gapfill_key_isolation(spark):
+    """Grids never leak across keys: key b has no rows in key a's
+    span and vice versa (the per-key span is the whole contract)."""
+    out = resample_gapfill(_events(spark), "key", "ts", "v", "hour")
+    assert out.filter((F.col("key") == "b") & (F.col("bucket") < _ts(7))).count() == 0
+    assert out.filter((F.col("key") == "a") & (F.col("bucket") > _ts(3))).count() == 0
+
+
+def test_gapfill_accepts_prebucketed_rollup(spark):
+    """gapfill() composes with an externally produced rollup (the
+    incremental-maintenance path: fold CDC deltas into obs, re-fill)."""
+    obs = bucket_rollup(_events(spark), "key", "ts", "v", "hour")
+    out = gapfill(obs, "key", "hour")
+    assert out.count() == 5  # 4 grid rows for a + 1 for b
