@@ -214,6 +214,7 @@ PRIORITY = (
     # after CORRECTNESS_r07 landed; pytest-sweep + sf0.1 check now,
     # rotate into the r9 cap) ----
     "resample_gapfill",
+    "drift_psi",
 )
 
 
@@ -265,7 +266,7 @@ def _collect():
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
                     "sources.snapshots", "sources.incremental",
-                    "quality.expectations",
+                    "quality.expectations", "quality.drift",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
