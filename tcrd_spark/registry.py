@@ -215,6 +215,7 @@ PRIORITY = (
     # rotate into the r9 cap) ----
     "resample_gapfill",
     "drift_psi",
+    "event_pattern_match",
 )
 
 
@@ -245,7 +246,7 @@ def _collect():
                     "operators.attribution", "operators.triangles",
                     "operators.stats", "operators.sessions_ext",
                     "operators.window_ext", "operators.temporal_ext",
-                    "operators.timeseries",
+                    "operators.timeseries", "operators.patterns",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",
