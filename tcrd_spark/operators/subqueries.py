@@ -1,0 +1,104 @@
+"""Correlated-subquery surface: ANSI scalar-correlated and NOT-EXISTS
+subqueries run through `spark.sql` — ONE SQL text, two engines.
+
+The reference's API layer issues only flat joins; its examples folder
+leans on hand-decorrelated temp tables for "compare each row to its
+group's aggregate" questions (`examples/SQL/` patterns). A modern SQL
+consumer writes the correlated form and expects the optimizer to
+decorrelate; these queries pin that Catalyst does (the
+RewriteCorrelatedScalarSubquery / RewritePredicateSubquery rules turn
+them into the aggregate-join / left-anti plans a hand-written
+DataFrame would produce — asserted by tests/test_subqueries.py, no
+per-row re-execution anywhere).
+
+The oracle strings are the IDENTICAL SQL texts: DuckDB parses and
+plans the same ANSI, so this doubles as a cross-engine SQL-dialect
+parity check for the decorrelation family.
+
+Shapes (TPC-H Q17 / Q22 skeletons over the lake tables):
+
+- `corr_scalar_below_avg`: lineitems cheaper than HALF their part's
+  own average quantity — scalar subquery correlated on p_partkey →
+  decorrelates to a per-part aggregate broadcast-joined back; the
+  "fragile parts" revenue question.
+- `corr_not_exists_idle`: above-average-balance customers with no
+  large order — uncorrelated scalar + correlated NOT EXISTS (with a
+  pushed-down inner predicate) → one aggregate scalar plus a LEFT
+  ANTI join over the filtered orders side.
+
+100 TB shape: after decorrelation both plans are the engine's normal
+agg/join machinery (map-side partial aggs, AQE-selected join
+strategies); nothing is per-row. The scalar subquery's per-part
+aggregate shuffles on the SAME key as the main join — one exchange
+feeds both.
+
+Reference parity: `examples/SQL/tinx_novelty.sql`-style group-vs-row
+questions; correlated FORM is an extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+Q17_SQL = """
+    SELECT p_brand,
+           round(sum(l_extendedprice), 4) AS lost_revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+    )
+    GROUP BY p_brand
+"""
+
+Q22_SQL = """
+    SELECT c_nationkey,
+           count(*) AS n_idle,
+           round(sum(c_acctbal), 4) AS idle_balance
+    FROM customer c
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > 300000.0
+    )
+    GROUP BY c_nationkey
+"""
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Register the lake views and run one ANSI text through Catalyst."""
+    from tcrd_spark.sources.lake import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+def q_corr_scalar_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue sitting in below-half-average-quantity lines
+    (TPC-H Q17 skeleton, correlated scalar subquery)."""
+    return run_sql(spark, sf_dir, Q17_SQL)
+
+
+def q_corr_not_exists_idle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no large order, per
+    nation (TPC-H Q22 skeleton: uncorrelated scalar + correlated
+    NOT EXISTS)."""
+    return run_sql(spark, sf_dir, Q22_SQL)
+
+
+QUERIES = {
+    "corr_scalar_below_avg": q_corr_scalar_below_avg,
+    "corr_not_exists_idle": q_corr_not_exists_idle,
+}
+
+# the SAME texts verbatim — the whole point
+ORACLE = {
+    "corr_scalar_below_avg": Q17_SQL,
+    "corr_not_exists_idle": Q22_SQL,
+}

@@ -216,6 +216,8 @@ PRIORITY = (
     "resample_gapfill",
     "drift_psi",
     "event_pattern_match",
+    "corr_scalar_below_avg",
+    "corr_not_exists_idle",
 )
 
 
@@ -247,6 +249,7 @@ def _collect():
                     "operators.stats", "operators.sessions_ext",
                     "operators.window_ext", "operators.temporal_ext",
                     "operators.timeseries", "operators.patterns",
+                    "operators.subqueries",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",
