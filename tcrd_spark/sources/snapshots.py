@@ -77,7 +77,14 @@ def _read_manifest(table_dir: str, version: int) -> dict:
 
 
 def _commit(table_dir: str, manifest: dict) -> None:
-    """Atomic manifest publish: write-temp + rename (POSIX/HDFS).
+    """Atomic EXCLUSIVE manifest publish: write-temp, then hard-LINK
+    to the final name. link(2) fails with EEXIST if the version is
+    already committed — a true compare-and-swap, where check-then-
+    rename is not: POSIX rename silently REPLACES, so two racers could
+    both pass the exists() check and the loser would clobber the
+    winner's manifest (both "winning" the same version and dropping
+    the winner's files from history). Readers still only ever see a
+    complete manifest (the link appears atomically, fully written).
     Stamps commit wall-time (`ts`, epoch seconds) unless the caller
     provided one — the TIMESTAMP AS OF axis."""
     import time
@@ -85,15 +92,18 @@ def _commit(table_dir: str, manifest: dict) -> None:
     manifest.setdefault("ts", time.time())
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     final = _manifest_path(table_dir, manifest["version"])
-    if os.path.exists(final):
-        raise FileExistsError(
-            f"version {manifest['version']} already committed "
-            f"(concurrent writer?): {final}"
-        )
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)  # atomic CAS: EEXIST ⇒ lost the race
+    except FileExistsError:
+        raise FileExistsError(
+            f"version {manifest['version']} already committed "
+            f"(concurrent writer?): {final}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _partition_of(relpath: str) -> str:
