@@ -91,6 +91,8 @@ BNLJ_OK = {
                                 # broadcast label totals + 1-row LM V
     "web_pipeline",             # ccnet stage: 1-row LM vocab V rides
                                 # a cross join (same as ccnet_buckets)
+    "drift_psi",                # 1-row min/max/total stats ride cross
+                                # joins over the data and the S×B grid
 }
 
 
