@@ -218,6 +218,7 @@ PRIORITY = (
     "event_pattern_match",
     "corr_scalar_below_avg",
     "corr_not_exists_idle",
+    "incremental_join_agg",
 )
 
 
@@ -270,6 +271,7 @@ def _collect():
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
                     "sources.snapshots", "sources.incremental",
+                    "sources.incremental_join",
                     "quality.expectations", "quality.drift",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
