@@ -167,10 +167,16 @@ def resample_gapfill(
 
 def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-user value series over the events stream, densified
-    with LOCF + linear interpolation across the silent hours."""
+    with LOCF + linear interpolation across the silent hours. A 1-in-7
+    user sample bounds the DENSE output (users × ~720 hourly grid rows
+    — the compute is sub-second at sf0.1; an unsampled result is a
+    million-row collect, all serialization) — the window_rank_funcs
+    sampling discipline."""
     from tcrd_spark.sources.lake import load_table
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
     return resample_gapfill(events, "user_id", "ts", "value", BUCKET)
 
 
@@ -181,7 +187,7 @@ ORACLE = {
         WITH obs AS (
           SELECT user_id, date_trunc('hour', ts) AS bucket,
                  round(avg(value), 6) AS v, count(*) AS n_obs
-          FROM events GROUP BY 1, 2
+          FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2
         ), span AS (
           SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
           FROM obs GROUP BY 1
