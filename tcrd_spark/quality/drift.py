@@ -130,7 +130,8 @@ ORACLE = {
           SELECT bin, count(*) AS n_b, max(n_all) AS n_all
           FROM binned GROUP BY 1
         ), ns AS (
-          SELECT slice, sum(n_sb) AS n_s FROM sb GROUP BY 1
+          SELECT slice, CAST(sum(n_sb) AS BIGINT) AS n_s
+          FROM sb GROUP BY 1
         ), grid AS (
           SELECT ns.slice, ns.n_s, b.bin
           FROM ns CROSS JOIN (
