@@ -219,6 +219,7 @@ PRIORITY = (
     "corr_scalar_below_avg",
     "corr_not_exists_idle",
     "incremental_join_agg",
+    "pit_feature_join",
 )
 
 
@@ -250,7 +251,7 @@ def _collect():
                     "operators.stats", "operators.sessions_ext",
                     "operators.window_ext", "operators.temporal_ext",
                     "operators.timeseries", "operators.patterns",
-                    "operators.subqueries",
+                    "operators.subqueries", "operators.feature_join",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",
