@@ -697,13 +697,85 @@ def read_changes(
     return ch.select("_c.change_type", *[F.col(f"_c.{c}") for c in cols])
 
 
+# ------------------------------------------------- named tags (refs)
+
+
+def _tags_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_tags")
+
+
+def tag_version(
+    table_dir: str, name: str, version: int | None = None
+) -> int:
+    """Pin a NAME to a snapshot (Iceberg tag / Delta version alias):
+    `training-2024-06` stays resolvable and VACUUM-PROOF however many
+    commits land after it — the reproducible-training-set handle.
+    Tags are immutable (link(2)-CAS publish, same as manifests);
+    delete and re-create to move one. Returns the pinned version."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"no version {v} at {table_dir}")
+    import time
+
+    os.makedirs(_tags_dir(table_dir), exist_ok=True)
+    final = os.path.join(_tags_dir(table_dir), f"{name}.json")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "version": v, "ts": time.time()}, f)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise FileExistsError(
+            f"tag {name!r} exists (tags are immutable — delete_tag "
+            "first to move it)"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    """{name: version} for every tag."""
+    d = _tags_dir(table_dir)
+    out = {}
+    if os.path.isdir(d):
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    t = json.load(f)
+                out[t["name"]] = t["version"]
+    return out
+
+
+def delete_tag(table_dir: str, name: str) -> None:
+    os.remove(os.path.join(_tags_dir(table_dir), f"{name}.json"))
+
+
+def read_tag(
+    spark: SparkSession, table_dir: str, name: str
+) -> DataFrame:
+    """`read_version` addressed by tag name."""
+    tags = list_tags(table_dir)
+    if name not in tags:
+        raise FileNotFoundError(f"no tag {name!r} at {table_dir}")
+    return read_version(spark, table_dir, tags[name])
+
+
 def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     """Retention GC: delete data files referenced ONLY by manifests
     older than the newest `keep_versions` (and those manifests). The
     bounded cleanup loop a deployment runs — never touches any file a
-    retained version references."""
+    retained version references, and never a TAGGED version: a tag is
+    a promise that a training set stays reproducible, so its manifest
+    and files survive any retention window."""
     vs = versions(table_dir)
-    retain, drop = vs[-keep_versions:], vs[:-keep_versions]
+    tagged = set(list_tags(table_dir).values())
+    retain = set(vs[-keep_versions:]) | tagged
+    drop = [v for v in vs if v not in retain]
+    retain = sorted(retain)
     live = {
         f for v in retain for f in _read_manifest(table_dir, v)["files"]
     }

@@ -34,6 +34,17 @@ def _lake_cmd(args) -> int:
     if not vs:
         print(f"no versions at {table}", file=sys.stderr)
         return 1
+    if args.action == "tag":
+        if not args.name:
+            print("--name required for tag", file=sys.stderr)
+            return 1
+        v = snap.tag_version(table, args.name, args.v_to)
+        print(f"tagged {args.name} -> v{v}")
+        return 0
+    if args.action == "tags":
+        for name, v in sorted(snap.list_tags(table).items()):
+            print(f"{name}\tv{v}")
+        return 0
     if args.action == "history":
         for v in vs:
             m = snap._read_manifest(table, v)
@@ -119,12 +130,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     lk.add_argument(
         "action",
-        choices=["history", "diff", "changes", "optimize", "vacuum"],
+        choices=["history", "diff", "changes", "optimize", "vacuum",
+                 "tag", "tags"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
     lk.add_argument("--keys", default=None, help="comma-joined key columns")
     lk.add_argument("--keep", type=int, default=2, help="vacuum retention")
+    lk.add_argument("--name", default=None, help="tag name (tag action)")
     lk.add_argument("--cluster-by", default=None,
                     help="comma-joined OPTIMIZE ZORDER columns")
 
