@@ -220,6 +220,7 @@ PRIORITY = (
     "corr_not_exists_idle",
     "incremental_join_agg",
     "pit_feature_join",
+    "k_anonymity_audit",
 )
 
 
@@ -274,6 +275,7 @@ def _collect():
                     "sources.snapshots", "sources.incremental",
                     "sources.incremental_join",
                     "quality.expectations", "quality.drift",
+                    "quality.anonymity",
                     "pipeline.multimodal", "streaming.testdata_queries",
                     "api.testdata_queries", "quality.testdata_queries"):
         try:
