@@ -25,10 +25,13 @@ Hashing runs in the ENGINE (xxhash64) on both the build and the
 probe side — the probe hashes its literal through a 1-row Spark job
 so driver and executors can never disagree on the hash of a value.
 
-Sizing: m=8192 bits, k=4 → ~0.2% false-positive rate at 500 distinct
-keys/file; the index is m/8 bytes per file (1 GiB per million files
-— at that scale a production layout shards the index by partition
-directory and prunes distributedly; the sketch math is unchanged).
+Sizing: m auto-scales to ~10 bits per key of the snapshot's BIGGEST
+file (power of two, 1 KiB–256 KiB per file), giving ~1% false
+positives at k=4 regardless of file size — a fixed m saturates on
+large files and quietly stops pruning (measured in
+tools/bloom_bench.py before the auto-sizing). At a million files the
+index is tens of GiB; a production layout shards it by partition
+directory and prunes distributedly — the sketch math is unchanged.
 
 Index version-pins to the snapshot it was built from: appends create
 NEW files (existing bitsets stay valid — files are immutable), so a
@@ -53,8 +56,9 @@ from tcrd_spark.sources.snapshots import (
     _data_dir, _read_manifest, versions,
 )
 
-M_BITS = 8192
 K_HASHES = 4
+BITS_PER_KEY = 10  # ~1% fp at k=4
+M_MIN, M_MAX = 1 << 13, 1 << 21  # 1 KiB .. 256 KiB per file
 
 
 def _index_path(table_dir: str, col: str, version: int) -> str:
@@ -81,16 +85,34 @@ def _pack(bits: list[int], m_bits: int) -> str:
     return f"{n:0{m_bits // 4}x}"
 
 
+def _auto_m_bits(paths: list[str]) -> int:
+    """Size the filter from the BIGGEST file's footer row count
+    (~BITS_PER_KEY bits per key, power of two, clamped): a fixed m
+    silently saturates on large files — 12k keys in 8k bits admits a
+    third of the snapshot per probe instead of ~1 file (measured,
+    tools/bloom_bench.py). Footers only; no data read."""
+    import pyarrow.parquet as pq
+
+    max_rows = max(
+        (pq.ParquetFile(p).metadata.num_rows for p in paths), default=1
+    )
+    m = M_MIN
+    while m < max_rows * BITS_PER_KEY and m < M_MAX:
+        m <<= 1
+    return m
+
+
 def build_bloom_index(
     spark: SparkSession,
     table_dir: str,
     col: str,
     version: int | None = None,
-    m_bits: int = M_BITS,
+    m_bits: int | None = None,
     k: int = K_HASHES,
 ) -> str:
     """Build and publish the per-file bloom index for `col` over one
-    snapshot; returns the index path."""
+    snapshot; returns the index path. `m_bits=None` auto-sizes from
+    footer row counts."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -98,6 +120,8 @@ def build_bloom_index(
     m = _read_manifest(table_dir, v)
     base = _data_dir(table_dir)
     paths = [os.path.join(base, rel) for rel in m["files"]]
+    if m_bits is None:
+        m_bits = _auto_m_bits(paths)
     src = (
         spark.read.option("basePath", base)
         .option("mergeSchema", "true")
