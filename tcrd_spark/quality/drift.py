@@ -100,6 +100,96 @@ def psi_by_slice(
     )
 
 
+# --------------------------------------------- drift gate (spec form)
+
+
+def freeze_reference(
+    df: DataFrame, val_col: str, n_bins: int = N_BINS
+) -> dict:
+    """Freeze a reference distribution: {mn, mx, probs[B]} — 12
+    numbers collected once from the accepted corpus. The gate below
+    compares every future batch against THIS, so drift is measured
+    against what was approved, not against last week's drift."""
+    stats = df.agg(
+        F.min(val_col).alias("mn"),
+        F.max(val_col).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    mn, mx, n = int(stats.mn), int(stats.mx), int(stats.n)
+    counts = {
+        r.bin: r.c
+        for r in df.select(
+            F.expr(
+                f"greatest(0, least({n_bins - 1}, "
+                f"(({val_col} - {mn}) * {n_bins}) div ({mx} - {mn} + 1)))"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    probs = [
+        (counts.get(i, 0) + 1) / (n + n_bins) for i in range(n_bins)
+    ]
+    return {"mn": mn, "mx": mx, "probs": probs}
+
+
+def _bin_expr(val_col: str, ref: dict, n_bins: int, dialect: str) -> str:
+    """Clamped integer binning against the FROZEN reference edges —
+    batch values beyond the reference range land in the edge bins
+    (standard PSI practice; dropping them would hide exactly the
+    drift the gate exists to catch). `dialect`: integer division is
+    spelled `div` in Spark SQL, `//` in DuckDB."""
+    mn, mx = ref["mn"], ref["mx"]
+    op = "div" if dialect == "spark" else "//"
+    return (
+        f"greatest(0, least({n_bins - 1}, "
+        f"(({val_col} - {mn}) * {n_bins}) {op} ({mx} - {mn} + 1)))"
+    )
+
+
+def psi_max(
+    col: str, reference: dict, threshold: float = 0.25,
+    n_bins: int = N_BINS,
+) -> dict:
+    """Expectation spec (quality/expectations.py contract): the
+    batch's PSI against the frozen reference, pass if <= threshold.
+    ONE aggregate expression (B conditional sums + a count), so it
+    rides the same single-pass verdict suite as every other check —
+    including the commit-time gates and the write-audit-publish
+    streaming sink, which quarantines a drifted micro-batch exactly
+    like a failed completeness check. Term order is fixed (b0..bB-1,
+    left-associated) so both engines fold the sum identically."""
+    b = _bin_expr(col, reference, n_bins, "spark")
+    b_sql = _bin_expr(col, reference, n_bins, "duckdb")
+    probs = reference["probs"]
+
+    def metric():
+        n = F.count(F.lit(1))
+        total = None
+        for i, p in enumerate(probs):
+            ci = F.sum(F.when(F.expr(b) == i, 1).otherwise(0))
+            q = (ci + 1) / (n + n_bins)
+            term = (q - F.lit(p)) * F.log(q / F.lit(p))
+            total = term if total is None else total + term
+        return total
+
+    sql_terms = []
+    for i, p in enumerate(probs):
+        q = (
+            f"(sum(CASE WHEN {b_sql} = {i} THEN 1 ELSE 0 END) + 1)"
+            f" * 1.0 / (count(*) + {n_bins})"
+        )
+        sql_terms.append(f"(({q}) - {p!r}) * ln(({q}) / {p!r})")
+    return {
+        "name": f"psi_{col}", "column": col,
+        "metric": metric,
+        "passed": lambda m: m <= F.lit(threshold),
+        "sql_metric": " + ".join(sql_terms),
+        "sql_passed": f"m <= {threshold}",
+    }
+
+
 # ------------------------------------------------- registered query
 
 
@@ -111,9 +201,76 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_slice(docs, "source", "n_chars", N_BINS)
 
 
-QUERIES = {"drift_psi": q_drift_psi}
+def q_dq_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift gate as a verdict suite: reference = even doc_ids
+    (the 'accepted corpus'), audited batch = odd doc_ids. Same-corpus
+    halves ⇒ tiny PSI ⇒ the gate passes; the pytest twin feeds a
+    shifted batch and watches it fail."""
+    from tcrd_spark.quality.expectations import (
+        row_count_min, run_expectations,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = freeze_reference(
+        docs.filter(F.col("doc_id") % 2 == 0), "n_chars"
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return run_expectations(
+        batch, [psi_max("n_chars", ref, 0.25), row_count_min(1)]
+    )
+
+
+def _drift_gate_oracle(n_bins: int = N_BINS) -> str:
+    """Replays q_dq_drift_gate entirely in SQL: the frozen reference
+    is re-derived in CTEs (baked literals would pin one sf), the PSI
+    sum is written b0..bB-1 left-associated — the same fold order the
+    Spark expression uses."""
+    bin_of = (
+        f"greatest(0, least({n_bins - 1}, "
+        f"((n_chars - r.mn) * {n_bins}) // (r.mx - r.mn + 1)))"
+    )
+    p_cols = ", ".join(
+        f"(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) + 1) * 1.0 "
+        f"/ (count(*) + {n_bins}) AS p{i}"
+        for i in range(n_bins)
+    )
+    q_cols = ", ".join(
+        f"(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) + 1) * 1.0 "
+        f"/ (count(*) + {n_bins}) AS q{i}"
+        for i in range(n_bins)
+    )
+    psi = " + ".join(
+        f"((q{i} - p{i}) * ln(q{i} / p{i}))" for i in range(n_bins)
+    )
+    return f"""
+        WITH r AS (
+          SELECT min(n_chars) AS mn, max(n_chars) AS mx
+          FROM documents WHERE doc_id % 2 = 0
+        ), rbin AS (
+          SELECT {bin_of} AS bin
+          FROM documents, r WHERE doc_id % 2 = 0
+        ), p AS (SELECT {p_cols} FROM rbin),
+        bbin AS (
+          SELECT {bin_of} AS bin
+          FROM documents, r WHERE doc_id % 2 = 1
+        ), q AS (SELECT {q_cols}, count(*) AS n_b FROM bbin),
+        m AS (SELECT {psi} AS psi, n_b FROM q, p)
+        SELECT 'psi_n_chars' AS check_name, 'n_chars' AS column_name,
+               round(psi, 6) AS metric,
+               CASE WHEN psi <= 0.25 THEN 1 ELSE 0 END AS passed
+        FROM m
+        UNION ALL
+        SELECT 'row_count', '*', round(n_b * 1.0, 6),
+               CASE WHEN n_b >= 1.0 THEN 1 ELSE 0 END
+        FROM m
+    """
+
+
+QUERIES = {"drift_psi": q_drift_psi, "dq_drift_gate": q_dq_drift_gate}
 
 ORACLE = {
+    "dq_drift_gate": _drift_gate_oracle(),
     "drift_psi": f"""
         WITH stats AS (
           SELECT min(n_chars) AS mn, max(n_chars) AS mx,

@@ -221,6 +221,7 @@ PRIORITY = (
     "incremental_join_agg",
     "pit_feature_join",
     "k_anonymity_audit",
+    "dq_drift_gate",
 )
 
 
