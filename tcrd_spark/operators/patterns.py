@@ -98,7 +98,64 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"event_pattern_match": q_event_pattern_match}
+def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion paths WITHIN a session (30-min gap sessionizer →
+    per-(user, session) symbol streams → the same regex): the
+    time-bounded form of MATCH_RECOGNIZE patterns — a view from last
+    week can't start this week's conversion. The 30-min-gap session id
+    is the `operators/temporal.sessionize` rule inlined (that function
+    projects event_type away; re-deriving the 4-line window here keeps
+    the symbol column without churning the adjudicated sessionizer's
+    closure); one user window + one (user, session) combinable agg."""
+    from tcrd_spark.sources.lake import load_table
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | ((secs("ts") - prev.cast("timestamp").cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    sess = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_start)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    sym = F.substring("event_type", 1, 1)
+    streams = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"), sym.alias("c")
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("stream")
+    )
+    return streams.select(
+        "user_id",
+        "session_id",
+        F.length("stream").alias("n_events"),
+        F.regexp_count("stream", F.lit(CONVERSION)).alias("n_paths"),
+    )
+
+
+QUERIES = {
+    "event_pattern_match": q_event_pattern_match,
+    "session_pattern_match": q_session_pattern_match,
+}
 
 ORACLE = {
     "event_pattern_match": f"""
@@ -114,6 +171,33 @@ ORACLE = {
                     AS BIGINT) AS n_paths,
                cast(length(regexp_extract_all(stream, 'p'))
                     AS BIGINT) AS n_purchases
+        FROM s
+    """,
+    "session_pattern_match": f"""
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events
+        ), sess AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CAST(sum(CASE WHEN prev IS NULL
+                               OR epoch(ts) - epoch(prev) > 1800
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_id
+          FROM o
+        ), s AS (
+          SELECT user_id, session_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS stream
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_id,
+               length(stream) AS n_events,
+               cast(length(regexp_extract_all(stream, '{CONVERSION}'))
+                    AS BIGINT) AS n_paths
         FROM s
     """,
 }

@@ -222,6 +222,7 @@ PRIORITY = (
     "pit_feature_join",
     "k_anonymity_audit",
     "dq_drift_gate",
+    "session_pattern_match",
 )
 
 
