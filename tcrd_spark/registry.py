@@ -223,6 +223,7 @@ PRIORITY = (
     "k_anonymity_audit",
     "dq_drift_gate",
     "session_pattern_match",
+    "doc_compressibility",
 )
 
 
@@ -271,6 +272,7 @@ def _collect():
                     "pipeline.linalg", "pipeline.fertility",
                     "pipeline.clf_gate",
                     "pipeline.editdist", "pipeline.divergence",
+                    "pipeline.compressibility",
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
