@@ -41,6 +41,8 @@ PYTHON_OK = {
     "semantic_dedup_pairs",      # per-(cell, block-pair) BLAS matmul
     "semantic_dedup",            # same blocked pair scorer
     "corpus_pipeline_v2",        # SemDeDup stage (same blocked scorer)
+    "doc_compressibility",       # zlib has no JVM expression — the
+                                 # documented Arrow-batched slow path
 }
 
 # BroadcastNestedLoopJoin is allowed ONLY where the build side is
