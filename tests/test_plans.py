@@ -78,6 +78,9 @@ def test_all_query_plans_are_scale_clean(spark, sf_dir, queries):
         "semantic_dedup_pairs",                   # applyInPandas BLAS matmul
         "semantic_dedup",                         # (same scorer downstream)
         "corpus_pipeline_v2",                     # SemDeDup stage (same)
+        "doc_compressibility",                    # zlib has no JVM
+                                                  # expression: the
+                                                  # documented Arrow slow path
     }
 
     def check(item):
