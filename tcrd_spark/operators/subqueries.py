@@ -71,6 +71,45 @@ Q22_SQL = """
 """
 
 
+Q21_SQL = """
+    SELECT l1.l_suppkey,
+           count(*) AS n_blamed_lines
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1
+        FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY l1.l_suppkey
+"""
+
+Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Register the lake views and run one ANSI text through Catalyst."""
     from tcrd_spark.sources.lake import register_views
@@ -92,13 +131,34 @@ def q_corr_not_exists_idle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, Q22_SQL)
 
 
+def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose LATE line (shipped >60 days after order) sits
+    in a multi-supplier order where EVERY OTHER supplier shipped on
+    time (TPC-H Q21 skeleton: correlated EXISTS + NOT EXISTS over
+    self-joined lineitem — the blame-assignment shape; decorrelates to
+    a semi join and an anti join on l_orderkey)."""
+    return run_sql(spark, sf_dir, Q21_SQL)
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarter's top supplier(s) by revenue (TPC-H Q15 skeleton:
+    scalar MAX over a derived view joined back; equality compares
+    2dp-ROUNDED totals so both engines pick the identical argmax even
+    when their float sums differ in the last ulp)."""
+    return run_sql(spark, sf_dir, Q15_SQL)
+
+
 QUERIES = {
     "corr_scalar_below_avg": q_corr_scalar_below_avg,
     "corr_not_exists_idle": q_corr_not_exists_idle,
+    "blamed_suppliers": q_blamed_suppliers,
+    "top_revenue_supplier": q_top_revenue_supplier,
 }
 
 # the SAME texts verbatim — the whole point
 ORACLE = {
     "corr_scalar_below_avg": Q17_SQL,
     "corr_not_exists_idle": Q22_SQL,
+    "blamed_suppliers": Q21_SQL,
+    "top_revenue_supplier": Q15_SQL,
 }

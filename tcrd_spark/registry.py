@@ -224,6 +224,8 @@ PRIORITY = (
     "dq_drift_gate",
     "session_pattern_match",
     "doc_compressibility",
+    "blamed_suppliers",
+    "top_revenue_supplier",
 )
 
 
