@@ -545,6 +545,91 @@ def merge_version(
     return cur_v + 1
 
 
+def delete_version(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    prune: tuple[str, object, object] | None = None,
+) -> tuple[int, int]:
+    """Predicate DELETE as a copy-on-write commit (the GDPR / DSAR
+    erasure verb): rewrite ONLY the files that hold matching rows,
+    minus those rows; every other file carries forward by reference.
+    Returns (version, n_deleted) — (current, 0) with NO commit when
+    nothing matches, so erasure retries are idempotent.
+
+    `prune=(col, lo, hi)` narrows the candidate files via the zone
+    maps before the exact scan (a key-targeted delete touches a
+    handful of files on a clustered layout); correctness never
+    depends on it — candidates are then scanned EXACTLY.
+
+    The manifest records op='delete' with the predicate text — the
+    audit trail a data-protection officer asks for. ERASURE SEMANTICS
+    ARE VERSIONED: prior snapshots still reference the original files
+    (that is what time travel means), so physical erasure =
+    delete_version + `vacuum` past the old versions (pytest-pinned:
+    after vacuum the matching rows' files are gone from disk). A TAG
+    pinning an old version deliberately blocks that — drop the tag to
+    erase, and the tags listing is the thing to audit."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    cur_v = vs[-1]
+    m = _read_manifest(table_dir, cur_v)
+    base = _data_dir(table_dir)
+    if prune is not None:
+        cand, _total = plan_files(table_dir, cur_v, *prune)
+    else:
+        cand = list(m["files"])
+    if not cand:
+        return cur_v, 0
+    import urllib.parse
+
+    src = (
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(base, f) for f in cand])
+        .withColumn("_f", F.input_file_name())
+    )
+    absbase = os.path.abspath(base)
+    hits = {
+        os.path.relpath(
+            urllib.parse.urlparse(urllib.parse.unquote(r._f)).path, absbase
+        )
+        for r in src.where(predicate).select("_f").distinct().collect()
+    }
+    if not hits:
+        return cur_v, 0
+    touched = sorted(hits)
+    keep = [f for f in m["files"] if f not in hits]
+    tdf = (
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(base, f) for f in touched])
+    )
+    n_before = tdf.count()
+    # NOT(pred) is NULL for NULL-pred rows and would drop them too —
+    # survivors are rows where the predicate is not TRUE
+    survivors = tdf.where(f"NOT coalesce(({predicate}), false)").select(
+        *m["columns"]
+    )
+    part_col = m["part_col"]
+    n_deleted = n_before - survivors.count()
+    new_files, new_stats = _stage_files(
+        survivors.repartition(part_col), table_dir, part_col, cur_v + 1
+    )
+    kept_stats = {
+        f: s for f, s in m.get("stats", {}).items() if f in set(keep)
+    }
+    _commit(table_dir, {
+        "version": cur_v + 1, "parent": cur_v, "op": "delete",
+        "predicate": predicate,
+        "part_col": part_col, "columns": m["columns"],
+        "files": sorted(keep + new_files),
+        "stats": {**kept_stats, **new_stats},
+    })
+    return cur_v + 1, n_deleted
+
+
 def optimize_version(
     spark: SparkSession,
     table_dir: str,

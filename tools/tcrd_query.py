@@ -77,6 +77,13 @@ def _lake_cmd(args) -> int:
         for r in feed.orderBy(*feed.columns).collect():
             print("\t".join(str(v) for v in r))
         return 0
+    if args.action == "delete":
+        if not args.predicate:
+            print("--predicate required for delete", file=sys.stderr)
+            return 1
+        v, n = snap.delete_version(spark, table, args.predicate)
+        print(f"v{v}\tdeleted={n}")
+        return 0
     if args.action == "optimize":
         cluster = args.cluster_by.split(",") if args.cluster_by else None
         v = snap.optimize_version(spark, table, cluster_by=cluster)
@@ -131,13 +138,15 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "action",
         choices=["history", "diff", "changes", "optimize", "vacuum",
-                 "tag", "tags"],
+                 "tag", "tags", "delete"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
     lk.add_argument("--keys", default=None, help="comma-joined key columns")
     lk.add_argument("--keep", type=int, default=2, help="vacuum retention")
     lk.add_argument("--name", default=None, help="tag name (tag action)")
+    lk.add_argument("--predicate", default=None,
+                    help="SQL predicate (delete action)")
     lk.add_argument("--cluster-by", default=None,
                     help="comma-joined OPTIMIZE ZORDER columns")
 
