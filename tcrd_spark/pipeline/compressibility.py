@@ -87,6 +87,24 @@ def compression_scores(
     )
 
 
+def mean_ratio_band(
+    text_col: str, lo: float = LO, hi: float = HI
+) -> dict:
+    """Expectation spec (quality/expectations.py contract): the
+    batch's MEAN zlib ratio must sit in [lo, hi] — the ingest gate
+    against template-spam floods (mean collapses toward 0) and
+    binary/garbled floods (mean rises past prose). The metric is the
+    Arrow UDF inside a plain F.avg, so it rides the one-pass verdict
+    suite and the write-audit-publish sink unchanged. No `sql_metric`:
+    zlib has no SQL twin, so this spec gates ingest but cannot join an
+    ADJUDICATED dq query (the generator needs the SQL side)."""
+    return {
+        "name": f"zlib_band_{text_col}", "column": text_col,
+        "metric": lambda: F.avg(_zlib_ratio_udf()(F.col(text_col))),
+        "passed": lambda m: (m >= F.lit(lo)) & (m <= F.lit(hi)),
+    }
+
+
 # ------------------------------------------------- registered query
 
 

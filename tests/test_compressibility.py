@@ -73,3 +73,77 @@ def test_corpus_query_shape(spark, sf_dir):
     )
     prose = sum(1 for r in rows if r.bucket == "prose")
     assert prose > len(rows) * 0.9
+
+
+def test_mean_ratio_band_gates_spam_batch(spark, sf_dir, tmp_path):
+    """The band spec quarantines a template-spam micro-batch through
+    the write-audit-publish sink — UDF metric, standard plumbing."""
+    import glob
+    import json
+    import os
+
+    from tcrd_spark.pipeline.compressibility import mean_ratio_band
+    from tcrd_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    src = tmp_path / "in"
+    os.makedirs(src)
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    snap.create_table(docs, table, "lang")
+
+    def write_chunk(name, rows):
+        p = os.path.join(str(src), f"{name}.json")
+        with open(p + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(p + ".tmp", p)
+
+    prose = [
+        {"doc_id": 10**6 + i, "lang": "en",
+         "text": f"document {i} discusses a different topic entirely "
+                 f"with varied vocabulary item{i % 97} and fresh tokens"}
+        for i in range(50)
+    ]
+    spam = [
+        {"doc_id": 2 * 10**6 + i, "lang": "en",
+         "text": "buy cheap pills now " * 100}
+        for i in range(50)
+    ]
+    write_chunk("prose", prose)
+    write_chunk("spam", spam)
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    qdir = str(tmp_path / "q")
+    q = snap.streaming_snapshot_append(
+        stream, table, str(tmp_path / "ckpt"),
+        expectations=[mean_ratio_band("text")], quarantine_dir=qdir,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    published = {
+        r.doc_id for r in snap.read_version(spark, table).collect()
+    }
+    assert 10**6 + 1 in published          # prose landed
+    assert 2 * 10**6 + 1 not in published  # spam quarantined
+    quarantined = spark.read.parquet(
+        *glob.glob(os.path.join(qdir, "batch_id=*"))
+    )
+    assert quarantined.count() == 50
