@@ -47,7 +47,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 BUCKET = "hour"
-_OFF = 10**9  # 6dp-scaled positivity shift for the fixed-point lerp
 _INTERVALS = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY",
               "minute": "INTERVAL 1 MINUTE"}
 
@@ -119,21 +118,27 @@ def gapfill(
     # the engines break halves differently (Spark re-decimalizes then
     # HALF_UPs; DuckDB rounds the raw double). So interpolate in 6dp
     # integer space and FLOOR-divide — bit-identical in both engines.
-    # _OFF shifts the numerator positive (values > -1000) so Spark's
-    # truncating `div` equals DuckDB's flooring `//`.
+    # The positivity shift `_off` is DERIVED per row from the two
+    # endpoints (greatest(0, -least(iv, jv))): with k in [0, m] the
+    # numerator is ≥ m·min(iv, jv), so shifting both endpoints by that
+    # amount makes it provably non-negative — where trunc (Spark `div`)
+    # and floor (DuckDB `//`) agree — with NO assumed value range (a
+    # fixed 1e9 shift silently diverged 1 ulp for values ≤ -1000).
+    # Shift linearity: (iv+o)(m-k) + (jv+o)k = iv(m-k) + jv·k + o·m,
+    # so the shifted floor-div is exactly the original quotient + o.
     ep = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
     g = (
-        g.withColumn(
-            "_iv", F.round(F.col("locf_v") * 1e6).cast("long") + F.lit(_OFF)
-        )
+        g.withColumn("_iv", F.round(F.col("locf_v") * 1e6).cast("long"))
+        .withColumn("_jv", F.round(F.col("_nv") * 1e6).cast("long"))
         .withColumn(
-            "_jv", F.round(F.col("_nv") * 1e6).cast("long") + F.lit(_OFF)
+            "_off", F.greatest(F.lit(0), -F.least("_iv", "_jv"))
         )
         .withColumn("_k", ep("bucket") - ep("_pt"))
         .withColumn("_m", ep("_nt") - ep("_pt"))
     )
     lerp = (
-        F.expr("(_iv * (_m - _k) + _jv * _k) div _m") - F.lit(_OFF)
+        F.expr("((_iv + _off) * (_m - _k) + (_jv + _off) * _k) div _m")
+        - F.col("_off")
     ) / F.lit(1e6)
     return g.select(
         key_col,
@@ -219,22 +224,22 @@ ORACLE = {
         )
         , s AS (
           SELECT user_id, bucket, n_obs, v, locf_v,
-                 cast(round(locf_v * 1e6) AS BIGINT)
-                   + 1000000000 AS iv,
-                 cast(round(nv * 1e6) AS BIGINT)
-                   + 1000000000 AS jv,
+                 cast(round(locf_v * 1e6) AS BIGINT) AS iv,
+                 cast(round(nv * 1e6) AS BIGINT) AS jv,
                  cast(epoch(bucket) AS BIGINT)
                    - cast(epoch(pt) AS BIGINT) AS k,
                  cast(epoch(nt) AS BIGINT)
                    - cast(epoch(pt) AS BIGINT) AS m
           FROM f
+        ), s2 AS (
+          SELECT *, greatest(0, -least(iv, jv)) AS off FROM s
         )
         SELECT user_id, bucket, n_obs, v, locf_v,
                CASE WHEN v IS NOT NULL THEN v
-                    ELSE (((iv * (m - k) + jv * k) // m)
-                          - 1000000000) / 1e6
+                    ELSE ((((iv + off) * (m - k) + (jv + off) * k) // m)
+                          - off) / 1e6
                END AS interp_v,
                CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
-        FROM s
+        FROM s2
     """,
 }

@@ -13,84 +13,35 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MODULES = []
 
-# The driver adjudicates only the FIRST 50 registry entries against the
-# DuckDB oracle, so ordering is evidence budget. Round-8 rotation,
-# computed by tools/rotate_cap.py (obligations from the same closure
-# resolver the test_registry invariants use, filler oldest-green-first):
-#   (a) the 9 round-7 post-cap additions (new-query grace expired when
-#       CORRECTNESS_r07.json landed) + the reshaped embedding_meanpool
-#       (the one r7 driver-err row — flat per-dim output now);
-#   (b) the 4 corpus-family refreshers deferred from r7 under the
-#       one-round grace (closure churn: pipeline/corpus.py);
-#   (c) closure churn from this round's ADVICE fixes: scd.py (batch
-#       guard) → scd2_history/scd2_apply_batch; triangles.py (memo
-#       eviction) → triangle_counts;
-#   (d) queries NEW in round 8;
-#   (e) filler: the whole r4-green tier (oldest in the registry), then
-#       the oldest r5 queries — no query's last adjudication ages past
-#       3 rounds (MAX_STALE_ROUNDS in tools/rotate_cap.py).
-# The pytest oracle sweep still re-hash-matches every registered query
-# against DuckDB on every run, so past-cap never means unverified.
 PRIORITY = (
-    # (a) round-7 grace + the meanpool refit
-    "asof_forward_events",
-    "chunk_documents",
-    "classifier_quality_gate",
-    "embedding_meanpool",
-    "hard_negatives",
-    "leakage_safe_split",
-    "session_durations",
-    "tfidf_topterms",
-    "window_rank_funcs",
-    # (b) deferred corpus-family refreshers (r6-green, one-round grace)
-    "sample_stratified",
-    "quality_quantile_filter",
-    "vocab_topk",
-    "line_dedup",
-    # (c) round-8 ADVICE-fix closure churn
-    "scd2_history",
-    "scd2_apply_batch",
-    "triangle_counts",
-    # (d) NEW round 8 queries
-    "hard_negatives_shortlist",
-    "html_extract",
-    "web_pipeline",
-    "web_pipeline_funnel",
-    "lm_trigram_perplexity",
-    "mixture_token_budget",
-    "url_filter",
-    "snapshot_changes",
-    "dq_expectations",
-    "embedding_covariance",
-    "tokenizer_fertility",
-    "incremental_orders_agg",
-    "window_range_interval",
-    "dq_group_expectations",
-    # (e) filler — the full r4 tier (oldest greens in the registry)
-    "ann_bruteforce",
-    "ann_ivf",
-    "ann_ivf_indexed",
-    "date_funcs",
-    "dedup_exact",
-    "entity_tagging",
-    "fallback_join_cascade",
-    "kmeans_assign",
-    "lang_id",
-    "mean_std_population",
-    "median_per_group",
-    "profile_documents",
-    "self_join_common",
-    "shipping_priority",
-    "text_clean_pii",
-    "text_quality",
-    "text_stats",
-    "type_histogram",
-    "window_sliding",
-    # (e) filler — oldest r5 greens
-    "anti_join_notfnd",
-    # ---- past the driver's 50-query cap (position 51+): every entry
-    # holds a green driver CORRECTNESS row from a prior round under
-    # unchanged code ----
+    # ---- the 50-query adjudication cap for round 9, emitted by
+    # tools/rotate_cap.py (obligations first, then strict
+    # oldest-green-first filler):
+    #   (a) the 13 queries registered after the r8 cap filled —
+    #       never driver-adjudicated (judge-verified at sf0.01 in
+    #       VERDICT r8; the driver file is the contract);
+    #   (b) filler: the ENTIRE r5-green tier except its 2 youngest
+    #       (the oldest adjudications in the registry, age 4).
+    # With 182 registered queries and a 50-slot cap the staleness
+    # bound is ceil(182/50) = 4 rounds (see tools/rotate_cap.py —
+    # the bound is COMPUTED from the live registry size; r8's
+    # fixed MAX_STALE_ROUNDS=3 became arithmetically unsatisfiable
+    # the moment the registry passed 150).
+    # (a) never driver-adjudicated (post-r8-cap additions)
+    "blamed_suppliers",
+    "corr_not_exists_idle",
+    "corr_scalar_below_avg",
+    "doc_compressibility",
+    "dq_drift_gate",
+    "drift_psi",
+    "event_pattern_match",
+    "incremental_join_agg",
+    "k_anonymity_audit",
+    "pit_feature_join",
+    "resample_gapfill",
+    "session_pattern_match",
+    "top_revenue_supplier",
+    # (b) filler: oldest-green tier (r5, age 4)
     "asof_join_segmented",
     "beans_counts",
     "bridge_m2n_join",
@@ -104,128 +55,170 @@ PRIORITY = (
     "dedup_simhash_pairs",
     "distinct_projection",
     "except_sets",
-    "dsir_weights",
-    "dsir_sample",
-    "cube_counts",
-    "grouping_sets_mix",
-    "unpivot_metrics",
-    "winnow_fingerprints",
-    "association_rules",
-    "group_ols",
-    "rolling_anomaly",
-    "merge_intervals",
-    "winsorize_values",
-    "attribution_touch",
-    "dedup_containment",
-    "rrf_fusion",
-    "mmr_rerank",
-    "welch_ttest",
-    "chi2_independence",
-    "event_transitions",
-    "bpe_pair_counts",
-    "qualitative_levels",
-    "clique_expansion",
-    "tau_ordinal",
-    "tinx_pmid_rankings",
-    "tdl_refresh_delta",
-    "apsp_min_merge",
-    "nearest_flagged",
+    "filter_like_null",
+    "frank_level_buckets",
+    "group_sum",
+    "grouped_set_agg",
+    "intersect_sets",
+    "json_case_funcs",
+    "keyset_pagination",
+    "lookup_point_join",
+    "min_tie_expansion",
+    "mode_consensus",
+    "multimodal_features",
+    "nested_document",
+    "pivot_wide",
+    "pricing_summary",
+    "rank_compound_order",
+    "rollup_counts",
+    "scan_project_filter",
+    "semi_join",
+    "sessionize_skew",
+    "string_math_funcs",
+    "three_way_entity_join",
+    "topk_per_group",
+    "union_dedup",
+    "wide_export",
+    # ---- past the driver's 50-query cap (position 51+): every
+    # entry holds a green driver CORRECTNESS row from a prior
+    # round under unchanged code, ordered oldest-green-first so
+    # the next rotation reads straight off this list ----
+    # last green r5
+    "window_session",
+    "window_tumbling",
+    # last green r6
+    "ann_ivfpq",
+    "ann_ivfsq",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "ann_sq_topk",
+    "asof_join_events",
+    "bm25_search",
+    "ccnet_buckets",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "corpus_divergence",
+    "decontaminate_bloom",
+    "dedup_edit_distance",
+    "domain_mixture_exact",
+    "domain_mixture_sample",
+    "funnel_stages",
+    "gopher_quality_filter",
+    "gopher_repetition",
+    "kmv_distinct",
+    "lm_perplexity",
+    "lm_top_bigrams",
+    "merge_upsert",
+    "mixture_weights",
+    "nb_classify",
+    "range_join_events",
+    "sessionize_events",
+    "skyline_parts",
+    "substring_dedup",
+    "substring_dedup_incremental",
+    "substring_excise",
+    "theta_sketch_ops",
+    "winnow_candidate_pairs",
+    "zorder_sampled",
+    "zorder_values",
+    # last green r7
     "ancestor_closure",
-    "tdl_classification",
-    "tau_continuous",
+    "apsp_min_merge",
+    "association_rules",
+    "attribution_touch",
+    "bpe_pair_counts",
+    "chi2_independence",
+    "clique_expansion",
     "consensus_expression",
-    "hgram_cdf",
-    "tinx_novelty",
-    "tinx_importance",
-    "pagerank",
+    "corpus_pipeline",
+    "corpus_pipeline_v2",
+    "corpus_shard_assign",
+    "cube_counts",
+    "decontaminate",
+    "dedup_containment",
     "dedup_groups_cc",
-    "dedup_rep_quality",
     "dedup_incremental",
     "dedup_incremental_indexed",
     "dedup_incremental_lsh",
-    "semantic_dedup_pairs",
+    "dedup_rep_quality",
+    "dsir_sample",
+    "dsir_weights",
+    "event_transitions",
+    "group_ols",
+    "grouping_sets_mix",
+    "hgram_cdf",
+    "merge_intervals",
+    "mmr_rerank",
+    "nearest_flagged",
+    "pagerank",
+    "qualitative_levels",
+    "rolling_anomaly",
+    "rrf_fusion",
     "semantic_dedup",
-    "corpus_pipeline",
-    "corpus_shard_assign",
+    "semantic_dedup_pairs",
     "sequence_pack",
-    "decontaminate",
-    "corpus_pipeline_v2",
-    "lm_perplexity",
-    "lm_top_bigrams",
-    "nb_classify",
-    "mixture_weights",
-    "domain_mixture_sample",
-    "domain_mixture_exact",
-    "decontaminate_bloom",
-    "ann_sq_topk",
-    "ann_ivfsq",
-    "zorder_values",
-    "merge_upsert",
-    "cohort_retention",
-    "asof_join_events",
-    "range_join_events",
-    "funnel_stages",
-    "sessionize_events",
-    "gopher_repetition",
-    "gopher_quality_filter",
-    "substring_dedup",
-    "substring_excise",
-    "substring_dedup_incremental",
-    "ann_pq_topk",
-    "ann_ivfpq",
-    "ann_pq_rerank",
-    "zorder_sampled",
-    "ccnet_buckets",
-    "bm25_search",
-    "kmv_distinct",
-    "theta_sketch_ops",
-    "cms_heavy_hitters",
-    "winnow_candidate_pairs",
-    "dedup_edit_distance",
-    "corpus_divergence",
-    "skyline_parts",
-    "topk_per_group",
-    "rank_compound_order",
-    "mode_consensus",
-    "frank_level_buckets",
-    "min_tie_expansion",
-    "multimodal_features",
-    "window_tumbling",
-    "window_session",
-    "nested_document",
-    "wide_export",
-    "pivot_wide",
-    "grouped_set_agg",
-    "scan_project_filter",
-    "three_way_entity_join",
-    "semi_join",
-    "union_dedup",
-    "filter_like_null",
-    "keyset_pagination",
-    "lookup_point_join",
-    "pricing_summary",
-    "rollup_counts",
-    "group_sum",
-    "intersect_sets",
-    "string_math_funcs",
-    "json_case_funcs",
-    "sessionize_skew",
-    # ---- round-8 POST-cap additions (new-query grace: module added
-    # after CORRECTNESS_r07 landed; pytest-sweep + sf0.1 check now,
-    # rotate into the r9 cap) ----
-    "resample_gapfill",
-    "drift_psi",
-    "event_pattern_match",
-    "corr_scalar_below_avg",
-    "corr_not_exists_idle",
-    "incremental_join_agg",
-    "pit_feature_join",
-    "k_anonymity_audit",
-    "dq_drift_gate",
-    "session_pattern_match",
-    "doc_compressibility",
-    "blamed_suppliers",
-    "top_revenue_supplier",
+    "tau_continuous",
+    "tau_ordinal",
+    "tdl_classification",
+    "tdl_refresh_delta",
+    "tinx_importance",
+    "tinx_novelty",
+    "tinx_pmid_rankings",
+    "unpivot_metrics",
+    "welch_ttest",
+    "winnow_fingerprints",
+    "winsorize_values",
+    # last green r8
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_ivf_indexed",
+    "anti_join_notfnd",
+    "asof_forward_events",
+    "chunk_documents",
+    "classifier_quality_gate",
+    "date_funcs",
+    "dedup_exact",
+    "dq_expectations",
+    "dq_group_expectations",
+    "embedding_covariance",
+    "embedding_meanpool",
+    "entity_tagging",
+    "fallback_join_cascade",
+    "hard_negatives",
+    "hard_negatives_shortlist",
+    "html_extract",
+    "incremental_orders_agg",
+    "kmeans_assign",
+    "lang_id",
+    "leakage_safe_split",
+    "line_dedup",
+    "lm_trigram_perplexity",
+    "mean_std_population",
+    "median_per_group",
+    "mixture_token_budget",
+    "profile_documents",
+    "quality_quantile_filter",
+    "sample_stratified",
+    "scd2_apply_batch",
+    "scd2_history",
+    "self_join_common",
+    "session_durations",
+    "shipping_priority",
+    "snapshot_changes",
+    "text_clean_pii",
+    "text_quality",
+    "text_stats",
+    "tfidf_topterms",
+    "tokenizer_fertility",
+    "triangle_counts",
+    "type_histogram",
+    "url_filter",
+    "vocab_topk",
+    "web_pipeline",
+    "web_pipeline_funnel",
+    "window_range_interval",
+    "window_rank_funcs",
+    "window_sliding",
 )
 
 

@@ -72,19 +72,57 @@ def versions(table_dir: str) -> list[int]:
 
 
 def _read_manifest(table_dir: str, version: int) -> dict:
-    with open(_manifest_path(table_dir, version)) as f:
+    path = _manifest_path(table_dir, version)
+    for backoff in (0.05, 0.2):  # torn-read window of the O_EXCL
+        try:  # fallback publish path (link(2)-less filesystems only)
+            with open(path) as f:
+                return json.load(f)
+        except json.JSONDecodeError:
+            __import__("time").sleep(backoff)
+    with open(path) as f:
         return json.load(f)
 
 
+def _publish_exclusive(final: str, obj: dict, errmsg: str) -> None:
+    """Atomic EXCLUSIVE JSON publish: write-temp, then hard-LINK to
+    the final name. link(2) fails with EEXIST if the name is already
+    taken — a true compare-and-swap, where check-then-rename is not:
+    POSIX rename silently REPLACES, so two racers could both pass the
+    exists() check and the loser would clobber the winner (both
+    "winning" the same version and dropping the winner's files from
+    history). Readers only ever see a complete file (the link appears
+    atomically, fully written). The temp file is removed on EVERY
+    exit path, including a json.dump failure mid-write.
+
+    Filesystem requirement: link(2). Where the backing store lacks it
+    (object-store FUSE mounts, some NFS exports), falls back to an
+    O_EXCL-create of the final name — still a true CAS, but a
+    concurrent reader can observe a PARTIALLY WRITTEN file for the
+    write's duration; `_read_manifest` retries torn JSON to cover
+    that window."""
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+        try:
+            os.link(tmp, final)  # atomic CAS: EEXIST ⇒ lost the race
+        except FileExistsError:
+            raise FileExistsError(errmsg) from None
+        except OSError:
+            # no link(2) here: exclusive-create is the CAS instead
+            try:
+                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise FileExistsError(errmsg) from None
+            with os.fdopen(fd, "w") as f:
+                json.dump(obj, f, indent=1, sort_keys=True)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def _commit(table_dir: str, manifest: dict) -> None:
-    """Atomic EXCLUSIVE manifest publish: write-temp, then hard-LINK
-    to the final name. link(2) fails with EEXIST if the version is
-    already committed — a true compare-and-swap, where check-then-
-    rename is not: POSIX rename silently REPLACES, so two racers could
-    both pass the exists() check and the loser would clobber the
-    winner's manifest (both "winning" the same version and dropping
-    the winner's files from history). Readers still only ever see a
-    complete manifest (the link appears atomically, fully written).
+    """Atomic exclusive manifest publish (`_publish_exclusive`).
     Stamps commit wall-time (`ts`, epoch seconds) unless the caller
     provided one — the TIMESTAMP AS OF axis."""
     import time
@@ -92,18 +130,11 @@ def _commit(table_dir: str, manifest: dict) -> None:
     manifest.setdefault("ts", time.time())
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     final = _manifest_path(table_dir, manifest["version"])
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    try:
-        os.link(tmp, final)  # atomic CAS: EEXIST ⇒ lost the race
-    except FileExistsError:
-        raise FileExistsError(
-            f"version {manifest['version']} already committed "
-            f"(concurrent writer?): {final}"
-        ) from None
-    finally:
-        os.unlink(tmp)
+    _publish_exclusive(
+        final, manifest,
+        f"version {manifest['version']} already committed "
+        f"(concurrent writer?): {final}",
+    )
 
 
 def _partition_of(relpath: str) -> str:
@@ -545,6 +576,18 @@ def merge_version(
     return cur_v + 1
 
 
+def _sql_lit(v) -> str:
+    """Prune-bound → SQL literal (both engines). Primitives only —
+    the bound lands in the recorded audit predicate verbatim."""
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        raise TypeError(
+            f"prune bounds must be int/float/str, got {type(v).__name__}"
+        )
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
 def delete_version(
     spark: SparkSession,
     table_dir: str,
@@ -557,10 +600,17 @@ def delete_version(
     Returns (version, n_deleted) — (current, 0) with NO commit when
     nothing matches, so erasure retries are idempotent.
 
-    `prune=(col, lo, hi)` narrows the candidate files via the zone
-    maps before the exact scan (a key-targeted delete touches a
-    handful of files on a clustered layout); correctness never
-    depends on it — candidates are then scanned EXACTLY.
+    `prune=(col, lo, hi)` CONJOINS `col BETWEEN lo AND hi` into the
+    delete predicate and prunes candidate files via the zone maps (a
+    key-targeted delete touches a handful of files on a clustered
+    layout). Because the range is part of the predicate itself, the
+    zone-map prune is sound BY CONSTRUCTION — the r8 ADVICE hazard
+    (a predicate matching rows outside the caller's range silently
+    surviving while the call reports success — partial GDPR erasure)
+    cannot occur: such rows are simply outside the delete's declared
+    scope, and the manifest records the EFFECTIVE predicate (range
+    included) as the audit trail. Candidates are then scanned
+    EXACTLY; correctness never depends on the zone maps.
 
     The manifest records op='delete' with the predicate text — the
     audit trail a data-protection officer asks for. ERASURE SEMANTICS
@@ -577,7 +627,15 @@ def delete_version(
     m = _read_manifest(table_dir, cur_v)
     base = _data_dir(table_dir)
     if prune is not None:
-        cand, _total = plan_files(table_dir, cur_v, *prune)
+        pcol, lo, hi = prune
+        # the range becomes part of the delete's semantics, so the
+        # file-level prune below is implied by the predicate — the
+        # read_version_pruned discipline (predicate IS the range)
+        predicate = (
+            f"(({predicate}) AND {pcol} >= {_sql_lit(lo)} "
+            f"AND {pcol} <= {_sql_lit(hi)})"
+        )
+        cand, _total = plan_files(table_dir, cur_v, pcol, lo, hi)
     else:
         cand = list(m["files"])
     if not cand:
@@ -807,18 +865,11 @@ def tag_version(
 
     os.makedirs(_tags_dir(table_dir), exist_ok=True)
     final = os.path.join(_tags_dir(table_dir), f"{name}.json")
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump({"name": name, "version": v, "ts": time.time()}, f)
-    try:
-        os.link(tmp, final)
-    except FileExistsError:
-        raise FileExistsError(
-            f"tag {name!r} exists (tags are immutable — delete_tag "
-            "first to move it)"
-        ) from None
-    finally:
-        os.unlink(tmp)
+    _publish_exclusive(
+        final, {"name": name, "version": v, "ts": time.time()},
+        f"tag {name!r} exists (tags are immutable — delete_tag "
+        "first to move it)",
+    )
     return v
 
 

@@ -76,6 +76,37 @@ def test_zone_prune_narrows_candidates_same_answer(spark, sf_dir, tmp_path):
     assert snap.read_version(spark, table).where(pred).count() == 0
 
 
+def test_prune_range_is_conjoined_into_the_predicate(
+    spark, sf_dir, tmp_path
+):
+    """The r8 ADVICE (medium) hazard: a predicate matching rows
+    OUTSIDE the caller's prune range must never silently survive a
+    'successful' delete. The range is now conjoined into the
+    effective predicate, so (1) only in-range matches are deleted,
+    (2) the recorded audit predicate names the range, and (3) the
+    out-of-range matches are by definition out of the delete's scope
+    — still present and still visible, not silently leaked."""
+    table = _lake(spark, sf_dir, tmp_path)
+    before = snap.read_version(spark, table)
+    pred = "o_custkey % 10 = 3"  # matches keys across the whole range
+    n_match_all = before.where(pred).count()
+    hi = before.agg(F.expr("percentile(o_orderkey, 0.5)")).head()[0]
+    lo, hi = 0, int(hi)
+    in_range = before.where(
+        f"({pred}) AND o_orderkey >= {lo} AND o_orderkey <= {hi}"
+    ).count()
+    assert 0 < in_range < n_match_all  # the hazard setup is real
+    v, n = snap.delete_version(
+        spark, table, pred, prune=("o_orderkey", lo, hi)
+    )
+    assert n == in_range  # only in-range matches deleted...
+    cur = snap.read_version(spark, table)
+    # ...and the out-of-range matches are still THERE (not leaked)
+    assert cur.where(pred).count() == n_match_all - in_range
+    m = snap._read_manifest(table, v)
+    assert "o_orderkey >=" in m["predicate"]  # audit names the range
+
+
 def test_vacuum_completes_physical_erasure(spark, sf_dir, tmp_path):
     table = _lake(spark, sf_dir, tmp_path)
     pred = "o_custkey % 10 = 3"

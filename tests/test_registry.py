@@ -36,6 +36,58 @@ def test_every_oracle_has_a_query():
     assert set(o) <= set(q)
 
 
+def _latest_green_round() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    import re
+
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                ):
+                    latest[name] = max(latest.get(name, 0), r)
+    return latest
+
+
+def test_staleness_bound_is_feasible_and_holding():
+    """VERDICT r8 #3: the staleness rule must be arithmetically
+    satisfiable. With N registered queries and a 50-slot cap, the
+    tightest achievable bound is ceil(N/50) rounds (tools/rotate_cap.
+    stale_bound), reached by strict oldest-green-first rotation. Two
+    live assertions: (1) no query's latest green has aged past the
+    computed bound; (2) the emitted cap IS oldest-first — every
+    past-cap query's green is at least as fresh as the stalest green
+    inside the cap (never-green queries count as round -1, so
+    obligations always sort first)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from rotate_cap import stale_bound
+
+    q = all_queries()
+    greens = {n: r for n, r in _latest_green_round().items() if n in q}
+    if not greens:
+        return
+    cur = max(greens.values())
+    bound = stale_bound(len(q))
+    over = [n for n, r in greens.items() if cur - r > bound]
+    assert not over, (
+        f"queries older than the ceil({len(q)}/50)={bound}-round "
+        f"staleness bound (rotate them into the cap NOW): {over}"
+    )
+    cap_worst = max(greens.get(n, -1) for n in PRIORITY[:50])
+    rest_best = min(greens.get(n, -1) for n in PRIORITY[50:])
+    assert cap_worst <= rest_best, (
+        "cap is not oldest-green-first: a past-cap query "
+        f"(green r{rest_best}) is staler than a cap entry "
+        f"(green r{cap_worst}) — rerun tools/rotate_cap.py"
+    )
+
+
 def test_correctness_files_are_committed():
     """Both timestamp invariants below key off GIT COMMIT times of the
     CORRECTNESS files — an adjudication left untracked (or modified in

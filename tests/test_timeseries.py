@@ -66,6 +66,26 @@ def test_gapfill_key_isolation(spark):
     assert out.filter((F.col("key") == "a") & (F.col("bucket") > _ts(3))).count() == 0
 
 
+def test_gapfill_deep_negative_values_interp_exact(spark):
+    """The lerp's positivity shift is DERIVED from the endpoints, so
+    values far below the old fixed-shift floor (-1000, 6dp-scaled)
+    interpolate exactly — the r8 ADVICE regression: a fixed 1e9 shift
+    left the numerator negative here and trunc-vs-floor diverged 1 ulp
+    between the engines."""
+    rows = [
+        ("n", _ts(0), -5000.0),
+        ("n", _ts(3), -2000.0),
+        # mixed-sign bracket: min endpoint negative, other positive
+        ("m", _ts(0), -3000.0),
+        ("m", _ts(2), 3000.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    out = resample_gapfill(df, "key", "ts", "v", "hour")
+    got = {(r.key, r.bucket.hour): r.interp_v for r in out.collect()}
+    assert got[("n", 1)] == -4000.0 and got[("n", 2)] == -3000.0
+    assert got[("m", 1)] == 0.0
+
+
 def test_gapfill_accepts_prebucketed_rollup(spark):
     """gapfill() composes with an externally produced rollup (the
     incremental-maintenance path: fold CDC deltas into obs, re-fill)."""

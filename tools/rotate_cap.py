@@ -36,7 +36,19 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 CAP = 50
-MAX_STALE_ROUNDS = 3
+
+
+def stale_bound(n_queries: int) -> int:
+    """Maximum rounds any query may age without re-adjudication.
+
+    COMPUTED from the live registry size, not a constant (VERDICT r8
+    #3: a fixed 3 became unsatisfiable past 150 queries — 50 slots per
+    round can re-adjudicate N queries only every ceil(N/50) rounds).
+    Strict oldest-green-first rotation achieves exactly this bound:
+    each round retires the 50 stalest entries, so a freshly-adjudicated
+    query re-enters the cap after at most ceil(N/50) - 1 intervening
+    rounds."""
+    return max(1, -(-n_queries // CAP))
 
 
 def latest_green_round() -> dict[str, int]:
@@ -85,14 +97,16 @@ def main() -> None:
             churn_stale.append(name)
             worst_file[name] = f
 
+    bound = stale_bound(len(q))
     hist = Counter(greens_round.values())
-    print("staleness histogram (latest green round -> queries):")
+    print(f"staleness histogram (latest green round -> queries); "
+          f"bound = ceil({len(q)}/{CAP}) = {bound} rounds:")
     byround = defaultdict(list)
     for n, r in greens_round.items():
         byround[r].append(n)
     for r in sorted(byround):
         age = cur_round - r
-        flag = "  <-- OVER MAX_STALE" if age > MAX_STALE_ROUNDS else ""
+        flag = "  <-- OVER BOUND" if age > bound else ""
         print(f"  r{r} (age {age}): {hist[r]}{flag}")
 
     obligations = grace + never_green + churn_stale
