@@ -10,12 +10,20 @@ is that capability for the manifest lake:
 
 - `build_bloom_index`: ONE distributed pass over a snapshot computes,
   per data file, the k xxhash64 bit positions of every value
-  (row-local explode, map-side-combinable distinct per file), packs
-  each file's ≤ m-bit set into a hex bitset on the driver
-  (m/8 bytes per file — 1 KiB at the default), and publishes
-  `_index/bloom-<col>-v<version>.json` atomically.
-- `bloom_candidate_files`: a lookup keeps only files whose bitset has
-  ALL k bits of the probe value — no data file is opened.
+  (row-local explode), folds them into sparse 64-bit bitset WORDS
+  with map-side-combinable `bit_or` aggregations, and writes the
+  index as a parquet SIDECAR TABLE `(file, words: map<int,bigint>)`
+  via a normal distributed write. NOTHING grows-with-table ever
+  touches the driver: the r8 shape collected every file's ≤256 KiB
+  hex bitset into one driver dict (multi-GB at 10⁵–10⁶ files) — now
+  the driver holds only the (constant-size) meta JSON.
+- `bloom_candidate_files`: the probe value's k bit positions become k
+  bit-test predicates on the sidecar's `words` column — the
+  admitted-file set is computed EXECUTOR-side by a filtered sidecar
+  read joined (broadcast) against the snapshot's file list; only the
+  admitted names (plus post-index appends) come back to the driver,
+  bounded by the answer size, never by the table. No data file is
+  opened.
 - `point_lookup`: reads just the candidate files and re-applies the
   exact predicate, so results equal the unpruned filter exactly
   (false positives cost IO, never correctness; false negatives are
@@ -29,14 +37,24 @@ Sizing: m auto-scales to ~10 bits per key of the snapshot's BIGGEST
 file (power of two, 1 KiB–256 KiB per file), giving ~1% false
 positives at k=4 regardless of file size — a fixed m saturates on
 large files and quietly stops pruning (measured in
-tools/bloom_bench.py before the auto-sizing). At a million files the
-index is tens of GiB; a production layout shards it by partition
-directory and prunes distributedly — the sketch math is unchanged.
+tools/bloom_bench.py before the auto-sizing). The sidecar is sparse
+(only words with set bits), partitioned like any parquet table — at
+a million files it is just another small table, pruned and filtered
+distributedly.
 
 Index version-pins to the snapshot it was built from: appends create
 NEW files (existing bitsets stay valid — files are immutable), so a
 lookup against a later version falls back to "no bitset ⇒ candidate"
 for unindexed files, exactly the zone-map fallback discipline.
+`vacuum` GCs sidecars alongside their version's manifest (storage
+coherence); a probe after that degrades to must-scan — still exact,
+rebuild the index to restore pruning.
+
+Schema evolution: if a column added after the admitted files were
+written exists in NONE of them, the pruned read can't surface it —
+the lookup falls back to the full snapshot read (Catalyst still
+pushes the equality into every file's row groups), instead of the
+r8 AnalysisException.
 
 Reference parity: none (lakehouse extension; the reference's MySQL
 relies on B-tree indexes, `SQL/create-TCRDv7.sql` KEY clauses — this
@@ -47,7 +65,6 @@ from __future__ import annotations
 
 import json
 import os
-import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,10 +78,14 @@ BITS_PER_KEY = 10  # ~1% fp at k=4
 M_MIN, M_MAX = 1 << 13, 1 << 21  # 1 KiB .. 256 KiB per file
 
 
-def _index_path(table_dir: str, col: str, version: int) -> str:
+def _index_dir(table_dir: str, col: str, version: int) -> str:
     return os.path.join(
-        table_dir, "_index", f"bloom-{col}-v{version:05d}.json"
+        table_dir, "_index", f"bloom-{col}-v{version:05d}"
     )
+
+
+def _meta_path(table_dir: str, col: str, version: int) -> str:
+    return _index_dir(table_dir, col, version) + ".meta.json"
 
 
 def _bit_positions(col, m_bits: int, k: int):
@@ -75,14 +96,6 @@ def _bit_positions(col, m_bits: int, k: int):
             for i in range(k)
         ]
     )
-
-
-def _pack(bits: list[int], m_bits: int) -> str:
-    """Bit positions → hex bitset (m_bits/4 hex chars)."""
-    n = 0
-    for b in bits:
-        n |= 1 << int(b)
-    return f"{n:0{m_bits // 4}x}"
 
 
 def _auto_m_bits(paths: list[str]) -> int:
@@ -110,9 +123,11 @@ def build_bloom_index(
     m_bits: int | None = None,
     k: int = K_HASHES,
 ) -> str:
-    """Build and publish the per-file bloom index for `col` over one
-    snapshot; returns the index path. `m_bits=None` auto-sizes from
-    footer row counts."""
+    """Build and publish the per-file bloom sidecar for `col` over one
+    snapshot; returns the sidecar directory. `m_bits=None` auto-sizes
+    from footer row counts. The build is one distributed pipeline —
+    explode(k positions) → two bit_or-style shuffles → parquet write;
+    bitsets NEVER materialize on the driver (pytest-asserted)."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -128,31 +143,57 @@ def build_bloom_index(
         .parquet(*paths)
     )
     dtype = src.schema[col].dataType.simpleString()
-    df = (
+    # basename → manifest-relative path, joined broadcast below: the
+    # staging scheme (v{version}-{uuid}-{seq}.parquet) makes basenames
+    # unique, and parsing a basename off input_file_name() sidesteps
+    # the URI percent-encoding that relativizing a full path hits
+    names = [(os.path.basename(rel), rel) for rel in m["files"]]
+    if len({n for n, _ in names}) != len(names):
+        raise ValueError(f"non-unique data file basenames in {table_dir}")
+    relmap = spark.createDataFrame(names, "fname string, file string")
+    sidecar = (
         src.select(
-            F.input_file_name().alias("_f"),
+            F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ).alias("fname"),
             F.explode(_bit_positions(F.col(col), m_bits, k)).alias("_p"),
         )
-        .groupBy("_f")
-        .agg(F.collect_set("_p").alias("_bits"))
-    )
-    absbase = os.path.abspath(base)
-    filters: dict[str, str] = {}
-    for r in df.collect():
-        # input_file_name() is a file: URI (percent-encoded)
-        path = urllib.parse.urlparse(urllib.parse.unquote(r._f)).path
-        rel = os.path.relpath(path, absbase)
-        filters[rel] = _pack(r._bits, m_bits)
-    out = _index_path(table_dir, col, v)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    tmp = out + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
-            {"col": col, "version": v, "m_bits": m_bits, "k": k,
-             "dtype": dtype, "filters": filters},
-            f, sort_keys=True,
+        # sparse bitset words: position → (word, mask), OR-folded per
+        # (file, word) then packed into one map row per file — both
+        # aggregations map-side combinable, output ∝ set bits
+        .select(
+            "fname",
+            F.expr("CAST(_p DIV 64 AS INT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))"
+            ).alias("mask"),
         )
-    os.rename(tmp, out)  # derived artifact: last-writer-wins is fine
+        .groupBy("fname", "w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .groupBy("fname")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("words")
+        )
+        .join(F.broadcast(relmap), "fname")
+        .select("file", "words")
+    )
+    out = _index_dir(table_dir, col, v)
+    sidecar.write.mode("overwrite").parquet(out)
+    meta = _meta_path(table_dir, col, v)
+    tmp = meta + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(
+                {"col": col, "version": v, "m_bits": m_bits, "k": k,
+                 "dtype": dtype},
+                f, sort_keys=True,
+            )
+        os.rename(tmp, meta)  # derived artifact: last-writer-wins
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return out
 
 
@@ -170,6 +211,17 @@ def _probe_positions(
     return [int(p) for p in row.p]
 
 
+def _find_index(table_dir: str, col: str, v: int) -> dict | None:
+    """Newest index meta at or before snapshot v (vacuum may have
+    GC'd older ones — discovery just walks past the gaps)."""
+    for iv in range(v, 0, -1):
+        p = _meta_path(table_dir, col, iv)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+    return None
+
+
 def bloom_candidate_files(
     spark: SparkSession,
     table_dir: str,
@@ -180,33 +232,48 @@ def bloom_candidate_files(
     """Files of `version` that may contain col == value, plus the
     snapshot's total file count. Files without a bitset (added after
     the index was built) are kept — pruning is only ever an IO
-    optimization."""
+    optimization. Admission is computed EXECUTOR-side (k bit-test
+    predicates on the sidecar); the driver receives only the admitted
+    names."""
     vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
     v = vs[-1] if version is None else version
     m = _read_manifest(table_dir, v)
-    # newest index at or before the requested snapshot
-    idx = None
-    for iv in range(v, 0, -1):
-        p = _index_path(table_dir, col, iv)
-        if os.path.exists(p):
-            with open(p) as f:
-                idx = json.load(f)
-            break
+    idx = _find_index(table_dir, col, v)
     if idx is None:
         return list(m["files"]), len(m["files"])
     pos = _probe_positions(
         spark, value, idx["dtype"], idx["m_bits"], idx["k"]
     )
-    kept = []
-    for rel in m["files"]:
-        hexset = idx["filters"].get(rel)
-        if hexset is None:
-            kept.append(rel)  # unindexed (post-index append): must scan
-            continue
-        bits = int(hexset, 16)
-        if all((bits >> p) & 1 for p in pos):
-            kept.append(rel)
-    return kept, len(m["files"])
+    # k bit tests on the sparse words map; a missing word ⇒ NULL ⇒
+    # the conjunction is not TRUE ⇒ the file is rejected (that word
+    # has no set bits, so the probe bit is certainly absent)
+    test = None
+    for p in pos:
+        mask = 1 << (p % 64)
+        if mask >= 1 << 63:
+            mask -= 1 << 64  # signed 64-bit, matching the build side
+        t = (
+            F.col("words").getItem(p // 64).bitwiseAND(F.lit(mask)) != 0
+        )
+        test = t if test is None else (test & t)
+    side = spark.read.parquet(_index_dir(table_dir, col, idx["version"]))
+    mdf = spark.createDataFrame(
+        [(f,) for f in m["files"]], "file string"
+    )
+    # the bit test evaluates inside the sidecar scan, so only a
+    # narrow (file, hit) stream leaves it — never broadcast the
+    # sidecar itself: its words maps are the whole index
+    kept_rows = (
+        mdf.join(side.select("file", test.alias("_hit")), "file", "left")
+        # unindexed (post-index append): must scan; indexed: bit test
+        .where(F.col("_hit").isNull() | F.col("_hit"))
+        .select("file")
+        .collect()
+    )
+    kept = {r.file for r in kept_rows}
+    return [f for f in m["files"] if f in kept], len(m["files"])
 
 
 def point_lookup(
@@ -231,10 +298,16 @@ def point_lookup(
         return read_version(spark, table_dir, v).where(pred).limit(0)
     base = _data_dir(table_dir)
     cols = _read_manifest(table_dir, v)["columns"]
-    return (
+    df = (
         spark.read.option("basePath", base)
         .option("mergeSchema", "true")
         .parquet(*[os.path.join(base, rel) for rel in kept])
         .where(pred)
-        .select(*cols)  # manifest column order, same as read_version
     )
+    if any(c not in df.columns for c in cols):
+        # a schema-evolution column exists in none of the admitted
+        # files: the pruned subset can't type it — degrade to the
+        # full snapshot read (exact, just unpruned) instead of the
+        # r8 AnalysisException
+        return read_version(spark, table_dir, v).where(pred)
+    return df.select(*cols)  # manifest column order, as read_version

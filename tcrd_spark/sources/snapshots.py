@@ -924,6 +924,15 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
                     os.remove(p)
                     removed.append(f)
         os.remove(_manifest_path(table_dir, v))
+        # index sidecars (sources/bloomidx.py) GC with their version:
+        # a sidecar outliving its manifest is a storage leak and lets
+        # a probe resolve an index whose files may be gone — probes on
+        # retained versions degrade to must-scan (still exact) until
+        # the index is rebuilt
+        for p in glob.glob(
+            os.path.join(table_dir, "_index", f"*-v{v:05d}*")
+        ):
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     return sorted(set(removed))
 
 

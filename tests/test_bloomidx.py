@@ -98,3 +98,108 @@ def test_no_index_returns_all_files(spark, sf_dir, tmp_path):
     )
     assert kept == snap._read_manifest(table, 2)["files"]
     assert len(kept) == total
+
+
+def test_build_and_probe_never_materialize_the_index_on_driver(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The r8 scale-killer: build collected every file's bitset into
+    one driver dict; probe looped over all files in Python. Both are
+    now distributed — the ONLY driver materializations allowed are
+    the k probe positions (1 row) and the admitted-file names
+    (bounded by the answer, not the table). Enforced by failing any
+    wide collect during the build and counting rows on the probe."""
+    import pyspark.sql.classic.dataframe as pdf  # the concrete class
+
+    table, orders = _build(spark, sf_dir, tmp_path)
+    real_collect = pdf.DataFrame.collect
+
+    def no_collect(self):
+        raise AssertionError(
+            "build_bloom_index must not collect to the driver"
+        )
+
+    monkeypatch.setattr(pdf.DataFrame, "collect", no_collect)
+    try:
+        bloomidx.build_bloom_index(spark, table, "o_orderkey")
+    finally:
+        monkeypatch.setattr(pdf.DataFrame, "collect", real_collect)
+
+    collected_rows = []
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        collected_rows.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(pdf.DataFrame, "collect", counting_collect)
+    key = orders.head().o_orderkey
+    kept, total = bloomidx.bloom_candidate_files(
+        spark, table, "o_orderkey", key
+    )
+    monkeypatch.setattr(pdf.DataFrame, "collect", real_collect)
+    # every probe-side collect is bounded by the ADMITTED set
+    assert collected_rows and max(collected_rows) <= len(kept)
+    assert len(kept) < total
+
+
+def test_vacuum_gcs_index_sidecars_probe_stays_exact(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r9 #7: vacuum removes the sidecars of dropped versions
+    with their manifests; a probe on a LIVE version afterwards finds
+    no index, degrades to must-scan, and stays exact."""
+    import glob
+    import os
+
+    table, orders = _build(spark, sf_dir, tmp_path)  # versions 1..4
+    bloomidx.build_bloom_index(spark, table, "o_orderkey", version=4)
+    snap.append_version(table, orders.limit(0))  # v5 (empty append)
+    assert glob.glob(os.path.join(table, "_index", "*"))
+    snap.vacuum(table, keep_versions=1)  # drops v1..v4 + the sidecar
+    assert not glob.glob(os.path.join(table, "_index", "*"))
+    key = orders.head().o_orderkey
+    kept, total = bloomidx.bloom_candidate_files(
+        spark, table, "o_orderkey", key
+    )
+    assert kept and len(kept) == total  # must-scan fallback
+    got = bloomidx.point_lookup(spark, table, "o_orderkey", key).count()
+    want = (
+        snap.read_version(spark, table)
+        .where(F.col("o_orderkey") == key)
+        .count()
+    )
+    assert got == want >= 1
+
+
+def test_empty_table_raises_filenotfound(spark, tmp_path):
+    """r8 ADVICE: bloom_candidate_files indexed vs[-1] on an empty
+    version list (IndexError); now the same FileNotFoundError as
+    point_lookup and read_version."""
+    import pytest
+
+    empty = str(tmp_path / "nope")
+    with pytest.raises(FileNotFoundError):
+        bloomidx.bloom_candidate_files(spark, empty, "c", 1)
+    with pytest.raises(FileNotFoundError):
+        bloomidx.build_bloom_index(spark, empty, "c")
+
+
+def test_schema_evolution_column_missing_from_kept_files(
+    spark, sf_dir, tmp_path
+):
+    """r8 ADVICE: a column added after the admitted files were written
+    (present in NO kept file) made point_lookup throw AnalysisException
+    where read_version surfaced NULLs. The lookup now degrades to the
+    full snapshot read — exact, just unpruned."""
+    table, orders = _build(spark, sf_dir, tmp_path, n_appends=1)
+    bloomidx.build_bloom_index(spark, table, "o_orderkey")
+    key = orders.where("o_orderkey % 4 = 0").head().o_orderkey
+    evolved = orders.where("o_orderkey % 4 = 1").withColumn(
+        "note", F.lit("late")
+    )
+    snap.append_version(table, evolved, merge_schema=True)
+    got = bloomidx.point_lookup(spark, table, "o_orderkey", key)
+    assert "note" in got.columns
+    rows = got.collect()
+    assert rows and all(r.note is None for r in rows)

@@ -55,11 +55,11 @@ def main() -> int:
             table, orders.where(F.col("o_orderkey") % m == i)
         )
     t0 = time.time()
-    idx_path = bloomidx.build_bloom_index(spark, table, "o_orderkey")
+    idx_dir = bloomidx.build_bloom_index(spark, table, "o_orderkey")
     t_build = time.time() - t0
     import json
 
-    with open(idx_path) as f:
+    with open(idx_dir + ".meta.json") as f:
         m_bits = json.load(f)["m_bits"]
     total_files = len(snap._read_manifest(
         table, snap.versions(table)[-1])["files"])
