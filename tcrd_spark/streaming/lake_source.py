@@ -20,6 +20,22 @@ Semantics (mirrors Delta's defaults):
   ``skipChangeCommits=true`` (Delta's option of the same name), in
   which case rewrite commits are passed over and only append commits
   feed the stream;
+- ``maxVersionsPerTrigger`` / ``maxFilesPerTrigger`` bound each
+  micro-batch (Delta's maxFilesPerTrigger admission control): a
+  consumer starting from version 0 against a long history receives
+  the backlog as N bounded batches instead of one unbounded one —
+  same total result, checkpointed progress after every batch. Each
+  batch always advances at least one version, so an oversized single
+  commit still flows. The bound needs the stream's CURRENT position:
+  on a fresh query that is ``startingVersion`` (Spark asks for
+  latestOffset BEFORE initialOffset — traced); on a restart Spark
+  re-commits the checkpointed offset to the reader before planning
+  (traced), and a replayed WAL batch passes through partitions() —
+  so the position is always known and every batch is bounded
+  (pytest-pinned, including restart). partitions() additionally
+  REFUSES a batch whose end precedes its start, so any future
+  protocol surprise surfaces loudly instead of silently regressing
+  the offset log into re-delivery;
 - readers run executor-side on parquet footer+data via pyarrow and
   re-attach the hive partition value from the file path; rows reach
   Spark as Arrow batches (no per-row Python).
@@ -120,6 +136,18 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
             == "true"
         )
         self._start = int(opts.get("startingversion", 0))
+        mv = opts.get("maxversionspertrigger")
+        mf = opts.get("maxfilespertrigger")
+        self._max_v = int(mv) if mv is not None else None
+        self._max_f = int(mf) if mf is not None else None
+        if self._max_v is not None and self._max_v < 1:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        if self._max_f is not None and self._max_f < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        # highest version Spark is KNOWN to have planned/committed —
+        # learned from initialOffset (fresh query), partitions() and
+        # commit() (running/restarted query); None until then
+        self._cursor: int | None = None
         vs = _versions(self._table)
         # the stream's schema is fixed at start (the latest manifest);
         # a commit with different columns is a schema-evolution
@@ -129,13 +157,58 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
+        self._cursor = self._start
         return {"version": self._start}
+
+    def _added_files(self, v: int) -> int:
+        """Files an append commit adds (rewrites count 0 — they are
+        skipped or refused in partitions(), never delivered)."""
+        m = _manifest(self._table, v)
+        if m["op"] not in ("create", "append"):
+            return 0
+        parent = m.get("parent")
+        prev = (
+            set(_manifest(self._table, parent)["files"])
+            if parent else set()
+        )
+        return sum(1 for f in m["files"] if f not in prev)
 
     def latestOffset(self) -> dict:
         vs = _versions(self._table)
-        return {"version": vs[-1] if vs else self._start}
+        latest = vs[-1] if vs else self._start
+        if self._max_v is None and self._max_f is None:
+            return {"version": latest}
+        # position: cursor if Spark has revealed it (restart commit(),
+        # WAL-replay partitions(), a prior batch), else startingVersion
+        # — the only cursor-less caller is a genuinely fresh query
+        base = self._cursor if self._cursor is not None else self._start
+        end, n_files = base, 0
+        for v in range(base + 1, latest + 1):
+            if self._max_v is not None and v - base > self._max_v:
+                break
+            added = self._added_files(v)
+            if (
+                self._max_f is not None
+                and end > self._cursor  # always admit ≥ 1 version
+                and n_files + added > self._max_f
+            ):
+                break
+            n_files += added
+            end = v
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        if end["version"] < start["version"]:
+            # a regressing batch would re-deliver consumed commits on
+            # the next trigger — refuse loudly (admission control must
+            # never offer an offset behind the checkpoint)
+            raise ValueError(
+                f"batch end v{end['version']} precedes start "
+                f"v{start['version']} — offset regression"
+            )
+        known = max(start["version"], end["version"])
+        if self._cursor is None or known > self._cursor:
+            self._cursor = known
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             m = _manifest(self._table, v)
@@ -191,7 +264,9 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
-        pass
+        v = end["version"]
+        if self._cursor is None or v > self._cursor:
+            self._cursor = v
 
 
 class LakeCommitsDataSource(DataSource):
