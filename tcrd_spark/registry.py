@@ -168,6 +168,8 @@ PRIORITY = (
     "welch_ttest",
     "winnow_fingerprints",
     "winsorize_values",
+    # registered post-r9-cap (new-query grace; heads the r10 cap)
+    "image_near_dups",
     # last green r8
     "ann_bruteforce",
     "ann_ivf",
@@ -269,6 +271,7 @@ def _collect():
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.compressibility",
                     "pipeline.pooling", "pipeline.containment",
+                    "pipeline.imagedup",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
                     "sources.snapshots", "sources.incremental",

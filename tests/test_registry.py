@@ -80,7 +80,12 @@ def test_staleness_bound_is_feasible_and_holding():
         f"staleness bound (rotate them into the cap NOW): {over}"
     )
     cap_worst = max(greens.get(n, -1) for n in PRIORITY[:50])
-    rest_best = min(greens.get(n, -1) for n in PRIORITY[50:])
+    # never-green PAST-CAP queries are either in new-query grace or
+    # already failing test_past_cap_queries_have_green_history — the
+    # ordering invariant ranges over adjudicated entries only
+    rest_best = min(
+        (greens[n] for n in PRIORITY[50:] if n in greens), default=99
+    )
     assert cap_worst <= rest_best, (
         "cap is not oldest-green-first: a past-cap query "
         f"(green r{rest_best}) is staler than a cap entry "
