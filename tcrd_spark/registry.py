@@ -170,6 +170,7 @@ PRIORITY = (
     "winsorize_values",
     # registered post-r9-cap (new-query grace; heads the r10 cap)
     "image_near_dups",
+    "quantile_sketch",
     # last green r8
     "ann_bruteforce",
     "ann_ivf",
@@ -271,7 +272,7 @@ def _collect():
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.compressibility",
                     "pipeline.pooling", "pipeline.containment",
-                    "pipeline.imagedup",
+                    "pipeline.imagedup", "pipeline.quantiles",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
                     "sources.snapshots", "sources.incremental",
