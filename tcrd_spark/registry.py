@@ -171,6 +171,7 @@ PRIORITY = (
     # registered post-r9-cap (new-query grace; heads the r10 cap)
     "image_near_dups",
     "quantile_sketch",
+    "phrase_search",
     # last green r8
     "ann_bruteforce",
     "ann_ivf",
@@ -273,6 +274,7 @@ def _collect():
                     "pipeline.compressibility",
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.imagedup", "pipeline.quantiles",
+                    "pipeline.phrase",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
                     "sources.snapshots", "sources.incremental",
