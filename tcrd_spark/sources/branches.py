@@ -1,0 +1,245 @@
+"""Branches for the versioned lake — git-like writable refs (the
+Iceberg branch / Nessie model): fork a table at a version, commit to
+the fork in isolation with EVERY existing verb, then merge back
+atomically or throw the branch away.
+
+This is the general form of write-audit-publish: the WAP sink
+(`streaming/jobs.py`) quarantines one micro-batch; a branch isolates
+an arbitrary SEQUENCE of commits (a backfill, a risky MERGE, a
+reprocessing run) that readers of the source table never see until
+the merge.
+
+Mechanics — a branch is a real table directory that shares the
+source's DATA:
+
+- `create_branch` makes `<table>/_branches/<name>/` with its own
+  `_manifests` chain seeded by a COPY of the fork version's manifest
+  (same version number, so numbering continues from the fork) and a
+  `data` SYMLINK to the source's data directory. Because manifests
+  list files relative to the data dir, every existing verb —
+  read_version, append_version, merge_version, delete_version,
+  optimize_version, read_changes, expectations, the streaming source
+  — works on the branch path UNCHANGED; new files staged on the
+  branch land in the shared data dir under uuid-tagged names no
+  source manifest ever references. (An object-store deployment maps
+  the two prefixes instead of symlinking; the manifest math is
+  identical.)
+- the fork version is pinned by an automatic TAG (`branch-<name>`),
+  so `vacuum` on the source can never reclaim files the branch still
+  reads — the tag IS the branch's GC root, dropped with the branch.
+- `vacuum` on a branch directory is REFUSED (snapshots.vacuum checks
+  `_branch.json`): a branch's dropped manifests reference shared
+  source files, so per-branch retention GC could delete data live in
+  the source. Merge or delete the branch, then vacuum the source.
+- `merge_branch`: pure-APPEND branches replay onto the CURRENT
+  source head even if the source advanced since the fork (appends
+  conflict with nothing — the optimistic-append rule), through the
+  same manifest CAS every writer uses. Branches containing REWRITE
+  commits (merge/delete/optimize) merge only fast-forward (source
+  still at the fork version) — their file lists encode the fork-time
+  table state, so replaying them onto a moved head would silently
+  drop the source's newer rows; otherwise the merge raises a
+  conflict and the caller re-forks.
+- `delete_branch` removes the branch's own files (those in branch
+  manifests but no source manifest), its directory, and the fork tag.
+
+100 TB shape: fork is O(1) (one manifest copy + one symlink + one
+tag) — no data moves, ever; merge moves manifests, not bytes; the
+branch's isolation is the manifest namespace, not a data copy.
+
+Reference parity: none (lakehouse extension; with sources/snapshots.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from tcrd_spark.sources.snapshots import (
+    _commit,
+    _data_dir,
+    _manifest_dir,
+    _manifest_path,
+    _publish_exclusive,
+    _read_manifest,
+    delete_tag,
+    tag_version,
+    versions,
+)
+
+_APPEND_OPS = ("create", "append")
+
+
+def _branch_dir(table_dir: str, name: str) -> str:
+    return os.path.join(table_dir, "_branches", name)
+
+
+def _branch_meta(branch_dir: str) -> dict:
+    with open(os.path.join(branch_dir, "_branch.json")) as f:
+        return json.load(f)
+
+
+def _fork_tag(name: str) -> str:
+    return f"branch-{name}"
+
+
+def list_branches(table_dir: str) -> dict[str, dict]:
+    """{name: {fork_version, head}} for every live branch."""
+    root = os.path.join(table_dir, "_branches")
+    out = {}
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            bdir = os.path.join(root, name)
+            if os.path.exists(os.path.join(bdir, "_branch.json")):
+                meta = _branch_meta(bdir)
+                out[name] = {
+                    "fork_version": meta["fork_version"],
+                    "head": versions(bdir)[-1],
+                }
+    return out
+
+
+def create_branch(
+    table_dir: str, name: str, version: int | None = None
+) -> str:
+    """Fork `table_dir` at `version` (default: head) into a writable
+    branch; returns the branch directory — a full table path every
+    existing verb accepts. O(1): no data is copied or moved."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"no version {v} at {table_dir}")
+    bdir = _branch_dir(table_dir, name)
+    if os.path.exists(bdir):
+        raise FileExistsError(f"branch {name!r} exists at {table_dir}")
+    # the fork tag is the branch's GC root: source vacuum retains the
+    # fork version (and so every file the branch inherited) while the
+    # branch lives
+    tag_version(table_dir, _fork_tag(name), v)
+    try:
+        os.makedirs(_manifest_dir(bdir))
+        os.symlink(
+            os.path.relpath(_data_dir(table_dir), bdir),
+            _data_dir(bdir),
+        )
+        m = _read_manifest(table_dir, v)
+        _publish_exclusive(
+            _manifest_path(bdir, v), m,
+            f"branch seed v{v} already exists",
+        )
+        _publish_exclusive(
+            os.path.join(bdir, "_branch.json"),
+            {"name": name, "source": os.path.abspath(table_dir),
+             "fork_version": v},
+            f"branch meta for {name!r} already exists",
+        )
+    except Exception:
+        shutil.rmtree(bdir, ignore_errors=True)
+        delete_tag(table_dir, _fork_tag(name))
+        raise
+    return bdir
+
+
+def _branch_new_versions(bdir: str) -> list[int]:
+    fork_v = _branch_meta(bdir)["fork_version"]
+    return [v for v in versions(bdir) if v > fork_v]
+
+
+def merge_branch(
+    spark: SparkSession, table_dir: str, name: str
+) -> int:
+    """Publish the branch's commits onto the source; returns the new
+    source head. Append-only branches merge onto a MOVED head;
+    branches with rewrite commits fast-forward only (else raises).
+    The branch itself is left intact — `delete_branch` retires it."""
+    bdir = _branch_dir(table_dir, name)
+    if not os.path.exists(os.path.join(bdir, "_branch.json")):
+        raise FileNotFoundError(f"no branch {name!r} at {table_dir}")
+    fork_v = _branch_meta(bdir)["fork_version"]
+    new_vs = _branch_new_versions(bdir)
+    src_head = versions(table_dir)[-1]
+    if not new_vs:
+        return src_head
+    ops = {v: _read_manifest(bdir, v)["op"] for v in new_vs}
+    if all(op in _APPEND_OPS for op in ops.values()):
+        # replay each append's ADDED files onto the live head via the
+        # standard manifest CAS — safe under concurrent writers
+        for v in new_vs:
+            bm = _read_manifest(bdir, v)
+            prev = set(_read_manifest(bdir, bm["parent"])["files"])
+            added = [f for f in bm["files"] if f not in prev]
+            added_stats = {
+                f: s for f, s in bm.get("stats", {}).items() if f in set(added)
+            }
+            while True:
+                cur = versions(table_dir)[-1]
+                cm = _read_manifest(table_dir, cur)
+                if cm["columns"] != bm["columns"]:
+                    raise ValueError(
+                        "merge conflict: source schema changed — "
+                        f"{cm['columns']} vs branch {bm['columns']}"
+                    )
+                try:
+                    _commit(table_dir, {
+                        "version": cur + 1, "parent": cur,
+                        "op": "append", "merged_from": name,
+                        "part_col": cm["part_col"],
+                        "columns": cm["columns"],
+                        "files": sorted(set(cm["files"]) | set(added)),
+                        "stats": {**cm.get("stats", {}), **added_stats},
+                    })
+                    break
+                except FileExistsError:
+                    continue  # lost the CAS to a concurrent writer
+        return versions(table_dir)[-1]
+    if src_head != fork_v:
+        raise ValueError(
+            f"merge conflict: branch {name!r} contains rewrite commits "
+            f"({sorted(set(ops.values()) - set(_APPEND_OPS))}) and the "
+            f"source advanced v{fork_v} → v{src_head} since the fork — "
+            "its file lists encode the fork-time state; re-fork and "
+            "replay"
+        )
+    # fast-forward: the branch numbering continued from the fork, so
+    # its manifests publish verbatim; the CAS raises if a writer races
+    for v in new_vs:
+        bm = _read_manifest(bdir, v)
+        bm["merged_from"] = name
+        _publish_exclusive(
+            _manifest_path(table_dir, v), bm,
+            f"merge conflict: version {v} committed on the source "
+            "during the fast-forward",
+        )
+    return versions(table_dir)[-1]
+
+
+def delete_branch(table_dir: str, name: str) -> list[str]:
+    """Retire a branch: remove the files only IT references (staged
+    on the branch, never merged), its directory, and the fork tag.
+    Returns the removed file names."""
+    bdir = _branch_dir(table_dir, name)
+    if not os.path.exists(os.path.join(bdir, "_branch.json")):
+        raise FileNotFoundError(f"no branch {name!r} at {table_dir}")
+    branch_files = {
+        f for v in versions(bdir) for f in _read_manifest(bdir, v)["files"]
+    }
+    source_files = {
+        f
+        for v in versions(table_dir)
+        for f in _read_manifest(table_dir, v)["files"]
+    }
+    base = _data_dir(table_dir)
+    removed = []
+    for f in sorted(branch_files - source_files):
+        p = os.path.join(base, f)
+        if os.path.exists(p):
+            os.remove(p)
+            removed.append(f)
+    shutil.rmtree(bdir)
+    delete_tag(table_dir, _fork_tag(name))
+    return removed

@@ -907,6 +907,15 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     retained version references, and never a TAGGED version: a tag is
     a promise that a training set stays reproducible, so its manifest
     and files survive any retention window."""
+    if os.path.exists(os.path.join(table_dir, "_branch.json")):
+        # a branch's dropped manifests reference files shared with
+        # (and possibly live in) its source — per-branch retention GC
+        # could delete source data. Merge or delete the branch, then
+        # vacuum the source (sources/branches.py).
+        raise ValueError(
+            "vacuum on a branch is refused — merge_branch/delete_branch "
+            "first, then vacuum the source table"
+        )
     vs = versions(table_dir)
     tagged = set(list_tags(table_dir).values())
     retain = set(vs[-keep_versions:]) | tagged
