@@ -45,6 +45,30 @@ def _lake_cmd(args) -> int:
         for name, v in sorted(snap.list_tags(table).items()):
             print(f"{name}\tv{v}")
         return 0
+    if args.action == "branch":
+        from tcrd_spark.sources import branches as br
+
+        if not args.name:
+            print("--name required for branch", file=sys.stderr)
+            return 1
+        bdir = br.create_branch(table, args.name, args.v_to)
+        print(f"branched {args.name} at v{br._branch_meta(bdir)['fork_version']}: {bdir}")
+        return 0
+    if args.action == "branches":
+        from tcrd_spark.sources import branches as br
+
+        for name, info in br.list_branches(table).items():
+            print(f"{name}\tfork=v{info['fork_version']}\thead=v{info['head']}")
+        return 0
+    if args.action == "drop-branch":
+        from tcrd_spark.sources import branches as br
+
+        if not args.name:
+            print("--name required for drop-branch", file=sys.stderr)
+            return 1
+        for f in br.delete_branch(table, args.name):
+            print(f"removed\t{f}")
+        return 0
     if args.action == "history":
         for v in vs:
             m = snap._read_manifest(table, v)
@@ -76,6 +100,15 @@ def _lake_cmd(args) -> int:
         )
         for r in feed.orderBy(*feed.columns).collect():
             print("\t".join(str(v) for v in r))
+        return 0
+    if args.action == "merge-branch":
+        from tcrd_spark.sources import branches as br
+
+        if not args.name:
+            print("--name required for merge-branch", file=sys.stderr)
+            return 1
+        v = br.merge_branch(spark, table, args.name)
+        print(f"merged {args.name} -> v{v}")
         return 0
     if args.action == "delete":
         if not args.predicate:
@@ -138,13 +171,15 @@ def main(argv: list[str] | None = None) -> int:
     lk.add_argument(
         "action",
         choices=["history", "diff", "changes", "optimize", "vacuum",
-                 "tag", "tags", "delete"],
+                 "tag", "tags", "delete", "branch", "branches",
+                 "merge-branch", "drop-branch"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
     lk.add_argument("--keys", default=None, help="comma-joined key columns")
     lk.add_argument("--keep", type=int, default=2, help="vacuum retention")
-    lk.add_argument("--name", default=None, help="tag name (tag action)")
+    lk.add_argument("--name", default=None,
+                    help="tag or branch name (tag/branch actions)")
     lk.add_argument("--predicate", default=None,
                     help="SQL predicate (delete action)")
     lk.add_argument("--cluster-by", default=None,
