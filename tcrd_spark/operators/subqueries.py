@@ -110,6 +110,26 @@ Q15_SQL = """
 """
 
 
+Q20_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > (
+            SELECT 0.2 * sum(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01'
+        )
+    )
+"""
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Register the lake views and run one ANSI text through Catalyst."""
     from tcrd_spark.sources.lake import register_views
@@ -148,11 +168,24 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, Q15_SQL)
 
 
+def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who carried > 20% of some part's total shipped
+    quantity in 1996 (TPC-H Q20 skeleton adapted to the lake's tables:
+    an IN subquery whose GROUPed body holds a scalar subquery
+    CORRELATED ON A GROUPING COLUMN inside HAVING — the deepest
+    decorrelation shape in the family; Catalyst rewrites it to a
+    per-part aggregate joined back under a left-semi join). The
+    compared sums are of integral quantities, so both engines'
+    float sums are exact and the > decision is deterministic."""
+    return run_sql(spark, sf_dir, Q20_SQL)
+
+
 QUERIES = {
     "corr_scalar_below_avg": q_corr_scalar_below_avg,
     "corr_not_exists_idle": q_corr_not_exists_idle,
     "blamed_suppliers": q_blamed_suppliers,
     "top_revenue_supplier": q_top_revenue_supplier,
+    "excess_share_suppliers": q_excess_share_suppliers,
 }
 
 # the SAME texts verbatim — the whole point
@@ -161,4 +194,5 @@ ORACLE = {
     "corr_not_exists_idle": Q22_SQL,
     "blamed_suppliers": Q21_SQL,
     "top_revenue_supplier": Q15_SQL,
+    "excess_share_suppliers": Q20_SQL,
 }

@@ -172,6 +172,7 @@ PRIORITY = (
     "image_near_dups",
     "quantile_sketch",
     "phrase_search",
+    "excess_share_suppliers",
     # last green r8
     "ann_bruteforce",
     "ann_ivf",

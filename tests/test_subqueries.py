@@ -36,3 +36,19 @@ def test_not_exists_becomes_left_anti(spark, sf_dir):
     # not evaluated post-join
     assert "PushedFilters" in plan and "300000" in plan
     assert df.count() >= 0  # non-empty at sf>=0.01; 0 rows legal at tiny sf
+
+
+def test_q20_having_correlation_decorrelates(spark, sf_dir):
+    """The Q20 shape's correlated scalar lives in HAVING and
+    correlates on a GROUPING column; Catalyst must still rewrite it
+    to a per-part aggregate joined back (no per-row ScalarSubquery)
+    under a left-semi for the IN."""
+    from tcrd_spark.operators.subqueries import q_excess_share_suppliers
+
+    df = q_excess_share_suppliers(spark, sf_dir)
+    plan = _plan(df)
+    assert "ScalarSubquery" not in plan
+    assert "LeftSemi" in plan
+    # the date window is pushed into both lineitem scans
+    assert plan.count("Scan parquet") >= 3  # supplier + lineitem x2
+    assert df.count() >= 0
