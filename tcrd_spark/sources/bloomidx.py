@@ -28,6 +28,10 @@ is that capability for the manifest lake:
   exact predicate, so results equal the unpruned filter exactly
   (false positives cost IO, never correctness; false negatives are
   impossible for values present when the index was built).
+- `tokenize=True` / `contains_lookup`: the same sketch over the
+  WHITESPACE TOKENS of a text column — word-level file skipping
+  ("which files may contain this term") for contains-queries on the
+  corpus lake, where neither zone maps nor value blooms can help.
 
 Hashing runs in the ENGINE (xxhash64) on both the build and the
 probe side — the probe hashes its literal through a 1-row Spark job
@@ -115,6 +119,9 @@ def _auto_m_bits(paths: list[str]) -> int:
     return m
 
 
+TOKENS_PER_ROW = 64  # m auto-sizing guess for tokenize=True builds
+
+
 def build_bloom_index(
     spark: SparkSession,
     table_dir: str,
@@ -122,12 +129,20 @@ def build_bloom_index(
     version: int | None = None,
     m_bits: int | None = None,
     k: int = K_HASHES,
+    tokenize: bool = False,
 ) -> str:
     """Build and publish the per-file bloom sidecar for `col` over one
     snapshot; returns the sidecar directory. `m_bits=None` auto-sizes
     from footer row counts. The build is one distributed pipeline —
     explode(k positions) → two bit_or-style shuffles → parquet write;
-    bitsets NEVER materialize on the driver (pytest-asserted)."""
+    bitsets NEVER materialize on the driver (pytest-asserted).
+
+    `tokenize=True` indexes the WHITESPACE TOKENS of a text column
+    instead of whole values — word-level file skipping ("which files
+    may contain this term") for contains-queries that zone maps and
+    value blooms can't prune. Auto-sizing then budgets
+    ~TOKENS_PER_ROW distinct tokens per row; pass m_bits for corpora
+    with much longer documents."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -137,12 +152,16 @@ def build_bloom_index(
     paths = [os.path.join(base, rel) for rel in m["files"]]
     if m_bits is None:
         m_bits = _auto_m_bits(paths)
+        if tokenize:
+            target = m_bits * TOKENS_PER_ROW
+            while m_bits < target and m_bits < M_MAX:
+                m_bits <<= 1
     src = (
         spark.read.option("basePath", base)
         .option("mergeSchema", "true")
         .parquet(*paths)
     )
-    dtype = src.schema[col].dataType.simpleString()
+    dtype = "string" if tokenize else src.schema[col].dataType.simpleString()
     # basename → manifest-relative path, joined broadcast below: the
     # staging scheme (v{version}-{uuid}-{seq}.parquet) makes basenames
     # unique, and parsing a basename off input_file_name() sidesteps
@@ -151,12 +170,18 @@ def build_bloom_index(
     if len({n for n, _ in names}) != len(names):
         raise ValueError(f"non-unique data file basenames in {table_dir}")
     relmap = spark.createDataFrame(names, "fname string, file string")
+    keyed = src.select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("fname"),
+        F.col(col).alias("_v"),
+    )
+    if tokenize:
+        keyed = keyed.select(
+            "fname", F.explode(F.split("_v", r"\s+")).alias("_v")
+        )
     sidecar = (
-        src.select(
-            F.element_at(
-                F.split(F.input_file_name(), "/"), -1
-            ).alias("fname"),
-            F.explode(_bit_positions(F.col(col), m_bits, k)).alias("_p"),
+        keyed.select(
+            "fname",
+            F.explode(_bit_positions(F.col("_v"), m_bits, k)).alias("_p"),
         )
         # sparse bitset words: position → (word, mask), OR-folded per
         # (file, word) then packed into one map row per file — both
@@ -187,7 +212,7 @@ def build_bloom_index(
         with open(tmp, "w") as f:
             json.dump(
                 {"col": col, "version": v, "m_bits": m_bits, "k": k,
-                 "dtype": dtype},
+                 "dtype": dtype, "tokenize": tokenize},
                 f, sort_keys=True,
             )
         os.rename(tmp, meta)  # derived artifact: last-writer-wins
@@ -246,16 +271,19 @@ def bloom_candidate_files(
     pos = _probe_positions(
         spark, value, idx["dtype"], idx["m_bits"], idx["k"]
     )
-    # k bit tests on the sparse words map; a missing word ⇒ NULL ⇒
-    # the conjunction is not TRUE ⇒ the file is rejected (that word
-    # has no set bits, so the probe bit is certainly absent)
+    # k bit tests on the sparse words map; a missing word has no set
+    # bits, so the probe bit is certainly absent — COALESCE the NULL
+    # lookup to false (a bare NULL would survive the conjunction and
+    # masquerade as "unindexed ⇒ keep" in the left join below, which
+    # silently disabled pruning on sparse token maps)
     test = None
     for p in pos:
         mask = 1 << (p % 64)
         if mask >= 1 << 63:
             mask -= 1 << 64  # signed 64-bit, matching the build side
-        t = (
-            F.col("words").getItem(p // 64).bitwiseAND(F.lit(mask)) != 0
+        t = F.coalesce(
+            F.col("words").getItem(p // 64).bitwiseAND(F.lit(mask)) != 0,
+            F.lit(False),
         )
         test = t if test is None else (test & t)
     side = spark.read.parquet(_index_dir(table_dir, col, idx["version"]))
@@ -276,16 +304,12 @@ def bloom_candidate_files(
     return [f for f in m["files"] if f in kept], len(m["files"])
 
 
-def point_lookup(
-    spark: SparkSession,
-    table_dir: str,
-    col: str,
-    value,
-    version: int | None = None,
+def _pruned_read(
+    spark: SparkSession, table_dir: str, col: str, value, pred, version
 ) -> DataFrame:
-    """col == value over one snapshot, planning ONLY bloom-admitted
-    files; the exact predicate is re-applied (pytest-pinned equal to
-    the unpruned filter)."""
+    """Shared pruned-read path: bloom-admitted files, exact predicate
+    re-applied; degrades to the full snapshot read when the kept
+    subset can't type a schema-evolution column or nothing is kept."""
     from tcrd_spark.sources.snapshots import read_version
 
     vs = versions(table_dir)
@@ -293,7 +317,6 @@ def point_lookup(
         raise FileNotFoundError(f"no versions at {table_dir}")
     v = vs[-1] if version is None else version
     kept, _total = bloom_candidate_files(spark, table_dir, col, value, v)
-    pred = F.col(col) == F.lit(value)
     if not kept:
         return read_version(spark, table_dir, v).where(pred).limit(0)
     base = _data_dir(table_dir)
@@ -311,3 +334,37 @@ def point_lookup(
         # r8 AnalysisException
         return read_version(spark, table_dir, v).where(pred)
     return df.select(*cols)  # manifest column order, as read_version
+
+
+def point_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """col == value over one snapshot, planning ONLY bloom-admitted
+    files; the exact predicate is re-applied (pytest-pinned equal to
+    the unpruned filter)."""
+    return _pruned_read(
+        spark, table_dir, col, value,
+        F.col(col) == F.lit(value), version,
+    )
+
+
+def contains_lookup(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    word: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Rows whose text column contains `word` as a whitespace token,
+    planning ONLY the files the TOKEN bloom admits (build with
+    tokenize=True) — word-level file skipping for the corpus lake; the
+    exact predicate is re-applied (pytest-pinned equal to the unpruned
+    contains-filter)."""
+    return _pruned_read(
+        spark, table_dir, col, word,
+        F.array_contains(F.split(F.col(col), r"\s+"), word), version,
+    )

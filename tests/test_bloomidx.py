@@ -203,3 +203,53 @@ def test_schema_evolution_column_missing_from_kept_files(
     assert "note" in got.columns
     rows = got.collect()
     assert rows and all(r.note is None for r in rows)
+
+
+def _docs_lake(spark, sf_dir, tmp_path, n_appends=3):
+    """Multi-file documents lake: disjoint doc_id slices per commit."""
+    from tcrd_spark.sources.lake import load_table
+
+    table = str(tmp_path / "docs")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    snap.create_table(docs.where("doc_id % 4 = 0"), table, "lang")
+    for i in range(1, n_appends + 1):
+        snap.append_version(table, docs.where(f"doc_id % 4 = {i}"))
+    return table, docs
+
+
+def test_token_bloom_contains_lookup_exact_and_pruning(
+    spark, sf_dir, tmp_path
+):
+    """tokenize=True indexes words: contains_lookup equals the
+    unpruned contains-filter exactly, and a word present in only a
+    few docs prunes files; an absent word prunes (almost) all."""
+    from pyspark.sql import functions as F
+
+    table, docs = _docs_lake(spark, sf_dir, tmp_path)
+    bloomidx.build_bloom_index(spark, table, "text", tokenize=True)
+    # a word that exists somewhere in the corpus
+    word = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .groupBy("w").count().orderBy("count").head().w
+    )
+    got = sorted(
+        r.doc_id
+        for r in bloomidx.contains_lookup(spark, table, "text", word)
+        .collect()
+    )
+    want = sorted(
+        r.doc_id
+        for r in snap.read_version(spark, table)
+        .where(F.array_contains(F.split("text", r"\s+"), word))
+        .collect()
+    )
+    assert got == want and got
+    kept, total = bloomidx.bloom_candidate_files(
+        spark, table, "text", "zzz-not-a-word-zzz"
+    )
+    assert len(kept) <= max(1, total // 4)
+    assert bloomidx.contains_lookup(
+        spark, table, "text", "zzz-not-a-word-zzz"
+    ).count() == 0
