@@ -1,0 +1,127 @@
+"""One-pass table profiling — the SUMMARIZE / dbt-profile verb: per
+column, in a single aggregation pass over the table, the stats a data
+engineer asks for before touching anything: row count, null count,
+exact distinct count, min/max, and mean (numeric columns).
+
+DuckDB ships this as `SUMMARIZE`; Spark's `df.summary()` computes
+approximate percentiles with engine-private sketches and runs one job
+per statistic family. This operator is ONE deterministic aggregation:
+every statistic is an aggregate expression over the same scan, so the
+plan is a single HashAggregate pair (partial + final) regardless of
+how many columns are profiled — at 100 TB the table is read ONCE.
+
+`count_distinct` is exact here (one expression per column inside the
+same pass; Spark expands multi-distinct aggregates via expand, still
+one scan). For cardinalities where exact is unaffordable, plug the
+KMV sketch (`pipeline/sketches.py`) or the quantile sketch
+(`pipeline/quantiles.py`) — this verb is the cheap front door, those
+are the sketch tier.
+
+Output is LONG form — one row per column: (col_name, n_rows, n_null,
+n_distinct, min_v, max_v, mean_v) with min/max/mean as strings/
+doubles so heterogeneous column types stack; long form keeps the
+result schema stable however many columns the input has (the
+driver-canon discipline: atomic columns, no per-table wide schema).
+
+Reference parity: the reference eyeballs its loads with ad-hoc
+COUNT(*)/COUNT(DISTINCT) SQL (`loaders/TCRD.py` sanity checks);
+this is that practice as one operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v):
+    one row per profiled column, computed in ONE aggregation pass.
+    min/max stringify (stable output schema across types); mean is
+    NULL for non-numeric columns; mean rounds to 6dp so both engines
+    agree bit-for-bit."""
+    if cols is None:
+        cols = df.columns
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, NumericType)
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__null"
+            ),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            (
+                F.round(F.avg(F.col(c)), 6)
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias(f"{c}__mean"),
+        ]
+    one = df.agg(*aggs)
+    # pivot the single wide row to long form row-locally (explode of
+    # a constant-width array — no extra pass, no shuffle)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__null").cast("long").alias("n_null"),
+                F.col(f"{c}__nd").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+                F.col(f"{c}__mean").alias("mean_v"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(
+        "n_rows", F.explode(entries).alias("e")
+    ).select(
+        F.col("e.col_name").alias("col_name"),
+        "n_rows",
+        "e.n_null",
+        "e.n_distinct",
+        "e.min_v",
+        "e.max_v",
+        "e.mean_v",
+    )
+
+
+# ------------------------------------------------- registered query
+
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile five orders columns in one pass."""
+    from tcrd_spark.sources.lake import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, _COLS)
+
+
+QUERIES = {"table_profile": q_table_profile}
+
+_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
+
+ORACLE = {
+    "table_profile": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name, count(*) AS n_rows,
+               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_v,
+               CAST(max({c}) AS VARCHAR) AS max_v,
+               {f"round(avg({c}), 6)" if c in _NUMERIC
+                else "CAST(NULL AS DOUBLE)"} AS mean_v
+        FROM orders
+        """
+        for c in _COLS
+    ),
+}

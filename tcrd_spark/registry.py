@@ -173,6 +173,7 @@ PRIORITY = (
     "quantile_sketch",
     "phrase_search",
     "excess_share_suppliers",
+    "table_profile",
     # last green r8
     "ann_bruteforce",
     "ann_ivf",
@@ -275,7 +276,7 @@ def _collect():
                     "pipeline.compressibility",
                     "pipeline.pooling", "pipeline.containment",
                     "pipeline.imagedup", "pipeline.quantiles",
-                    "pipeline.phrase",
+                    "pipeline.phrase", "pipeline.profile",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",
                     "sources.snapshots", "sources.incremental",
