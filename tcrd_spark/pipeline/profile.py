@@ -114,7 +114,8 @@ ORACLE = {
     "table_profile": "\nUNION ALL\n".join(
         f"""
         SELECT '{c}' AS col_name, count(*) AS n_rows,
-               sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
                count(DISTINCT {c}) AS n_distinct,
                CAST(min({c}) AS VARCHAR) AS min_v,
                CAST(max({c}) AS VARCHAR) AS max_v,

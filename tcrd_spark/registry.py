@@ -41,6 +41,8 @@ PRIORITY = (
     "resample_gapfill",
     "session_pattern_match",
     "top_revenue_supplier",
+    "excess_share_suppliers",  # registered in r9 into a pre-r8 module:
+    # no new-module grace applies, so it must be adjudicated this round
     # (b) filler: oldest-green tier (r5, age 4)
     "asof_join_segmented",
     "beans_counts",
@@ -78,12 +80,12 @@ PRIORITY = (
     "three_way_entity_join",
     "topk_per_group",
     "union_dedup",
-    "wide_export",
     # ---- past the driver's 50-query cap (position 51+): every
     # entry holds a green driver CORRECTNESS row from a prior
     # round under unchanged code, ordered oldest-green-first so
     # the next rotation reads straight off this list ----
     # last green r5
+    "wide_export",
     "window_session",
     "window_tumbling",
     # last green r6
@@ -172,7 +174,6 @@ PRIORITY = (
     "image_near_dups",
     "quantile_sketch",
     "phrase_search",
-    "excess_share_suppliers",
     "table_profile",
     # last green r8
     "ann_bruteforce",
