@@ -738,6 +738,56 @@ def optimize_version(
     return cur_v + 1
 
 
+def repartition_table(
+    spark: SparkSession,
+    table_dir: str,
+    new_part_col: str,
+    target_files_per_partition: int = 1,
+) -> int:
+    """Partition-spec EVOLUTION as a commit (Iceberg's evolve-spec):
+    rewrite the current snapshot hive-partitioned by `new_part_col`
+    and record the new spec in the manifest. Every PRIOR version
+    keeps reading its original layout untouched (manifests plan by
+    file list, so a snapshot's layout is whatever its commit wrote),
+    and every FUTURE verb — append, MERGE, DELETE, optimize — picks
+    up the new spec automatically because they all read `part_col`
+    from the CURRENT manifest. Data is row-identical by construction
+    (pytest-pinned); like `optimize_version`, the rewrite is a
+    non-append commit, so the streaming source skips or refuses it
+    per its skipChangeCommits contract.
+
+    The 100 TB reason this is a verb and not a new table: repartition
+    changes bytes-on-disk ONCE, while downstream identity (version
+    history, tags, CDC continuity, consumers' table paths) carries
+    forward — Iceberg ships exactly this because re-creating a
+    100 TB table to change its partition key is an outage."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    cur_v = vs[-1]
+    m = _read_manifest(table_dir, cur_v)
+    if new_part_col not in m["columns"]:
+        raise ValueError(
+            f"new partition column {new_part_col!r} is not a table "
+            f"column {m['columns']}"
+        )
+    cur = read_version(spark, table_dir, cur_v)
+    packed = cur.repartition(
+        max(1, target_files_per_partition), new_part_col
+    )
+    new_files, new_stats = _stage_files(
+        packed, table_dir, new_part_col, cur_v + 1
+    )
+    _commit(table_dir, {
+        "version": cur_v + 1, "parent": cur_v, "op": "repartition",
+        "part_col": new_part_col, "prev_part_col": m["part_col"],
+        "columns": m["columns"],
+        "files": new_files,
+        "stats": new_stats,
+    })
+    return cur_v + 1
+
+
 def manifest_diff(table_dir: str, v_from: int, v_to: int) -> dict:
     """Provenance between two versions: files added/removed/carried.
     The engine-level analogue of the reference's dataset-lineage

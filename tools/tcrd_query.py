@@ -117,6 +117,13 @@ def _lake_cmd(args) -> int:
         v, n = snap.delete_version(spark, table, args.predicate)
         print(f"v{v}\tdeleted={n}")
         return 0
+    if args.action == "repartition":
+        if not args.name:
+            print("--name (new partition column) required", file=sys.stderr)
+            return 1
+        v = snap.repartition_table(spark, table, args.name)
+        print(f"committed v{v} (part_col={args.name})")
+        return 0
     if args.action == "optimize":
         cluster = args.cluster_by.split(",") if args.cluster_by else None
         v = snap.optimize_version(spark, table, cluster_by=cluster)
@@ -172,7 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=["history", "diff", "changes", "optimize", "vacuum",
                  "tag", "tags", "delete", "branch", "branches",
-                 "merge-branch", "drop-branch"],
+                 "merge-branch", "drop-branch", "repartition"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
