@@ -175,6 +175,7 @@ PRIORITY = (
     "quantile_sketch",
     "phrase_search",
     "table_profile",
+    "lttb_downsample",
     # last green r8
     "ann_bruteforce",
     "ann_ivf",
@@ -257,6 +258,7 @@ def _collect():
                     "operators.stats", "operators.sessions_ext",
                     "operators.window_ext", "operators.temporal_ext",
                     "operators.timeseries", "operators.patterns",
+                    "operators.downsample",
                     "operators.subqueries", "operators.feature_join",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
