@@ -32,7 +32,6 @@ Reference parity: none (multimodal extension).
 
 from __future__ import annotations
 
-import struct
 from typing import Iterator
 
 import pandas as pd
@@ -45,36 +44,13 @@ _FRAMES = 65  # 64 difference bits -> 4 x 16-bit bands
 
 def _wav_samples(payload: bytes) -> list[float]:
     """RIFF/WAVE PCM → mono float samples in [-1, 1] (channels
-    averaged). Same chunk walk and format gate as
-    multimodal._decode_wav; compressed formats raise."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError(
-            "audio fingerprint: only RIFF/WAVE PCM is stdlib-parseable"
-        )
-    i, fmt, data = 12, None, None
-    while i + 8 <= len(payload):
-        cid = payload[i:i + 4]
-        (clen,) = struct.unpack("<I", payload[i + 4:i + 8])
-        body = payload[i + 8:i + 8 + clen]
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data = body
-        i += 8 + clen + (clen & 1)
-    if fmt is None or data is None:
-        raise NotImplementedError("audio fingerprint: malformed WAV")
-    audio_fmt, channels, _rate, _br, _al, bits = fmt
-    if audio_fmt != 1 or bits not in (8, 16):
-        raise NotImplementedError(
-            f"audio fingerprint: non-PCM ({audio_fmt}) or {bits}-bit WAV"
-        )
-    if bits == 16:
-        n = len(data) // 2
-        raw = struct.unpack(f"<{n}h", data[: n * 2])
-        scale = 32768.0
-    else:
-        raw = tuple(b - 128 for b in data)
-        scale = 128.0
+    averaged). The parse is the shared `multimodal.wav_pcm` (one
+    chunk walk and format gate for both audio consumers); compressed
+    formats raise."""
+    from tcrd_spark.pipeline.multimodal import wav_pcm
+
+    fmt, raw, scale = wav_pcm(payload, what="audio fingerprint")
+    channels = fmt[1]
     ch = max(1, channels)
     return [
         sum(raw[j:j + ch]) / ch / scale

@@ -285,18 +285,18 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def _decode_wav(payload: bytes) -> dict:
-    """REAL audio decode for RIFF/WAVE PCM — pure stdlib (struct over
-    the RIFF chunk list), no codec library needed: header fields plus
-    an RMS amplitude over the PCM samples (8-bit unsigned / 16-bit
-    signed little-endian, the formats a training corpus's WAV slice
-    actually carries). Compressed formats (MP3/Opus/FLAC) raise — the
-    honest stub boundary, same contract as _real_decode for images."""
+def wav_pcm(payload: bytes, what: str = "real audio decode"):
+    """RIFF/WAVE PCM parse shared by the feature extractor here and
+    the audio fingerprinter (`pipeline/audiodup.py`) — pure stdlib
+    (struct over the RIFF chunk list): → (fmt fields tuple, raw
+    interleaved samples, amplitude scale). Compressed formats
+    (MP3/Opus/FLAC) raise — the honest stub boundary, same contract
+    as `_real_decode` for images."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "real audio decode: only RIFF/WAVE PCM is stdlib-parseable; "
+            f"{what}: only RIFF/WAVE PCM is stdlib-parseable; "
             "install an audio library for compressed formats"
         )
     i, fmt, data = 12, None, None
@@ -310,11 +310,11 @@ def _decode_wav(payload: bytes) -> dict:
             data = body
         i += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
-        raise NotImplementedError("real audio decode: malformed WAV")
-    audio_fmt, channels, rate, _brate, _align, bits = fmt
+        raise NotImplementedError(f"{what}: malformed WAV")
+    audio_fmt, _channels, _rate, _brate, _align, bits = fmt
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(
-            f"real audio decode: non-PCM ({audio_fmt}) or {bits}-bit WAV"
+            f"{what}: non-PCM ({audio_fmt}) or {bits}-bit WAV"
         )
     if bits == 16:
         n = len(data) // 2
@@ -323,6 +323,17 @@ def _decode_wav(payload: bytes) -> dict:
     else:
         samples = tuple(b - 128 for b in data)
         scale = 128.0
+    return fmt, samples, scale
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM: header fields plus an RMS
+    amplitude over the PCM samples (8-bit unsigned / 16-bit signed
+    little-endian, the formats a training corpus's WAV slice actually
+    carries). The parse itself is the shared `wav_pcm`."""
+    fmt, samples, scale = wav_pcm(payload)
+    _audio_fmt, channels, rate, _brate, _align, _bits = fmt
+    bits = _bits
     n_frames = len(samples) // channels if channels else 0
     rms = (
         (sum((s / scale) ** 2 for s in samples) / len(samples)) ** 0.5

@@ -49,6 +49,20 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     }
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
+        if c in numeric:
+            # mean in EXACT integer space: sum the 6dp-scaled bigints
+            # (order-exact), divide, descale — a raw round(avg(c), 6)
+            # is summation-order-dependent in the last ulp and can
+            # round differently across engines at the 5e-7 boundary
+            # (the repo-wide avg-divergence class). Bound: |c|·1e6·rows
+            # must fit int64 — fine for any profiling-sized magnitude.
+            svi = F.sum(F.round(F.col(c) * 1e6).cast("long"))
+            cnt = F.count(F.col(c))
+            mean = F.when(
+                cnt > 0, F.round(svi / cnt / F.lit(1e6), 6)
+            )
+        else:
+            mean = F.lit(None).cast("double")
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
                 f"{c}__null"
@@ -56,11 +70,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-            (
-                F.round(F.avg(F.col(c)), 6)
-                if c in numeric
-                else F.lit(None).cast("double")
-            ).alias(f"{c}__mean"),
+            mean.alias(f"{c}__mean"),
         ]
     one = df.agg(*aggs)
     # pivot the single wide row to long form row-locally (explode of
@@ -119,7 +129,11 @@ ORACLE = {
                count(DISTINCT {c}) AS n_distinct,
                CAST(min({c}) AS VARCHAR) AS min_v,
                CAST(max({c}) AS VARCHAR) AS max_v,
-               {f"round(avg({c}), 6)" if c in _NUMERIC
+               {(
+                 f"CASE WHEN count({c}) > 0 THEN round((CAST("
+                 f"sum(CAST(round({c} * 1e6) AS BIGINT)) AS DOUBLE)"
+                 f" / count({c})) / 1e6, 6) END"
+               ) if c in _NUMERIC
                 else "CAST(NULL AS DOUBLE)"} AS mean_v
         FROM orders
         """

@@ -253,19 +253,31 @@ def bloom_candidate_files(
     col: str,
     value,
     version: int | None = None,
+    tokenize: bool | None = None,
 ) -> tuple[list[str], int]:
     """Files of `version` that may contain col == value, plus the
     snapshot's total file count. Files without a bitset (added after
     the index was built) are kept — pruning is only ever an IO
     optimization. Admission is computed EXECUTOR-side (k bit-test
     predicates on the sidecar); the driver receives only the admitted
-    names."""
+    names.
+
+    `tokenize` declares which KIND of index the probe expects (False:
+    whole-value bits for an equality lookup; True: token bits for a
+    contains lookup; None: accept either). A mismatched index —
+    probing a token against a value index or vice versa — would
+    silently FALSE-NEGATIVE (the bits were hashed from different
+    keys), so the probe degrades to must-scan instead."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
     v = vs[-1] if version is None else version
     m = _read_manifest(table_dir, v)
     idx = _find_index(table_dir, col, v)
+    if idx is not None and tokenize is not None and (
+        bool(idx.get("tokenize", False)) != tokenize
+    ):
+        idx = None  # wrong index kind for this lookup: must-scan
     if idx is None:
         return list(m["files"]), len(m["files"])
     pos = _probe_positions(
@@ -305,18 +317,22 @@ def bloom_candidate_files(
 
 
 def _pruned_read(
-    spark: SparkSession, table_dir: str, col: str, value, pred, version
+    spark: SparkSession, table_dir: str, col: str, value, pred, version,
+    tokenize: bool,
 ) -> DataFrame:
     """Shared pruned-read path: bloom-admitted files, exact predicate
     re-applied; degrades to the full snapshot read when the kept
-    subset can't type a schema-evolution column or nothing is kept."""
+    subset can't type a schema-evolution column, nothing is kept, or
+    the resolved index is the wrong KIND for this lookup."""
     from tcrd_spark.sources.snapshots import read_version
 
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
     v = vs[-1] if version is None else version
-    kept, _total = bloom_candidate_files(spark, table_dir, col, value, v)
+    kept, _total = bloom_candidate_files(
+        spark, table_dir, col, value, v, tokenize=tokenize
+    )
     if not kept:
         return read_version(spark, table_dir, v).where(pred).limit(0)
     base = _data_dir(table_dir)
@@ -348,7 +364,7 @@ def point_lookup(
     the unpruned filter)."""
     return _pruned_read(
         spark, table_dir, col, value,
-        F.col(col) == F.lit(value), version,
+        F.col(col) == F.lit(value), version, tokenize=False,
     )
 
 
@@ -367,4 +383,5 @@ def contains_lookup(
     return _pruned_read(
         spark, table_dir, col, word,
         F.array_contains(F.split(F.col(col), r"\s+"), word), version,
+        tokenize=True,
     )

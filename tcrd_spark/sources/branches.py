@@ -184,6 +184,16 @@ def merge_branch(
                         "merge conflict: source schema changed — "
                         f"{cm['columns']} vs branch {bm['columns']}"
                     )
+                if cm["part_col"] != bm["part_col"]:
+                    # repartition_table on the source since the fork:
+                    # attaching branch files would mix two hive
+                    # layouts in one manifest and break partition
+                    # discovery on the merged head
+                    raise ValueError(
+                        "merge conflict: source partition spec changed "
+                        f"({bm['part_col']!r} → {cm['part_col']!r}) "
+                        "since the fork — re-fork and replay"
+                    )
                 try:
                     _commit(table_dir, {
                         "version": cur + 1, "parent": cur,

@@ -772,8 +772,18 @@ def repartition_table(
             f"column {m['columns']}"
         )
     cur = read_version(spark, table_dir, cur_v)
+    n = max(1, target_files_per_partition)
+    # a deterministic row-hash SALT actually splits each partition
+    # value into ≤ n files: repartition(n, part_col) alone hash-routes
+    # every value wholly into ONE task, so the parameter would only
+    # change job parallelism, never files per partition (review catch)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in m["columns"]]), F.lit(n)
+    )
+    # explicit partition count: without it AQE coalesces the small
+    # shuffle back into one task and the salt splits nothing
     packed = cur.repartition(
-        max(1, target_files_per_partition), new_part_col
+        max(64, 8 * n), F.col(new_part_col), salt.alias("_salt")
     )
     new_files, new_stats = _stage_files(
         packed, table_dir, new_part_col, cur_v + 1

@@ -189,7 +189,7 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
             added = self._added_files(v)
             if (
                 self._max_f is not None
-                and end > self._cursor  # always admit ≥ 1 version
+                and end > base  # always admit ≥ 1 version
                 and n_files + added > self._max_f
             ):
                 break

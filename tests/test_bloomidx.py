@@ -253,3 +253,38 @@ def test_token_bloom_contains_lookup_exact_and_pruning(
     assert bloomidx.contains_lookup(
         spark, table, "text", "zzz-not-a-word-zzz"
     ).count() == 0
+
+
+def test_index_kind_mismatch_degrades_to_must_scan(
+    spark, sf_dir, tmp_path
+):
+    """Review catch: probing a token against a VALUE index (or a value
+    against a TOKEN index) hashes different keys — pruning would
+    silently false-negative. A kind-mismatched probe must degrade to
+    must-scan and stay exact."""
+    table, docs = _docs_lake(spark, sf_dir, tmp_path, n_appends=1)
+    # VALUE index on text, then a CONTAINS lookup: must not prune
+    bloomidx.build_bloom_index(spark, table, "text")  # tokenize=False
+    word = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ).head().w
+    kept, total = bloomidx.bloom_candidate_files(
+        spark, table, "text", word, tokenize=True
+    )
+    assert len(kept) == total  # wrong kind -> must-scan
+    got = bloomidx.contains_lookup(spark, table, "text", word).count()
+    want = (
+        snap.read_version(spark, table)
+        .where(F.array_contains(F.split("text", r"\s+"), word))
+        .count()
+    )
+    assert got == want >= 1
+    # and the other direction: TOKEN index, equality point_lookup
+    t2 = str(tmp_path / "docs2")
+    snap.create_table(docs.limit(50), t2, "lang")
+    bloomidx.build_bloom_index(spark, t2, "text", tokenize=True)
+    full_text = docs.limit(1).head().text
+    kept2, total2 = bloomidx.bloom_candidate_files(
+        spark, t2, "text", full_text, tokenize=False
+    )
+    assert len(kept2) == total2

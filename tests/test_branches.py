@@ -196,3 +196,33 @@ def test_streaming_source_tails_a_branch(spark, sf_dir, tmp_path):
         q.stop()
     want = {r.o_orderkey for r in snap.read_version(spark, bdir).collect()}
     assert set(got) == want and len(got) == len(want)
+
+
+def test_partition_evolution_on_source_conflicts_append_merge(
+    spark, sf_dir, tmp_path
+):
+    """Review catch: an append branch merging onto a source whose
+    partition spec evolved since the fork would commit a manifest
+    mixing two hive layouts — it must refuse instead."""
+    table = str(tmp_path / "t")
+    from tcrd_spark.sources.lake import load_table
+
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(40)
+    )
+    snap.create_table(seed, table, "o_orderstatus")
+    bdir = br.create_branch(table, "wip")
+    snap.append_version(
+        bdir,
+        seed.limit(3).select(
+            (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+            "o_orderstatus", "o_orderpriority", "o_totalprice",
+        ),
+    )
+    snap.repartition_table(spark, table, "o_orderpriority")
+    with pytest.raises(ValueError, match="partition spec changed"):
+        br.merge_branch(spark, table, "wip")

@@ -209,10 +209,15 @@ def test_reader_bounds_and_restart_protocol(spark, sf_dir, tmp_path):
     assert r.latestOffset() == {"version": 6}
 
     # file budget of 1: every batch still advances exactly 1 version
-    # (each append adds >= 1 file; "always admit >= 1 version")
+    # (each append adds >= 1 file; "always admit >= 1 version").
+    # latestOffset is called BEFORE initialOffset on a fresh query
+    # (traced protocol) — the admit-at-least-one guard must compare
+    # against the derived base, not the not-yet-set cursor (review
+    # catch: `end > self._cursor` raised TypeError on None here)
     rf = LakeCommitsStreamReader(
         {"path": table, "maxFilesPerTrigger": "1"}
     )
+    assert rf.latestOffset() == {"version": 1}  # pre-initialOffset
     rf.initialOffset()
     assert rf.latestOffset() == {"version": 1}
 

@@ -91,3 +91,26 @@ def test_bad_column_refused(spark, sf_dir, tmp_path):
     table, _ = _mk(spark, sf_dir, tmp_path)
     with pytest.raises(ValueError, match="not a table column"):
         snap.repartition_table(spark, table, "nope")
+
+
+def test_target_files_actually_splits_hot_partitions(
+    spark, sf_dir, tmp_path
+):
+    """Review catch: repartition(n, part_col) alone routes each value
+    wholly into one task, so the parameter never split anything. The
+    deterministic row-hash salt makes a populated partition value
+    yield multiple files (<= target)."""
+    table, orders = _mk(spark, sf_dir, tmp_path)
+    snap.repartition_table(
+        spark, table, "o_orderstatus", target_files_per_partition=4
+    )
+    m = snap._read_manifest(table, 2)
+    per_part: dict[str, int] = {}
+    for f in m["files"]:
+        per_part[f.split("/")[0]] = per_part.get(f.split("/")[0], 0) + 1
+    assert max(per_part.values()) >= 2  # the hot value split
+    assert all(n <= 4 for n in per_part.values())
+    # rows still identical
+    assert sorted(
+        map(tuple, snap.read_version(spark, table).collect())
+    ) == sorted(map(tuple, snap.read_version(spark, table, 1).collect()))
