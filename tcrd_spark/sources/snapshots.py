@@ -723,9 +723,20 @@ def optimize_version(
             max(1, target_files_per_partition) * 8,
         )
     else:
-        packed = cur.repartition(
-            max(1, target_files_per_partition), m["part_col"]
-        )
+        n = max(1, target_files_per_partition)
+        if n == 1:
+            packed = cur.repartition(1, m["part_col"])
+        else:
+            # same salt discipline as repartition_table: hash routing
+            # alone sends each partition value wholly into one task,
+            # so target > 1 would never split a hot partition, and AQE
+            # coalesces a salted exchange without an explicit count
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in m["columns"]]), F.lit(n)
+            )
+            packed = cur.repartition(
+                max(64, 8 * n), F.col(m["part_col"]), salt.alias("_s")
+            )
     new_files, new_stats = _stage_files(
         packed, table_dir, m["part_col"], cur_v + 1
     )

@@ -114,3 +114,28 @@ def test_target_files_actually_splits_hot_partitions(
     assert sorted(
         map(tuple, snap.read_version(spark, table).collect())
     ) == sorted(map(tuple, snap.read_version(spark, table, 1).collect()))
+
+
+def test_optimize_target_splits_too(spark, sf_dir, tmp_path):
+    """The sibling flaw: optimize_version(target>1) also never split a
+    hot partition; same salt fix, same bound, bit-identical data."""
+    table, orders = _mk(spark, sf_dir, tmp_path)
+    before = sorted(map(tuple, snap.read_version(spark, table).collect()))
+    snap.optimize_version(spark, table, target_files_per_partition=4)
+    m = snap._read_manifest(table, 2)
+    per_part: dict[str, int] = {}
+    for f in m["files"]:
+        d = f.split("/")[0]
+        per_part[d] = per_part.get(d, 0) + 1
+    assert max(per_part.values()) >= 2
+    assert all(k <= 4 for k in per_part.values())
+    after = sorted(map(tuple, snap.read_version(spark, table).collect()))
+    assert after == before
+    # the default (target=1) still bin-packs to ONE file per partition
+    snap.optimize_version(spark, table)
+    m3 = snap._read_manifest(table, 3)
+    parts3: dict[str, int] = {}
+    for f in m3["files"]:
+        d = f.split("/")[0]
+        parts3[d] = parts3.get(d, 0) + 1
+    assert all(n == 1 for n in parts3.values())
