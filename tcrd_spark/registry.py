@@ -14,81 +14,28 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 PRIORITY = (
-    # ---- the 50-query adjudication cap for round 9, emitted by
+    # ---- the 50-query adjudication cap for round 10, emitted by
     # tools/rotate_cap.py (obligations first, then strict
     # oldest-green-first filler):
-    #   (a) the 13 queries registered after the r8 cap filled —
-    #       never driver-adjudicated (judge-verified at sf0.01 in
-    #       VERDICT r8; the driver file is the contract);
-    #   (b) filler: the ENTIRE r5-green tier except its 2 youngest
-    #       (the oldest adjudications in the registry, age 4).
-    # With 182 registered queries and a 50-slot cap the staleness
-    # bound is ceil(182/50) = 4 rounds (see tools/rotate_cap.py —
-    # the bound is COMPUTED from the live registry size; r8's
-    # fixed MAX_STALE_ROUNDS=3 became arithmetically unsatisfiable
-    # the moment the registry passed 150).
-    # (a) never driver-adjudicated (post-r8-cap additions)
-    "blamed_suppliers",
-    "corr_not_exists_idle",
-    "corr_scalar_below_avg",
+    #   (a) 6 never-driver-green (the five r9 additions, judge-
+    #       verified at sf0.01 in VERDICT r9, + rows-only
+    #       doc_compressibility);
+    #   (b) 2 closure-churn entries (snapshots.py changed after
+    #       their latest green);
+    #   (c) filler: the whole r5/r6 tiers + the oldest of r7.
+    # With 188 registered queries the staleness bound is
+    # ceil(188/50) = 4 rounds (computed, see tools/rotate_cap.py).
     "doc_compressibility",
-    "dq_drift_gate",
-    "drift_psi",
-    "event_pattern_match",
-    "incremental_join_agg",
-    "k_anonymity_audit",
-    "pit_feature_join",
-    "resample_gapfill",
-    "session_pattern_match",
-    "top_revenue_supplier",
-    "excess_share_suppliers",  # registered in r9 into a pre-r8 module:
-    # no new-module grace applies, so it must be adjudicated this round
-    # (b) filler: oldest-green tier (r5, age 4)
-    "asof_join_segmented",
-    "beans_counts",
-    "bridge_m2n_join",
-    "corpus_clean",
-    "decile_bucketing",
-    "dedup_composite_key",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "distinct_projection",
-    "except_sets",
-    "filter_like_null",
-    "frank_level_buckets",
-    "group_sum",
-    "grouped_set_agg",
-    "intersect_sets",
-    "json_case_funcs",
-    "keyset_pagination",
-    "lookup_point_join",
-    "min_tie_expansion",
-    "mode_consensus",
-    "multimodal_features",
-    "nested_document",
-    "pivot_wide",
-    "pricing_summary",
-    "rank_compound_order",
-    "rollup_counts",
-    "scan_project_filter",
-    "semi_join",
-    "sessionize_skew",
-    "string_math_funcs",
-    "three_way_entity_join",
-    "topk_per_group",
-    "union_dedup",
-    # ---- past the driver's 50-query cap (position 51+): every
-    # entry holds a green driver CORRECTNESS row from a prior
-    # round under unchanged code, ordered oldest-green-first so
-    # the next rotation reads straight off this list ----
-    # last green r5
+    "image_near_dups",
+    "lttb_downsample",
+    "phrase_search",
+    "quantile_sketch",
+    "table_profile",
+    "incremental_orders_agg",
+    "snapshot_changes",
     "wide_export",
     "window_session",
     "window_tumbling",
-    # last green r6
     "ann_ivfpq",
     "ann_ivfsq",
     "ann_pq_rerank",
@@ -123,12 +70,16 @@ PRIORITY = (
     "winnow_candidate_pairs",
     "zorder_sampled",
     "zorder_values",
-    # last green r7
     "ancestor_closure",
     "apsp_min_merge",
     "association_rules",
     "attribution_touch",
     "bpe_pair_counts",
+    # ---- past the driver's 50-query cap (position 51+): every
+    # entry holds a green driver CORRECTNESS row from a prior
+    # round, ordered oldest-green-first so the next rotation
+    # reads straight off this list ----
+    # last green r7
     "chi2_independence",
     "clique_expansion",
     "consensus_expression",
@@ -170,12 +121,6 @@ PRIORITY = (
     "welch_ttest",
     "winnow_fingerprints",
     "winsorize_values",
-    # registered post-r9-cap (new-query grace; heads the r10 cap)
-    "image_near_dups",
-    "quantile_sketch",
-    "phrase_search",
-    "table_profile",
-    "lttb_downsample",
     # last green r8
     "ann_bruteforce",
     "ann_ivf",
@@ -195,7 +140,6 @@ PRIORITY = (
     "hard_negatives",
     "hard_negatives_shortlist",
     "html_extract",
-    "incremental_orders_agg",
     "kmeans_assign",
     "lang_id",
     "leakage_safe_split",
@@ -212,7 +156,6 @@ PRIORITY = (
     "self_join_common",
     "session_durations",
     "shipping_priority",
-    "snapshot_changes",
     "text_clean_pii",
     "text_quality",
     "text_stats",
@@ -227,6 +170,56 @@ PRIORITY = (
     "window_range_interval",
     "window_rank_funcs",
     "window_sliding",
+    # last green r9
+    "asof_join_segmented",
+    "beans_counts",
+    "blamed_suppliers",
+    "bridge_m2n_join",
+    "corpus_clean",
+    "corr_not_exists_idle",
+    "corr_scalar_below_avg",
+    "decile_bucketing",
+    "dedup_composite_key",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "distinct_projection",
+    "dq_drift_gate",
+    "drift_psi",
+    "event_pattern_match",
+    "except_sets",
+    "excess_share_suppliers",
+    "filter_like_null",
+    "frank_level_buckets",
+    "group_sum",
+    "grouped_set_agg",
+    "incremental_join_agg",
+    "intersect_sets",
+    "json_case_funcs",
+    "k_anonymity_audit",
+    "keyset_pagination",
+    "lookup_point_join",
+    "min_tie_expansion",
+    "mode_consensus",
+    "multimodal_features",
+    "nested_document",
+    "pit_feature_join",
+    "pivot_wide",
+    "pricing_summary",
+    "rank_compound_order",
+    "resample_gapfill",
+    "rollup_counts",
+    "scan_project_filter",
+    "semi_join",
+    "session_pattern_match",
+    "sessionize_skew",
+    "string_math_funcs",
+    "three_way_entity_join",
+    "top_revenue_supplier",
+    "topk_per_group",
+    "union_dedup",
 )
 
 

@@ -79,7 +79,22 @@ def test_staleness_bound_is_feasible_and_holding():
         f"queries older than the ceil({len(q)}/50)={bound}-round "
         f"staleness bound (rotate them into the cap NOW): {over}"
     )
-    cap_worst = max(greens.get(n, -1) for n in PRIORITY[:50])
+    # Churn-stale cap entries are OBLIGATIONS (their green predates a
+    # closure change — the same rule test_past_cap_greens_postdate_
+    # code_changes enforces past the cap), so they may legitimately
+    # jump the oldest-green queue: count them as round -1 alongside
+    # never-green entries when checking the ordering invariant.
+    green_ts = _latest_green_ts()
+
+    def _effective(n: str) -> int:
+        if n not in greens:
+            return -1
+        worst_ts = max(_commit_ts(f) for f in _closure(q[n]))
+        if green_ts.get(n, 0) < worst_ts:
+            return -1  # churn obligation: must head the cap
+        return greens[n]
+
+    cap_worst = max(_effective(n) for n in PRIORITY[:50])
     # never-green PAST-CAP queries are either in new-query grace or
     # already failing test_past_cap_queries_have_green_history — the
     # ordering invariant ranges over adjudicated entries only
