@@ -10,12 +10,18 @@ every statistic is an aggregate expression over the same scan, so the
 plan is a single HashAggregate pair (partial + final) regardless of
 how many columns are profiled — at 100 TB the table is read ONCE.
 
-`count_distinct` is exact here (one expression per column inside the
-same pass; Spark expands multi-distinct aggregates via expand, still
-one scan). For cardinalities where exact is unaffordable, plug the
-KMV sketch (`pipeline/sketches.py`) or the quantile sketch
-(`pipeline/quantiles.py`) — this verb is the cheap front door, those
-are the sketch tier.
+`count_distinct` is exact by default (one expression per column
+inside the same pass; Spark expands multi-distinct aggregates via
+Expand — still one scan, but the Expand multiplies the scanned rows
+by (n_cols + 1) before the partial aggregate). At 100 TB that
+multiplier is the dominant cost, so `exact_distinct=False` swaps in
+`approx_count_distinct` (HLL++, ±2% default error): approximate
+distincts are plain partial-mergeable aggregates, so the Expand
+rewrite disappears and the plan is ONE pass over the raw scan rows.
+Exact stays the adjudicated default (the DuckDB oracle hash-matches
+it); the approx form is the scale path — same split as
+`quality/profile.py`. For richer cardinality sketches plug
+`pipeline/sketches.py` (KMV) or `pipeline/quantiles.py`.
 
 Output is LONG form — one row per column: (col_name, n_rows, n_null,
 n_distinct, min_v, max_v, mean_v) with min/max/mean as strings/
@@ -35,14 +41,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
     """(col_name, n_rows, n_null, n_distinct, min_v, max_v, mean_v):
     one row per profiled column, computed in ONE aggregation pass.
     min/max stringify (stable output schema across types); mean is
     NULL for non-numeric columns; mean rounds to 6dp so both engines
-    agree bit-for-bit."""
+    agree bit-for-bit. `exact_distinct=False` → approx_count_distinct
+    (HLL++): same schema, ±2% cardinalities, and the plan loses the
+    (n_cols+1)× Expand — the 100 TB switch."""
     if cols is None:
         cols = df.columns
+    if exact_distinct:
+        distinct = F.count_distinct
+    else:
+        # rsd 2% (vs the 5% default): 4× the HLL register cost but the
+        # sketch is still KB-sized per column — noise against the scan.
+        def distinct(col):
+            return F.approx_count_distinct(col, rsd=0.02)
     numeric = {
         f.name for f in df.schema.fields
         if isinstance(f.dataType, NumericType)
@@ -67,7 +86,7 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
                 f"{c}__null"
             ),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             mean.alias(f"{c}__mean"),

@@ -38,3 +38,33 @@ def test_profile_is_one_scan(spark, sf_dir):
     # the multi-distinct rewrite is the expected shape: Expand over
     # the SAME scan, never one job per statistic
     assert "Expand" in plan
+
+
+def test_profile_approx_switch(spark, sf_dir):
+    """exact_distinct=False (the 100 TB path): still ONE scan, but the
+    (n_cols+1)× Expand rewrite is GONE (approx_count_distinct is a
+    plain partial-mergeable aggregate), and every other statistic is
+    bit-identical to the exact profile while cardinalities stay within
+    the configured rsd (2%; assert ±6% = 3σ — deterministic for fixed
+    input, the bound is slack not luck)."""
+    from tcrd_spark.pipeline.profile import _COLS, profile_table
+    from tcrd_spark.sources.lake import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    approx_df = profile_table(orders, _COLS, exact_distinct=False)
+    plan = plan_of(approx_df)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Expand" not in plan, plan
+
+    exact = {r.col_name: r for r in profile_table(orders, _COLS).collect()}
+    approx = {r.col_name: r for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        # non-cardinality stats are computed identically — bit-equal
+        assert (a.n_rows, a.n_null, a.min_v, a.max_v, a.mean_v) == (
+            e.n_rows, e.n_null, e.min_v, e.max_v, e.mean_v
+        ), c
+        assert abs(a.n_distinct - e.n_distinct) <= max(
+            1, 0.06 * e.n_distinct
+        ), (c, a.n_distinct, e.n_distinct)
