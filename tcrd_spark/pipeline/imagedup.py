@@ -220,11 +220,26 @@ def dhash_fingerprints(
 
 
 def image_near_dup_pairs(
-    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = MAX_HAMMING
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = MAX_HAMMING,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) with Hamming ≤ max_hamming over the
     64-bit dHash. Band-equality join (pigeonhole-complete for ≤ 3),
-    bit_count(xor) verification on candidates only."""
+    bit_count(xor) verification on candidates only.
+
+    `max_band_freq` is the hot-bucket cap (the df-cap discipline of
+    `pipeline/containment`/`pipeline/winnow`): a degenerate corpus —
+    mass-duplicated or near-black images — funnels into one
+    (band, value) bucket and makes the self-join quadratic, so buckets
+    seen in more than max_band_freq fingerprints are DROPPED before
+    the join, bounding candidate fan-out at max_band_freq² per bucket.
+    Recall cost: a pair whose ONLY agreeing band is hot is lost
+    (members usually re-meet through their three other, rarer bands;
+    exact mass-dup clusters belong to `pipeline/dedup.dedup_exact`).
+    Default None = exact pigeonhole completeness (the adjudicated
+    path)."""
     bands = fp.select(
         id_col,
         *[f"b{j}" for j in range(BANDS)],
@@ -239,6 +254,13 @@ def image_near_dup_pairs(
             )
         ).alias("band"),
     )
+    if max_band_freq is not None:
+        freq = (
+            bands.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("_bf"))
+            .filter(F.col("_bf") <= max_band_freq)
+        )
+        bands = bands.join(freq.select("band"), "band")
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), "band")

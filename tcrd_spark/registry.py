@@ -220,6 +220,9 @@ PRIORITY = (
     "top_revenue_supplier",
     "topk_per_group",
     "union_dedup",
+    # registered post-r10-cap rotation (new-query grace; heads the
+    # r11 cap)
+    "video_near_dups",
 )
 
 
@@ -271,7 +274,8 @@ def _collect():
                     "pipeline.editdist", "pipeline.divergence",
                     "pipeline.compressibility",
                     "pipeline.pooling", "pipeline.containment",
-                    "pipeline.imagedup", "pipeline.quantiles",
+                    "pipeline.imagedup", "pipeline.videodup",
+                    "pipeline.quantiles",
                     "pipeline.phrase", "pipeline.profile",
                     "pipeline.fusion", "pipeline.mmr",
                     "sources.zorder", "sources.merge",

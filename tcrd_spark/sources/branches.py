@@ -103,11 +103,21 @@ def list_branches(table_dir: str) -> dict[str, dict]:
 
 
 def create_branch(
-    table_dir: str, name: str, version: int | None = None
+    table_dir: str, name: str, version: int | None = None,
+    no_symlink: bool = False,
 ) -> str:
     """Fork `table_dir` at `version` (default: head) into a writable
     branch; returns the branch directory — a full table path every
-    existing verb accepts. O(1): no data is copied or moved."""
+    existing verb accepts. O(1): no data is copied or moved.
+
+    Data sharing has two modes. Default: a `data` symlink into the
+    source (POSIX filesystems). `no_symlink=True` — or a filesystem
+    whose `os.symlink` raises (object-store mounts, some network
+    filesystems) — records the source data dir as `data_dir` in
+    `_branch.json` instead, and `snapshots._data_dir` resolves every
+    branch data path through that prefix mapping. The manifest math
+    is identical in both modes (manifests list files relative to the
+    data dir either way)."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -121,21 +131,28 @@ def create_branch(
     # fork version (and so every file the branch inherited) while the
     # branch lives
     tag_version(table_dir, _fork_tag(name), v)
+    meta = {"name": name, "source": os.path.abspath(table_dir),
+            "fork_version": v}
     try:
         os.makedirs(_manifest_dir(bdir))
-        os.symlink(
-            os.path.relpath(_data_dir(table_dir), bdir),
-            _data_dir(bdir),
-        )
+        if no_symlink:
+            meta["data_dir"] = os.path.abspath(_data_dir(table_dir))
+        else:
+            try:
+                os.symlink(
+                    os.path.relpath(_data_dir(table_dir), bdir),
+                    _data_dir(bdir),
+                )
+            except OSError:
+                # symlink-less filesystem: fall back to the prefix map
+                meta["data_dir"] = os.path.abspath(_data_dir(table_dir))
         m = _read_manifest(table_dir, v)
         _publish_exclusive(
             _manifest_path(bdir, v), m,
             f"branch seed v{v} already exists",
         )
         _publish_exclusive(
-            os.path.join(bdir, "_branch.json"),
-            {"name": name, "source": os.path.abspath(table_dir),
-             "fork_version": v},
+            os.path.join(bdir, "_branch.json"), meta,
             f"branch meta for {name!r} already exists",
         )
     except Exception:
@@ -215,16 +232,27 @@ def merge_branch(
             "its file lists encode the fork-time state; re-fork and "
             "replay"
         )
-    # fast-forward: the branch numbering continued from the fork, so
-    # its manifests publish verbatim; the CAS raises if a writer races
-    for v in new_vs:
-        bm = _read_manifest(bdir, v)
-        bm["merged_from"] = name
-        _publish_exclusive(
-            _manifest_path(table_dir, v), bm,
-            f"merge conflict: version {v} committed on the source "
-            "during the fast-forward",
-        )
+    # fast-forward is ONE CAS: a single squash manifest at src_head+1
+    # carrying the branch head's file list (which encodes the full
+    # fork-time + branch state, since the source is still at the
+    # fork). Publishing branch versions one at a time would leave a
+    # half-applied merge if the process died — or a concurrent writer
+    # landed — mid-loop; with one manifest the merge is either fully
+    # live or not at all, the same atomicity every other writer gets.
+    head_m = _read_manifest(bdir, new_vs[-1])
+    _publish_exclusive(
+        _manifest_path(table_dir, src_head + 1),
+        {
+            "version": src_head + 1, "parent": src_head,
+            "op": "merge_branch", "merged_from": name,
+            "part_col": head_m["part_col"],
+            "columns": head_m["columns"],
+            "files": head_m["files"],
+            "stats": head_m.get("stats", {}),
+        },
+        f"merge conflict: version {src_head + 1} committed on the "
+        "source during the fast-forward — re-fork and replay",
+    )
     return versions(table_dir)[-1]
 
 

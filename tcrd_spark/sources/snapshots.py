@@ -56,7 +56,21 @@ def _manifest_dir(table_dir: str) -> str:
 
 
 def _data_dir(table_dir: str) -> str:
-    return os.path.join(table_dir, "data")
+    """The table's data directory. A branch normally shares its
+    source's data via a `data` symlink; on filesystems without
+    symlinks (object stores), `create_branch(no_symlink=True)` records
+    the source data dir in `_branch.json` instead and every path
+    resolves through this prefix mapping — same manifest math, no
+    symlink syscall anywhere."""
+    d = os.path.join(table_dir, "data")
+    if not os.path.exists(d):
+        bj = os.path.join(table_dir, "_branch.json")
+        if os.path.exists(bj):
+            with open(bj) as f:
+                mapped = json.load(f).get("data_dir")
+            if mapped:
+                return mapped
+    return d
 
 
 def _manifest_path(table_dir: str, version: int) -> str:

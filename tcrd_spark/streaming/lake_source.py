@@ -76,6 +76,21 @@ def _manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _data_dir(table_dir: str) -> str:
+    """Mirror of snapshots._data_dir (kept local — the datasource
+    stays dependency-free): a symlink-less branch records its shared
+    source data dir in _branch.json, and paths resolve through it."""
+    d = os.path.join(table_dir, "data")
+    if not os.path.exists(d):
+        bj = os.path.join(table_dir, "_branch.json")
+        if os.path.exists(bj):
+            with open(bj) as f:
+                mapped = json.load(f).get("data_dir")
+            if mapped:
+                return mapped
+    return d
+
+
 def _versions(table_dir: str) -> list[int]:
     import glob
 
@@ -99,7 +114,7 @@ def _arrow_ddl(table_dir: str) -> str:
     # commit): after additive schema evolution, only files from the
     # evolving commit onward carry every current column
     newest = max(m["files"], key=os.path.basename)
-    sample = os.path.join(table_dir, "data", newest)
+    sample = os.path.join(_data_dir(table_dir), newest)
     sch = pq.ParquetFile(sample).schema_arrow
     mapping = {}
     for field in sch:
@@ -238,7 +253,7 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
                 val = part_dir.split("=", 1)[1]
                 parts.append(
                     _FilePartition(
-                        os.path.join(self._table, "data", rel),
+                        os.path.join(_data_dir(self._table), rel),
                         m["part_col"],
                         val,
                         m["columns"],
