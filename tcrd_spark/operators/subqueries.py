@@ -130,6 +130,45 @@ Q20_SQL = """
 """
 
 
+Q2_SQL = """
+    SELECT p_partkey, p_brand, s_name, n_name,
+           l_extendedprice AS best_price
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+      AND l_extendedprice = (
+        SELECT min(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = part.p_partkey
+          AND r2.r_name = 'EUROPE'
+      )
+"""
+
+
+Q11_SQL = """
+    SELECT l_partkey,
+           round(sum(l_quantity), 4) AS part_qty
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) > (
+        SELECT 0.001 * sum(l2.l_quantity)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        WHERE n2.n_name = 'NATION_3'
+    )
+"""
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Register the lake views and run one ANSI text through Catalyst."""
     from tcrd_spark.sources.lake import register_views
@@ -180,12 +219,35 @@ def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, Q20_SQL)
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """European suppliers offering a part at ITS European minimum
+    price (TPC-H Q2 skeleton adapted to the lake's tables: a scalar
+    MIN over a 4-way join in WHERE, correlated on the OUTER part —
+    Catalyst decorrelates to a per-part min over the same join tree,
+    equi-joined back). Equality compares the untouched parquet double
+    against a MIN over the same set, so both engines pick identical
+    rows — no float arithmetic happens before the compare."""
+    return run_sql(spark, sf_dir, Q2_SQL)
+
+
+def q_big_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose one-nation shipped quantity exceeds a fraction of
+    that nation's TOTAL (TPC-H Q11 skeleton: group HAVING compared to
+    an uncorrelated global scalar over the same join — the
+    aggregate-vs-aggregate shape; the scalar computes once and
+    broadcasts into the HAVING filter). Quantities are integral, so
+    both engines' sums are float-exact and the > gate deterministic."""
+    return run_sql(spark, sf_dir, Q11_SQL)
+
+
 QUERIES = {
     "corr_scalar_below_avg": q_corr_scalar_below_avg,
     "corr_not_exists_idle": q_corr_not_exists_idle,
     "blamed_suppliers": q_blamed_suppliers,
     "top_revenue_supplier": q_top_revenue_supplier,
     "excess_share_suppliers": q_excess_share_suppliers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "big_share_parts": q_big_share_parts,
 }
 
 # the SAME texts verbatim — the whole point
@@ -195,4 +257,6 @@ ORACLE = {
     "blamed_suppliers": Q21_SQL,
     "top_revenue_supplier": Q15_SQL,
     "excess_share_suppliers": Q20_SQL,
+    "min_cost_supplier": Q2_SQL,
+    "big_share_parts": Q11_SQL,
 }

@@ -22,10 +22,15 @@ PRIORITY = (
     #       doc_compressibility);
     #   (b) 2 closure-churn entries (snapshots.py changed after
     #       their latest green);
-    #   (c) filler: the whole r5/r6 tiers + the oldest of r7.
+    #   (c) min_cost_supplier/big_share_parts — registered in r10
+    #       into a pre-existing module (no new-module grace, the
+    #       excess_share_suppliers r9 precedent);
+    #   (d) filler: the whole r5/r6 tiers + the oldest of r7.
     # With 188 registered queries the staleness bound is
     # ceil(188/50) = 4 rounds (computed, see tools/rotate_cap.py).
     "doc_compressibility",
+    "min_cost_supplier",   # registered this round into a pre-r10
+    "big_share_parts",     # module: no new-module grace — adjudicate now
     "image_near_dups",
     "lttb_downsample",
     "phrase_search",
@@ -73,13 +78,13 @@ PRIORITY = (
     "ancestor_closure",
     "apsp_min_merge",
     "association_rules",
-    "attribution_touch",
-    "bpe_pair_counts",
     # ---- past the driver's 50-query cap (position 51+): every
     # entry holds a green driver CORRECTNESS row from a prior
     # round, ordered oldest-green-first so the next rotation
     # reads straight off this list ----
     # last green r7
+    "attribution_touch",
+    "bpe_pair_counts",
     "chi2_independence",
     "clique_expansion",
     "consensus_expression",
