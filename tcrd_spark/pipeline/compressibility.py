@@ -16,11 +16,17 @@ executors; zlib's format is stable across CPython versions in
 practice, and the pytest pins the reference values so a library bump
 that changed byte counts would fail loudly, not drift silently.
 
-No DuckDB oracle exists for zlib, so the registered query takes the
-driver's weaker rows-only check; the pytest twin compares the UDF
-against direct Python zlib on the same rows (exact equality) and pins
-the monotone invariants (repetition ⇒ lower ratio; random-ish ⇒
-higher).
+No DuckDB oracle exists for zlib ITSELF, so `doc_compressibility`
+(the production path) takes the driver's weaker rows-only check, and
+the pytest twin compares the UDF against direct Python zlib on the
+same rows (exact equality) plus the monotone invariants (repetition ⇒
+lower ratio; random-ish ⇒ higher). The ratio/bucket VERDICT LOGIC is
+fully adjudicated through `compressibility_buckets`: compressed sizes
+come from a committed content-hash-keyed sidecar fixture
+(tools/gen_zlib_sidecar.py, level pinned) and both engines run the
+live division + CASE — with pytest pinning the variant row-identical
+to the production path, which re-validates the sidecar against live
+zlib on every run (VERDICT r9 #6).
 
 100 TB shape: embarrassingly parallel map work, no shuffle; cost is
 ~30 MB/s/core of zlib — the reason real pipelines run this ONCE and
@@ -32,6 +38,7 @@ Reference parity: none (extension; corpus-construction family).
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import pandas as pd
@@ -118,6 +125,71 @@ def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_scores(docs, "doc_id", "text")
 
 
-QUERIES = {"doc_compressibility": q_doc_compressibility}
+_SIDECAR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    "tests", "fixtures", "zlib_sidecar.parquet",
+)
 
-ORACLE: dict[str, str] = {}  # zlib is not SQL-expressible
+
+def q_compressibility_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ADJUDICABLE twin of `doc_compressibility` (VERDICT r9 #6):
+    zlib itself has no SQL expression, so the compressed SIZES come
+    from a committed sidecar fixture keyed by md5(text) — generated
+    once by tools/gen_zlib_sidecar.py at pinned level 6 over every
+    distinct testdata document — and the ratio + bucket VERDICT LOGIC
+    (the part that can silently rot) runs live in both engines and
+    hash-matches. tests/test_compressibility.py pins this variant
+    row-identical to the pandas-UDF production path, which transitively
+    re-validates the sidecar's byte counts against live Python zlib on
+    every run."""
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    side = spark.read.parquet(_SIDECAR)
+    joined = docs.join(
+        F.broadcast(side), F.md5(F.col("text")) == F.col("text_md5")
+    )
+    r = F.round(F.col("zlib_bytes") / F.octet_length("text"), 6)
+    return joined.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        r.alias("zlib_ratio"),
+    ).select(
+        "*",
+        F.when(F.col("zlib_ratio") < LO, F.lit("repetitive"))
+        .when(F.col("zlib_ratio") > HI, F.lit("incompressible"))
+        .otherwise(F.lit("prose"))
+        .alias("bucket"),
+    )
+
+
+QUERIES = {
+    "doc_compressibility": q_doc_compressibility,
+    "compressibility_buckets": q_compressibility_buckets,
+}
+
+# zlib itself is not SQL-expressible — doc_compressibility stays the
+# rows-only production path; the _buckets variant adjudicates the
+# ratio/bucket logic through the sidecar fixture.
+ORACLE: dict[str, str] = {
+    "compressibility_buckets": f"""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               round(CAST(zlib_bytes AS DOUBLE)
+                     / octet_length(encode(text)), 6) AS zlib_ratio,
+               CASE
+                 WHEN round(CAST(zlib_bytes AS DOUBLE)
+                      / octet_length(encode(text)), 6) < {LO}
+                   THEN 'repetitive'
+                 WHEN round(CAST(zlib_bytes AS DOUBLE)
+                      / octet_length(encode(text)), 6) > {HI}
+                   THEN 'incompressible'
+                 ELSE 'prose'
+               END AS bucket
+        FROM documents
+        JOIN read_parquet('{_SIDECAR}') s ON s.text_md5 = md5(text)
+    """,
+}

@@ -29,6 +29,7 @@ PRIORITY = (
     # With 188 registered queries the staleness bound is
     # ceil(188/50) = 4 rounds (computed, see tools/rotate_cap.py).
     "doc_compressibility",
+    "compressibility_buckets",  # adjudicable sidecar twin, same rule
     "min_cost_supplier",   # registered this round into a pre-r10
     "big_share_parts",     # module: no new-module grace — adjudicate now
     "image_near_dups",
@@ -77,12 +78,12 @@ PRIORITY = (
     "zorder_values",
     "ancestor_closure",
     "apsp_min_merge",
-    "association_rules",
     # ---- past the driver's 50-query cap (position 51+): every
     # entry holds a green driver CORRECTNESS row from a prior
     # round, ordered oldest-green-first so the next rotation
     # reads straight off this list ----
     # last green r7
+    "association_rules",
     "attribution_touch",
     "bpe_pair_counts",
     "chi2_independence",
