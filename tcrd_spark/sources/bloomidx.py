@@ -298,7 +298,13 @@ def bloom_candidate_files(
             F.lit(False),
         )
         test = t if test is None else (test & t)
-    side = spark.read.parquet(_index_dir(table_dir, col, idx["version"]))
+    side_dir = _index_dir(table_dir, col, idx["version"])
+    if not os.path.isdir(side_dir):
+        # torn sidecar (e.g. a crash between vacuum's two deletes left
+        # the meta without its parquet): treat as no index — must-scan
+        # is always exact; pruning is only ever an IO optimization
+        return list(m["files"]), len(m["files"])
+    side = spark.read.parquet(side_dir)
     mdf = spark.createDataFrame(
         [(f,) for f in m["files"]], "file string"
     )

@@ -93,8 +93,61 @@ def _read_manifest(table_dir: str, version: int) -> dict:
                 return json.load(f)
         except json.JSONDecodeError:
             __import__("time").sleep(backoff)
-    with open(path) as f:
-        return json.load(f)
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except json.JSONDecodeError:
+        # Still torn past the retry window. On the fallback path every
+        # publish holds a .wip marker for the write's duration — a
+        # STALE marker means the writer died mid-write, so the torn
+        # file is an ABORTED commit: repair (unlink both) and report
+        # the version as absent, freeing the slot for the next CAS
+        # instead of poisoning it forever.
+        if _repair_aborted(path):
+            raise FileNotFoundError(
+                f"aborted commit repaired: {path} (torn manifest from "
+                "a dead fallback-path writer was removed)"
+            ) from None
+        raise
+
+
+_WIP_TIMEOUT = 30.0  # seconds a fallback publish may hold its slot
+
+
+def _repair_aborted(final: str) -> bool:
+    """If `final` is torn AND its .wip marker is stale (writer
+    presumed dead), unlink both and return True. A fresh marker means
+    the writer may still be mid-write — leave it alone. A torn file
+    WITHOUT a marker predates the marker protocol (or the marker was
+    already swept); only marker-confirmed aborts are repaired — never
+    guess against a live slow writer."""
+    import time
+
+    wip = final + ".wip"
+    try:
+        age = time.time() - os.path.getmtime(wip)
+    except OSError:
+        return False
+    if age <= _WIP_TIMEOUT:
+        return False
+    try:
+        with open(final) as f:
+            json.load(f)
+    except (json.JSONDecodeError, FileNotFoundError):
+        # torn (or already gone): aborted commit — clear the slot
+        for p in (final, wip):
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        return True
+    # final is COMPLETE: the writer died between finishing the write
+    # and removing its marker — the commit stands; sweep the marker
+    try:
+        os.unlink(wip)
+    except FileNotFoundError:
+        pass
+    return False
 
 
 def _publish_exclusive(final: str, obj: dict, errmsg: str) -> None:
@@ -113,7 +166,12 @@ def _publish_exclusive(final: str, obj: dict, errmsg: str) -> None:
     O_EXCL-create of the final name — still a true CAS, but a
     concurrent reader can observe a PARTIALLY WRITTEN file for the
     write's duration; `_read_manifest` retries torn JSON to cover
-    that window."""
+    that window. The fallback additionally holds a `.wip` marker for
+    the write's duration: a writer that DIES mid-write leaves marker +
+    torn file, and any later reader or writer repairs the slot
+    (validate-then-unlink once the marker is stale,
+    `_repair_aborted`) instead of the truncated manifest permanently
+    poisoning that version."""
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     try:
         with open(tmp, "w") as f:
@@ -123,16 +181,52 @@ def _publish_exclusive(final: str, obj: dict, errmsg: str) -> None:
         except FileExistsError:
             raise FileExistsError(errmsg) from None
         except OSError:
-            # no link(2) here: exclusive-create is the CAS instead
-            try:
-                fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                raise FileExistsError(errmsg) from None
-            with os.fdopen(fd, "w") as f:
-                json.dump(obj, f, indent=1, sort_keys=True)
+            _fallback_publish(final, obj, errmsg)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _fallback_publish(final: str, obj: dict, errmsg: str) -> None:
+    """link(2)-less CAS: claim `final + '.wip'` exclusively, O_EXCL-
+    create the final name, write + fsync, drop the marker. An
+    existing FRESH marker is a lost race; a STALE one is a dead
+    writer — repair and retry the claim once."""
+    wip = final + ".wip"
+    for attempt in (0, 1):
+        try:
+            os.close(os.open(wip, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            if attempt or not _repair_aborted(final):
+                raise FileExistsError(errmsg) from None
+            # repaired a dead writer's wreckage (or swept its orphan
+            # marker) — one more claim attempt
+    try:
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise FileExistsError(errmsg) from None
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(obj, f, indent=1, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+        except Exception:
+            # an EXCEPTION mid-write (disk full, …) reaches this
+            # handler with the process alive: remove the torn file we
+            # created so the slot frees immediately (a process DEATH
+            # skips this — the stale-marker repair covers that)
+            try:
+                os.unlink(final)
+            except FileNotFoundError:
+                pass
+            raise
+    finally:
+        try:
+            os.unlink(wip)
+        except FileNotFoundError:
+            pass
 
 
 def _commit(table_dir: str, manifest: dict) -> None:
@@ -1022,10 +1116,13 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
         # a sidecar outliving its manifest is a storage leak and lets
         # a probe resolve an index whose files may be gone — probes on
         # retained versions degrade to must-scan (still exact) until
-        # the index is rebuilt
-        for p in glob.glob(
-            os.path.join(table_dir, "_index", f"*-v{v:05d}*")
-        ):
+        # the index is rebuilt. Delete the .meta.json FIRST: a crash
+        # between the two deletes then leaves parquet without meta
+        # (invisible to _find_index, swept on the next vacuum) instead
+        # of meta without parquet; the probe additionally treats a
+        # meta whose parquet dir is gone as "no index".
+        hits = glob.glob(os.path.join(table_dir, "_index", f"*-v{v:05d}*"))
+        for p in sorted(hits, key=os.path.isdir):
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
     return sorted(set(removed))
 

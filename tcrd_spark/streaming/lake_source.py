@@ -163,6 +163,7 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
         # learned from initialOffset (fresh query), partitions() and
         # commit() (running/restarted query); None until then
         self._cursor: int | None = None
+        self._added_cache: dict[int, int] = {}
         vs = _versions(self._table)
         # the stream's schema is fixed at start (the latest manifest);
         # a commit with different columns is a schema-evolution
@@ -197,20 +198,35 @@ class LakeCommitsStreamReader(DataSourceStreamReader):
         # WAL-replay partitions(), a prior batch), else startingVersion
         # — the only cursor-less caller is a genuinely fresh query
         base = self._cursor if self._cursor is not None else self._start
+        if self._max_v is not None:
+            # version bound alone needs NO manifest reads; with a file
+            # bound too it caps how far the counting walk can go
+            latest = min(latest, base + self._max_v)
+        if self._max_f is None:
+            return {"version": latest}
         end, n_files = base, 0
         for v in range(base + 1, latest + 1):
-            if self._max_v is not None and v - base > self._max_v:
-                break
-            added = self._added_files(v)
+            added = self._added_count(v)
             if (
-                self._max_f is not None
-                and end > base  # always admit ≥ 1 version
+                end > base  # always admit ≥ 1 version
                 and n_files + added > self._max_f
             ):
                 break
             n_files += added
             end = v
         return {"version": end}
+
+    def _added_count(self, v: int) -> int:
+        """Memoized `_added_files` (ADVICE r9): manifests are
+        immutable, so a version's added-file count never changes —
+        without the cache a long backfill re-parses every backlog
+        manifest (two opens per version) on EVERY trigger, O(backlog²)
+        driver-side across the catch-up. Ints only: the cache stays
+        KB-sized over any history."""
+        c = self._added_cache.get(v)
+        if c is None:
+            c = self._added_cache[v] = self._added_files(v)
+        return c
 
     def partitions(self, start: dict, end: dict):
         if end["version"] < start["version"]:

@@ -288,3 +288,37 @@ def test_index_kind_mismatch_degrades_to_must_scan(
         spark, t2, "text", full_text, tokenize=False
     )
     assert len(kept2) == total2
+
+
+def test_orphan_meta_degrades_to_must_scan(spark, sf_dir, tmp_path):
+    """ADVICE r9: a crash between vacuum's two sidecar deletes can
+    leave index meta without its parquet directory. The probe must
+    treat that as 'no index' (must-scan, still exact), never raise —
+    and vacuum itself deletes meta FIRST so the orphan direction is
+    the harmless one (parquet without meta, invisible to discovery)."""
+    import shutil
+
+    table, orders = _build(spark, sf_dir, tmp_path)
+    bloomidx.build_bloom_index(spark, table, "o_orderkey")
+    key = orders.head().o_orderkey
+    kept, total = bloomidx.bloom_candidate_files(
+        spark, table, "o_orderkey", key
+    )
+    assert len(kept) < total  # index prunes while intact
+    # orphan the meta: remove the parquet dir, keep the .meta.json
+    v = snap.versions(table)[-1]
+    shutil.rmtree(bloomidx._index_dir(table, "o_orderkey", v))
+    kept2, total2 = bloomidx.bloom_candidate_files(
+        spark, table, "o_orderkey", key
+    )
+    assert kept2 == sorted(
+        snap._read_manifest(table, v)["files"]
+    ) or len(kept2) == total2  # full must-scan, no exception
+    # the pruned READ still returns exact rows through the degrade
+    got = bloomidx.point_lookup(
+        spark, table, "o_orderkey", key
+    ).count()
+    want = snap.read_version(spark, table).where(
+        F.col("o_orderkey") == key
+    ).count()
+    assert got == want

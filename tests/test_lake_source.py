@@ -292,3 +292,46 @@ def test_restart_mid_backfill_stays_bounded_end_to_end(
     want = {tuple(r) for r in snap.read_version(spark, table).collect()}
     assert set(rows) == want and len(rows) == len(want)
     assert len(rows) == n_after_first + 4  # only the new commits
+
+
+def test_admission_control_manifest_read_cost(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r9: admission control must not be O(backlog²) in
+    driver-side manifest reads. Pins: (1) a version-only bound reads
+    ZERO manifests in latestOffset; (2) with a file bound, per-version
+    added counts are computed ONCE across triggers (memoized —
+    manifests are immutable)."""
+    import tcrd_spark.streaming.lake_source as ls
+
+    table = str(tmp_path / "t")
+    seed = _orders(spark, sf_dir, n=30)
+    _mk(spark, table, seed)  # v1
+    for i in range(1, 6):  # v2..v6
+        snap.append_version(table, _shift(seed.limit(4), i * 10**9))
+
+    calls = []
+    real = ls._manifest
+    monkeypatch.setattr(
+        ls, "_manifest", lambda t, v: calls.append(v) or real(t, v)
+    )
+
+    r = ls.LakeCommitsStreamReader(
+        {"path": table, "maxVersionsPerTrigger": "2"}
+    )
+    r.initialOffset()
+    calls.clear()
+    assert r.latestOffset() == {"version": 2}
+    assert calls == []  # version bound alone: no manifest reads
+
+    rf = ls.LakeCommitsStreamReader(
+        {"path": table, "maxFilesPerTrigger": "100"}
+    )
+    rf.initialOffset()
+    calls.clear()
+    rf.latestOffset()  # counts v1..v6 once
+    first = len(calls)
+    assert first > 0
+    calls.clear()
+    rf.latestOffset()  # same cursor: everything served from the cache
+    assert calls == []

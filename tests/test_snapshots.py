@@ -679,3 +679,82 @@ def test_concurrent_appends_both_land(spark, sf_dir, tmp_path):
     ks = {r["o_orderkey"] for r in latest.collect()}
     for r in a + b:
         assert r["o_orderkey"] in ks
+
+
+def test_torn_fallback_manifest_is_repaired(spark, sf_dir, tmp_path):
+    """ADVICE r9: a writer that died mid-write on the link(2)-less
+    fallback path leaves a torn manifest + stale .wip marker. The
+    slot must self-repair — the next reader reports the version
+    absent (not JSONDecodeError forever) and the next writer CAS
+    succeeds — instead of the version being poisoned permanently."""
+    import json
+    import os
+
+    import pytest
+
+    from tcrd_spark.sources.lake import load_table
+
+    table = str(tmp_path / "t")
+    seed = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(20)
+    snap.create_table(seed, table, "o_orderstatus")
+
+    # simulate the dead fallback writer: torn JSON + stale marker
+    final = snap._manifest_path(table, 2)
+    with open(final, "w") as f:
+        f.write('{"version": 2, "files": ["trunc')  # torn
+    wip = final + ".wip"
+    with open(wip, "w") as f:
+        pass
+    old = os.path.getmtime(wip) - snap._WIP_TIMEOUT - 5
+    os.utime(wip, (old, old))
+
+    with pytest.raises(FileNotFoundError, match="aborted commit"):
+        snap._read_manifest(table, 2)
+    assert not os.path.exists(final) and not os.path.exists(wip)
+    # the slot is free again: a normal append takes version 2
+    snap.append_version(table, seed.limit(3).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    ))
+    assert snap.versions(table) == [1, 2]
+    assert snap._read_manifest(table, 2)["op"] == "append"
+
+    # a FRESH marker (writer possibly alive) is left alone
+    with open(snap._manifest_path(table, 3), "w") as f:
+        f.write('{"torn')
+    with open(snap._manifest_path(table, 3) + ".wip", "w"):
+        pass
+    with pytest.raises(json.JSONDecodeError):
+        snap._read_manifest(table, 3)
+    assert os.path.exists(snap._manifest_path(table, 3))
+
+
+def test_stale_marker_with_complete_manifest_stands(
+    spark, sf_dir, tmp_path
+):
+    """A writer that died AFTER finishing the write but before
+    dropping its marker: the commit stands; a competing writer gets
+    the normal CAS conflict and the marker is swept."""
+    import os
+
+    import pytest
+
+    from tcrd_spark.sources.lake import load_table
+
+    table = str(tmp_path / "t")
+    seed = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(20)
+    snap.create_table(seed, table, "o_orderstatus")
+    final = snap._manifest_path(table, 1)
+    wip = final + ".wip"
+    with open(wip, "w"):
+        pass
+    old = os.path.getmtime(wip) - snap._WIP_TIMEOUT - 5
+    os.utime(wip, (old, old))
+    with pytest.raises(FileExistsError):
+        snap._fallback_publish(final, {"version": 1}, "taken")
+    assert not os.path.exists(wip)  # orphan marker swept
+    assert snap._read_manifest(table, 1)["op"] == "create"
