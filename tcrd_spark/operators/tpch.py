@@ -1,0 +1,281 @@
+"""The remaining classic TPC-H query shapes, adapted to the lake's
+star schema — completing the decision-support family that
+`operators/scans.py` (Q1 pricing summary, Q3 shipping priority) and
+`operators/subqueries.py` (Q17/Q22/Q21/Q15/Q20/Q2/Q11 correlated
+shapes) already cover. ONE ANSI SQL text per query, run through
+`spark.sql` AND used verbatim as the DuckDB oracle — the
+one-text-two-engines discipline (cross-engine dialect + planner
+parity; the reference's consumers write exactly this kind of ad-hoc
+SQL against its MySQL schema, `SQL/tcrd_queries.sql` style).
+
+Adaptations (the testdata schema is TPC-H-ish, not TPC-H): no
+partsupp table — lineitem stands in as the part↔supplier bridge; no
+l_commitdate/l_receiptdate — "late" is l_shipdate > o_orderdate + K
+days (the Q21 convention, `subqueries.Q21_SQL`); no comment columns —
+Q16's excluded-supplier predicate keys on s_acctbal instead.
+
+Cross-engine determinism discipline (the repo-wide float rules):
+every reported float aggregate rounds to 4dp; threshold decisions
+(HAVING, WHERE) compare integral-quantity sums (float-exact) or
+untouched column values; Q10's top-N orders by the ROUNDED measure
+with a key tiebreak so both engines cut the same 20 rows.
+
+100 TB shape: all of these are Catalyst's bread and butter — dims
+broadcast (region/nation/supplier/customer under the 64 MB
+threshold at any realistic dim size), facts shuffle only on join/agg
+keys, date/brand/size predicates push into parquet scans
+(`tests/test_tpch.py` pins pushdown for the disjunctive Q19 — the
+classic can't-push-naively shape), and AQE re-plans the skewed sides.
+
+Reference parity: the reference ships no TPC-H, but its example SQL
+(`examples/SQL/`) is this workload's domain twin; the family is the
+standard completeness bar for an analytics engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tcrd_spark.operators.subqueries import run_sql
+
+Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+Q5_SQL = """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4)
+               AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+Q6_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (
+          (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        )
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+Q8_SQL = """
+    SELECT o_year,
+           round(sum(CASE WHEN nat = 'NATION_1' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nat
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+Q9_SQL = """
+    SELECT nat, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nat, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nat, o_year
+"""
+
+Q10_SQL = """
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ) ranked
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+Q12_SQL = """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+"""
+
+Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+       AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+Q14_SQL = """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6
+           ) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p_brand, p_type, p_size
+"""
+
+Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 4) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+      )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+Q19_SQL = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4)
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 40
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def _q(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_sql(spark, sf_dir, sql)
+
+    return run
+
+
+QUERIES = {
+    "tpch_q4_priority": _q(Q4_SQL),
+    "tpch_q5_local_supplier": _q(Q5_SQL),
+    "tpch_q6_forecast": _q(Q6_SQL),
+    "tpch_q7_volume_shipping": _q(Q7_SQL),
+    "tpch_q8_market_share": _q(Q8_SQL),
+    "tpch_q9_profit": _q(Q9_SQL),
+    "tpch_q10_returned": _q(Q10_SQL),
+    "tpch_q12_priority_lines": _q(Q12_SQL),
+    "tpch_q13_custdist": _q(Q13_SQL),
+    "tpch_q14_promo": _q(Q14_SQL),
+    "tpch_q16_supplier_cnt": _q(Q16_SQL),
+    "tpch_q18_large_orders": _q(Q18_SQL),
+    "tpch_q19_disjunctive": _q(Q19_SQL),
+}
+
+# the SAME texts verbatim — one SQL, two engines
+ORACLE = {
+    "tpch_q4_priority": Q4_SQL,
+    "tpch_q5_local_supplier": Q5_SQL,
+    "tpch_q6_forecast": Q6_SQL,
+    "tpch_q7_volume_shipping": Q7_SQL,
+    "tpch_q8_market_share": Q8_SQL,
+    "tpch_q9_profit": Q9_SQL,
+    "tpch_q10_returned": Q10_SQL,
+    "tpch_q12_priority_lines": Q12_SQL,
+    "tpch_q13_custdist": Q13_SQL,
+    "tpch_q14_promo": Q14_SQL,
+    "tpch_q16_supplier_cnt": Q16_SQL,
+    "tpch_q18_large_orders": Q18_SQL,
+    "tpch_q19_disjunctive": Q19_SQL,
+}

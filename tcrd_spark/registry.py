@@ -26,8 +26,8 @@ PRIORITY = (
     #       into a pre-existing module (no new-module grace, the
     #       excess_share_suppliers r9 precedent);
     #   (d) filler: the whole r5/r6 tiers + the oldest of r7.
-    # With 188 registered queries the staleness bound is
-    # ceil(188/50) = 4 rounds (computed, see tools/rotate_cap.py).
+    # The staleness bound is computed from the LIVE registry size
+    # (tools/rotate_cap.py): 205 queries -> ceil(205/50) = 5 rounds.
     "doc_compressibility",
     "compressibility_buckets",  # adjudicable sidecar twin, same rule
     "min_cost_supplier",   # registered this round into a pre-r10
@@ -229,6 +229,19 @@ PRIORITY = (
     # registered post-r10-cap rotation (new-query grace; heads the
     # r11 cap)
     "video_near_dups",
+    "tpch_q4_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returned",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
 )
 
 
@@ -261,7 +274,8 @@ def _collect():
                     "operators.window_ext", "operators.temporal_ext",
                     "operators.timeseries", "operators.patterns",
                     "operators.downsample",
-                    "operators.subqueries", "operators.feature_join",
+                    "operators.subqueries", "operators.tpch",
+                    "operators.feature_join",
                     "analytics.testdata_queries", "pipeline.testdata_queries",
                     "pipeline.corpus_queries", "pipeline.corpus_v2",
                     "pipeline.substring",
