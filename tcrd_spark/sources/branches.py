@@ -256,6 +256,57 @@ def merge_branch(
     return versions(table_dir)[-1]
 
 
+def clone_table(
+    table_dir: str, dest_dir: str, version: int | None = None
+) -> str:
+    """Zero-copy SHALLOW clone (Delta `SHALLOW CLONE` / an Iceberg
+    ref made into a table): `dest_dir` becomes an INDEPENDENT
+    versioned table whose manifest chain seeds from `version`
+    (default: head) and whose data paths resolve through the
+    `_branch.json` prefix mapping to the source's data dir — no bytes
+    move, ever. Differences from a branch: the clone lives at an
+    arbitrary path, never merges back, and has its own history
+    forever; it shares the branch rules that matter (every verb works
+    on it; files it stages land in the SHARED data dir under names no
+    source manifest references; vacuum on the clone refuses — its
+    dropped manifests reference shared files).
+
+    GC root: the source gets an automatic `clone-<basename>` tag
+    pinning the fork version, so source vacuum never reclaims files
+    the clone still reads. Dropping that tag (`delete_tag`) is the
+    operator's declaration that the clone is abandoned — the same
+    caveat Delta documents for shallow clones."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"no version {v} at {table_dir}")
+    if os.path.exists(dest_dir):
+        raise FileExistsError(f"clone destination exists: {dest_dir}")
+    name = os.path.basename(os.path.normpath(dest_dir))
+    tag_version(table_dir, f"clone-{name}", v)
+    try:
+        os.makedirs(_manifest_dir(dest_dir))
+        m = _read_manifest(table_dir, v)
+        _publish_exclusive(
+            _manifest_path(dest_dir, v), m,
+            f"clone seed v{v} already exists",
+        )
+        _publish_exclusive(
+            os.path.join(dest_dir, "_branch.json"),
+            {"name": name, "source": os.path.abspath(table_dir),
+             "fork_version": v, "clone": True,
+             "data_dir": os.path.abspath(_data_dir(table_dir))},
+            f"clone meta for {dest_dir!r} already exists",
+        )
+    except Exception:
+        shutil.rmtree(dest_dir, ignore_errors=True)
+        delete_tag(table_dir, f"clone-{name}")
+        raise
+    return dest_dir
+
+
 def delete_branch(table_dir: str, name: str) -> list[str]:
     """Retire a branch: remove the files only IT references (staged
     on the branch, never merged), its directory, and the fork tag.

@@ -324,3 +324,36 @@ def test_fast_forward_merge_is_one_squash_manifest(
         r.o_orderkey for r in snap.read_version(spark, table).collect()
     }
     assert got == want
+
+
+def test_shallow_clone_is_zero_copy_and_independent(
+    spark, sf_dir, tmp_path
+):
+    """clone_table: dest reads identically at the fork with ZERO data
+    copied (prefix mapping, no symlink), commits on either side stay
+    invisible to the other, the automatic clone tag keeps source
+    vacuum from reclaiming shared files, and vacuum on the clone
+    refuses (shared data)."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    dest = str(tmp_path / "cl")
+    br.clone_table(table, dest)
+    assert not os.path.lexists(os.path.join(dest, "data"))
+    assert snap.read_version(spark, dest).count() == seed.count()
+    # independent histories
+    snap.append_version(dest, _shift(seed.limit(3), 10**9))
+    snap.append_version(table, _shift(seed.limit(2), 2 * 10**9))
+    assert snap.read_version(spark, dest).count() == seed.count() + 3
+    assert snap.read_version(spark, table).count() == seed.count() + 2
+    # clone's GC root: source vacuum keeps the fork files
+    snap.append_version(table, _shift(seed.limit(2), 3 * 10**9))
+    snap.vacuum(table, keep_versions=1)
+    assert snap.read_version(spark, dest, 1).count() == seed.count()
+    assert "clone-cl" in snap.list_tags(table)
+    # shared-data safety: vacuum on the clone refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vacuum on a branch"):
+        snap.vacuum(dest)
+    # abandoning the clone = dropping its tag
+    snap.delete_tag(table, "clone-cl")
+    assert "clone-cl" not in snap.list_tags(table)

@@ -117,6 +117,15 @@ def _lake_cmd(args) -> int:
         v, n = snap.delete_version(spark, table, args.predicate)
         print(f"v{v}\tdeleted={n}")
         return 0
+    if args.action == "clone":
+        from tcrd_spark.sources import branches as br
+
+        if not args.dest:
+            print("--dest required for clone", file=sys.stderr)
+            return 1
+        br.clone_table(table, args.dest)
+        print(f"cloned -> {args.dest}")
+        return 0
     if args.action == "repartition":
         if not args.name:
             print("--name (new partition column) required", file=sys.stderr)
@@ -179,7 +188,8 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=["history", "diff", "changes", "optimize", "vacuum",
                  "tag", "tags", "delete", "branch", "branches",
-                 "merge-branch", "drop-branch", "repartition"],
+                 "merge-branch", "drop-branch", "repartition",
+                 "clone"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
@@ -191,6 +201,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="SQL predicate (delete action)")
     lk.add_argument("--cluster-by", default=None,
                     help="comma-joined OPTIMIZE ZORDER columns")
+    lk.add_argument("--dest", default=None,
+                    help="destination directory (clone action)")
 
     args = ap.parse_args(argv)
 
