@@ -63,7 +63,7 @@ def scd2_history(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
-def scd2_apply_batch(
+def scd2_batch_delta(
     history: DataFrame,
     batch: DataFrame,
     key_col: str,
@@ -72,35 +72,15 @@ def scd2_apply_batch(
     tiebreak_col: str | None = None,
     validate: bool = True,
 ) -> DataFrame:
-    """Incremental SCD2 upkeep: apply a batch of NEW observations
-    (key, ts, attr[, tiebreak]) to a standing history, returning the
-    updated history — equal to rebuilding `scd2_history` over the
-    union of all observations, provided every batch row is strictly
-    later than its key's current ``valid_from`` (append-in-time; late
-    or out-of-order data takes the batch rebuild path instead).
-
-    ``validate=True`` (default) enforces that precondition eagerly
-    instead of trusting the caller: batch rows at or before their
-    key's current ``valid_from`` would silently produce history that
-    diverges from the rebuild (the seed's NULL tiebreak sorts before
-    same-ts batch rows, compounding it), so the guard raises with the
-    violating keys. Cost ∝ batch (one semi-join against current rows —
-    the same rows the seed join reads anyway); pass ``validate=False``
-    only when the source is append-in-time by construction.
-
-    Plan: the batch's keys pull ONLY their current version rows
-    (semi-join); each touched key replays (current-version seed ∪
-    batch rows) through the same change-filter windows as the batch
-    build, re-versioning from the seed's version; the resulting delta
-    MERGEs into the standing history on (key, version) — the seed row
-    updates in place (its valid_to closes / stays open), new versions
-    insert, untouched keys' rows and partitions pass through
-    (`sources/merge.py` presence-marker full-outer). Work ∝ batch, not
-    history: N daily batches over a 100 TB dimension never rescan the
-    closed versions.
-    """
-    from tcrd_spark.sources.merge import merge_frames
-
+    """The CHANGE ROWS a batch induces on a standing SCD2 history —
+    the touched keys' re-versioned rows only, in history schema
+    (key, attr, valid_from, valid_to, version, is_current). Exposed
+    separately from `scd2_apply_batch` so sinks that persist history
+    in the versioned lake can MERGE just the delta (COW on touched
+    files) instead of materializing the full updated frame
+    (`streaming/scd_stream.py`). Same precondition/validation as
+    apply: every batch row strictly later than its key's current
+    valid_from."""
     hist_cols = [
         key_col, attr_col, "valid_from", "valid_to", "version",
         "is_current",
@@ -175,8 +155,57 @@ def scd2_apply_batch(
         F.lead(ts_col).over(w2).alias("valid_to"),
         (base + F.row_number().over(w2) - 1).cast("int").alias("version"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+    return delta.select(*hist_cols)
+
+
+def scd2_apply_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Incremental SCD2 upkeep: apply a batch of NEW observations
+    (key, ts, attr[, tiebreak]) to a standing history, returning the
+    updated history — equal to rebuilding `scd2_history` over the
+    union of all observations, provided every batch row is strictly
+    later than its key's current ``valid_from`` (append-in-time; late
+    or out-of-order data takes the batch rebuild path instead).
+
+    ``validate=True`` (default) enforces that precondition eagerly
+    instead of trusting the caller: batch rows at or before their
+    key's current ``valid_from`` would silently produce history that
+    diverges from the rebuild (the seed's NULL tiebreak sorts before
+    same-ts batch rows, compounding it), so the guard raises with the
+    violating keys. Cost ∝ batch (one semi-join against current rows —
+    the same rows the seed join reads anyway); pass ``validate=False``
+    only when the source is append-in-time by construction.
+
+    Plan: the batch's keys pull ONLY their current version rows
+    (semi-join); each touched key replays (current-version seed ∪
+    batch rows) through the same change-filter windows as the batch
+    build, re-versioning from the seed's version; the resulting delta
+    MERGEs into the standing history on (key, version) — the seed row
+    updates in place (its valid_to closes / stays open), new versions
+    insert, untouched keys' rows and partitions pass through
+    (`sources/merge.py` presence-marker full-outer). Work ∝ batch, not
+    history: N daily batches over a 100 TB dimension never rescan the
+    closed versions.
+    """
+    from tcrd_spark.sources.merge import merge_frames
+
+    hist_cols = [
+        key_col, attr_col, "valid_from", "valid_to", "version",
+        "is_current",
+    ]
+    delta = scd2_batch_delta(
+        history, batch, key_col, ts_col, attr_col,
+        tiebreak_col=tiebreak_col, validate=validate,
+    )
     return merge_frames(
-        history.select(*hist_cols), delta.select(*hist_cols),
+        history.select(*hist_cols), delta,
         [key_col, "version"],
     )
 

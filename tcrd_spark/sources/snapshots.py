@@ -594,6 +594,18 @@ def streaming_snapshot_append(
     )
 
 
+def txn_seen(table_dir: str, txn_id: int) -> bool:
+    """True if any committed manifest records this txn_id — the check
+    an at-least-once sink makes BEFORE recomputing a batch's effect
+    (a replayed batch may no longer VALIDATE against the post-apply
+    state, e.g. SCD2's strictly-later precondition, so skip-detection
+    cannot wait for the write verb's own guard)."""
+    return any(
+        _read_manifest(table_dir, v).get("txn_id") == txn_id
+        for v in versions(table_dir)
+    )
+
+
 def merge_version(
     spark: SparkSession,
     table_dir: str,
@@ -602,7 +614,8 @@ def merge_version(
     delete_condition: str | None = None,
     expectations=None,
     granularity: str = "partition",
-) -> int:
+    txn_id: int | None = None,
+) -> int | None:
     """Copy-on-write MERGE commit. The previous version stays
     readable byte-identically; untouched files carry forward by
     reference.
@@ -624,6 +637,13 @@ def merge_version(
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
+    if txn_id is not None:
+        # the append_version idempotence contract (Delta txnAppId):
+        # an at-least-once streaming sink re-offering a replayed
+        # micro-batch's MERGE is a no-op, never a double-apply
+        for v in vs:
+            if _read_manifest(table_dir, v).get("txn_id") == txn_id:
+                return None
     if expectations:
         _enforce_expectations(source, expectations)
     cur_v = vs[-1]
@@ -678,6 +698,7 @@ def merge_version(
     _commit(table_dir, {
         "version": cur_v + 1, "parent": cur_v, "op": "merge",
         "part_col": part_col, "columns": m["columns"],
+        "txn_id": txn_id,
         "files": sorted(keep + new_files),
         "stats": {**kept_stats, **new_stats},
     })

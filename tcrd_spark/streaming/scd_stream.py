@@ -1,0 +1,97 @@
+"""Streaming SCD2 dimension maintenance — a change stream keeps a
+Type-2 history table in the versioned lake current, exactly once.
+
+Completes the SCD story (`operators/scd.py`: batch rebuild +
+incremental apply) with the deployment shape a warehouse actually
+runs: attribute observations arrive as a STREAM (CDC feed, app
+events), and each micro-batch folds into the standing history —
+closing changed keys' current rows, inserting new versions — without
+ever rescanning closed history.
+
+Composition, nothing new invented (the engine's whole design bet):
+
+- delta computation is `operators/scd.scd2_batch_delta` — the touched
+  keys' re-versioned rows only, cost ∝ batch;
+- persistence is `snapshots.merge_version` on (key, version) — COW,
+  untouched files carry forward by reference;
+- exactly-once is the Delta txnAppId pattern: the micro-batch's
+  epoch id rides as ``txn_id``; a replayed batch after a crash /
+  checkpoint restart re-offers the same id and the MERGE is a no-op
+  (`tests/test_scd_stream.py` pins replay == batch rebuild with a
+  restart in the middle).
+
+100 TB shape: per trigger, work ∝ batch (semi-join pulls only the
+touched keys' CURRENT rows; the windowed replay partitions by key
+over seed+batch rows only); the MERGE rewrites only files whose keys
+the delta touches. The history table never rescans.
+
+Reference parity: none (streaming extension; with operators/scd.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def scd2_apply_to_lake(
+    spark: SparkSession,
+    table_dir: str,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    txn_id: int | None = None,
+    tiebreak_col: str | None = None,
+) -> int | None:
+    """Fold one batch of observations into a lake-persisted SCD2
+    history: delta via `scd2_batch_delta` against the CURRENT
+    snapshot, persisted via `merge_version` on (key, version) with
+    txn-idempotence. Returns the committed version (None = replayed
+    txn, no-op). Usable directly for batch upkeep or from
+    foreachBatch (`scd2_stream_writer`)."""
+    from tcrd_spark.operators.scd import scd2_batch_delta
+    from tcrd_spark.sources.snapshots import (
+        merge_version, read_version, txn_seen,
+    )
+
+    if txn_id is not None and txn_seen(table_dir, txn_id):
+        # replay of an already-applied epoch: must short-circuit HERE —
+        # the batch would no longer pass the strictly-later validation
+        # against the post-apply history it itself produced
+        return None
+    if batch.isEmpty():
+        return None
+    history = read_version(spark, table_dir)
+    delta = scd2_batch_delta(
+        history, batch, key_col, ts_col, attr_col,
+        tiebreak_col=tiebreak_col,
+    )
+    return merge_version(
+        spark, table_dir, delta, [key_col, "version"], txn_id=txn_id,
+    )
+
+
+def scd2_stream_writer(
+    stream: DataFrame,
+    table_dir: str,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    checkpoint: str,
+    tiebreak_col: str | None = None,
+):
+    """writeStream handle maintaining `table_dir` from an observation
+    stream; caller starts/stops it. At-least-once delivery from the
+    checkpoint + txn-idempotent MERGE = exactly-once history."""
+
+    def fold(batch: DataFrame, epoch: int) -> None:
+        scd2_apply_to_lake(
+            batch.sparkSession, table_dir, batch,
+            key_col, ts_col, attr_col,
+            txn_id=epoch, tiebreak_col=tiebreak_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+    )
