@@ -147,7 +147,15 @@ def q_compressibility_buckets(
     every run."""
     from tcrd_spark.sources.lake import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL/empty docs are excluded in BOTH engines: the production
+    # path scores them NULL-ratio/'prose', but the sidecar variant
+    # would divide by octet_length 0 — Spark (non-ANSI) nulls the
+    # division while DuckDB yields Infinity, a cross-engine verdict
+    # split; and md5(NULL) never joins. The pytest pin compares on
+    # this same non-empty subset.
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.octet_length("text") > 0)
+    )
     side = spark.read.parquet(_SIDECAR)
     joined = docs.join(
         F.broadcast(side), F.md5(F.col("text")) == F.col("text_md5")
@@ -191,5 +199,6 @@ ORACLE: dict[str, str] = {
                END AS bucket
         FROM documents
         JOIN read_parquet('{_SIDECAR}') s ON s.text_md5 = md5(text)
+        WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
     """,
 }

@@ -72,16 +72,20 @@ from tcrd_spark.pipeline.imagedup import (
     _fake_grid,
     _g_sql,
     _grid_to_bands,
-    _pixel_grid,
 )
 
 N_FRAMES = 4
 MIN_OVERLAP = 1 / N_FRAMES  # close-frame fraction gate (see docstring)
 MIN_CHARS = N_FRAMES * N_SAMPLES  # every frame covers a full grid
 
-VFP_SCHEMA = (
-    "doc_id long, frame_idx int, b0 long, b1 long, b2 long, b3 long"
-)
+def _vfp_schema(id_col: str) -> str:
+    return (
+        f"{id_col} long, frame_idx int, "
+        "b0 long, b1 long, b2 long, b3 long"
+    )
+
+
+VFP_SCHEMA = _vfp_schema("doc_id")
 
 
 def _frame_sql(k: int, text_col: str, dialect: str, n_frames: int) -> str:
@@ -183,17 +187,14 @@ def video_fingerprints(
                 step = max(1, len(p) // n_frames)
                 for k in range(n_frames):
                     frame = p[k * step : (k + 1) * step]
-                    grid = (_pixel_grid if real_decode else _fake_grid)(
-                        frame
-                    )
-                    bands = _grid_to_bands(grid)
+                    bands = _grid_to_bands(_fake_grid(frame))
                     ids.append(i)
                     idxs.append(k)
                     for j in range(BANDS):
                         cols[f"b{j}"].append(bands[j])
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, **cols})
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, **cols})
 
-    return media.mapInPandas(run, VFP_SCHEMA)
+    return media.mapInPandas(run, _vfp_schema(id_col))
 
 
 # ------------------------------------------------- pairs
@@ -272,6 +273,7 @@ def video_near_dup_pairs(
                 F.when(F.col("hamming") <= max_hamming, 1).otherwise(0)
             ).alias("n_close")
         )
+        .filter(F.col("n_close") / F.lit(n_frames) >= min_overlap)
         .select(
             "id_a",
             "id_b",
@@ -280,7 +282,6 @@ def video_near_dup_pairs(
                 "frame_overlap"
             ),
         )
-        .filter(F.col("frame_overlap") >= min_overlap)
     )
 
 

@@ -284,8 +284,8 @@ def clone_table(
         raise FileNotFoundError(f"no version {v} at {table_dir}")
     if os.path.exists(dest_dir):
         raise FileExistsError(f"clone destination exists: {dest_dir}")
-    name = os.path.basename(os.path.normpath(dest_dir))
-    tag_version(table_dir, f"clone-{name}", v)
+    tag = clone_tag(dest_dir)
+    tag_version(table_dir, tag, v)
     try:
         os.makedirs(_manifest_dir(dest_dir))
         m = _read_manifest(table_dir, v)
@@ -295,16 +295,31 @@ def clone_table(
         )
         _publish_exclusive(
             os.path.join(dest_dir, "_branch.json"),
-            {"name": name, "source": os.path.abspath(table_dir),
-             "fork_version": v, "clone": True,
+            {"name": os.path.basename(os.path.normpath(dest_dir)),
+             "source": os.path.abspath(table_dir),
+             "fork_version": v, "clone": True, "gc_tag": tag,
              "data_dir": os.path.abspath(_data_dir(table_dir))},
             f"clone meta for {dest_dir!r} already exists",
         )
     except Exception:
         shutil.rmtree(dest_dir, ignore_errors=True)
-        delete_tag(table_dir, f"clone-{name}")
+        delete_tag(table_dir, tag)
         raise
     return dest_dir
+
+
+def clone_tag(dest_dir: str) -> str:
+    """The GC tag a clone at `dest_dir` pins on its source. Keyed on
+    the ABSOLUTE destination path (hashed), not the basename — two
+    clones whose paths share a leaf name must not collide (dropping
+    one basename-keyed tag would un-pin the OTHER clone's fork and
+    expose its files to vacuum). Also recorded in the clone's
+    _branch.json as `gc_tag`."""
+    import hashlib
+
+    p = os.path.abspath(dest_dir)
+    h = hashlib.md5(p.encode()).hexdigest()[:8]
+    return f"clone-{os.path.basename(os.path.normpath(p))}-{h}"
 
 
 def delete_branch(table_dir: str, name: str) -> list[str]:

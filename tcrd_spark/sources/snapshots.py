@@ -457,7 +457,7 @@ def read_version_pruned(
 def append_version(
     table_dir: str,
     df: DataFrame,
-    txn_id: int | None = None,
+    txn_id: int | str | None = None,
     merge_schema: bool = False,
     expectations=None,
 ) -> int | None:
@@ -475,10 +475,8 @@ def append_version(
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
-    if txn_id is not None:
-        for v in vs:
-            if _read_manifest(table_dir, v).get("txn_id") == txn_id:
-                return None  # already committed: replay is a no-op
+    if txn_id is not None and txn_seen(table_dir, txn_id):
+        return None  # already committed: replay is a no-op
     cur_v = vs[-1]
     m = _read_manifest(table_dir, cur_v)
     cols = m["columns"]
@@ -512,10 +510,7 @@ def append_version(
                 "append against the evolved table"
             )
         v_next = base_m["version"] + 1
-        if txn_id is not None and any(
-            _read_manifest(table_dir, v).get("txn_id") == txn_id
-            for v in versions(table_dir)
-        ):
+        if txn_id is not None and txn_seen(table_dir, txn_id):
             return None  # the race was with our own replay
         try:
             _commit(table_dir, {
@@ -594,15 +589,31 @@ def streaming_snapshot_append(
     )
 
 
-def txn_seen(table_dir: str, txn_id: int) -> bool:
+_TXN_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _txn_of(table_dir: str, v: int):
+    """Memoized manifest txn_id lookup — manifests are immutable, so a
+    committed version's txn_id never changes; without the cache every
+    txn-guarded commit re-parses the FULL manifest history (O(N) JSON
+    reads per trigger, O(N²) over a stream's life — the lake_source
+    _added_count pathology). Aborted/torn manifests never parse, so
+    they never poison the cache; vacuumed versions simply stop being
+    iterated."""
+    key = (table_dir, v)
+    if key not in _TXN_CACHE:
+        _TXN_CACHE[key] = _read_manifest(table_dir, v).get("txn_id")
+    return _TXN_CACHE[key]
+
+
+def txn_seen(table_dir: str, txn_id) -> bool:
     """True if any committed manifest records this txn_id — the check
     an at-least-once sink makes BEFORE recomputing a batch's effect
     (a replayed batch may no longer VALIDATE against the post-apply
     state, e.g. SCD2's strictly-later precondition, so skip-detection
     cannot wait for the write verb's own guard)."""
     return any(
-        _read_manifest(table_dir, v).get("txn_id") == txn_id
-        for v in versions(table_dir)
+        _txn_of(table_dir, v) == txn_id for v in versions(table_dir)
     )
 
 
@@ -614,7 +625,7 @@ def merge_version(
     delete_condition: str | None = None,
     expectations=None,
     granularity: str = "partition",
-    txn_id: int | None = None,
+    txn_id: int | str | None = None,
 ) -> int | None:
     """Copy-on-write MERGE commit. The previous version stays
     readable byte-identically; untouched files carry forward by
@@ -637,13 +648,11 @@ def merge_version(
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
-    if txn_id is not None:
+    if txn_id is not None and txn_seen(table_dir, txn_id):
         # the append_version idempotence contract (Delta txnAppId):
         # an at-least-once streaming sink re-offering a replayed
         # micro-batch's MERGE is a no-op, never a double-apply
-        for v in vs:
-            if _read_manifest(table_dir, v).get("txn_id") == txn_id:
-                return None
+        return None
     if expectations:
         _enforce_expectations(source, expectations)
     cur_v = vs[-1]

@@ -14,11 +14,14 @@ Composition, nothing new invented (the engine's whole design bet):
   keys' re-versioned rows only, cost ∝ batch;
 - persistence is `snapshots.merge_version` on (key, version) — COW,
   untouched files carry forward by reference;
-- exactly-once is the Delta txnAppId pattern: the micro-batch's
-  epoch id rides as ``txn_id``; a replayed batch after a crash /
-  checkpoint restart re-offers the same id and the MERGE is a no-op
-  (`tests/test_scd_stream.py` pins replay == batch rebuild with a
-  restart in the middle).
+- exactly-once is the Delta txnAppId/txnVersion pattern in full: the
+  committed txn id is ``"<app_id>:<epoch>"`` — the app identity scopes
+  the epoch counter, so a rebuilt checkpoint (epochs restart at 0
+  under a NEW app_id) or a DIFFERENT sink writing the same table can
+  never collide with this stream's ids and silently no-op real
+  batches. A replayed batch re-offers the same scoped id and the
+  MERGE skips (`tests/test_scd_stream.py` pins replay == batch
+  rebuild with a restart in the middle).
 
 100 TB shape: per trigger, work ∝ batch (semi-join pulls only the
 touched keys' CURRENT rows; the windowed replay partitions by key
@@ -40,7 +43,7 @@ def scd2_apply_to_lake(
     key_col: str,
     ts_col: str,
     attr_col: str,
-    txn_id: int | None = None,
+    txn_id: int | str | None = None,
     tiebreak_col: str | None = None,
 ) -> int | None:
     """Fold one batch of observations into a lake-persisted SCD2
@@ -79,16 +82,25 @@ def scd2_stream_writer(
     attr_col: str,
     checkpoint: str,
     tiebreak_col: str | None = None,
+    app_id: str | None = None,
 ):
     """writeStream handle maintaining `table_dir` from an observation
     stream; caller starts/stops it. At-least-once delivery from the
-    checkpoint + txn-idempotent MERGE = exactly-once history."""
+    checkpoint + txn-idempotent MERGE = exactly-once history.
+
+    ``app_id`` scopes the txn ids (Delta's txnAppId): it defaults to
+    the CHECKPOINT path, which shares the epoch counter's lifetime
+    exactly — delete/relocate the checkpoint and the new stream is a
+    new app whose epoch-0 cannot collide with the old app's commits.
+    Pass it explicitly to survive a checkpoint MOVE that should keep
+    its history."""
+    app = app_id if app_id is not None else checkpoint
 
     def fold(batch: DataFrame, epoch: int) -> None:
         scd2_apply_to_lake(
             batch.sparkSession, table_dir, batch,
             key_col, ts_col, attr_col,
-            txn_id=epoch, tiebreak_col=tiebreak_col,
+            txn_id=f"{app}:{epoch}", tiebreak_col=tiebreak_col,
         )
 
     return (

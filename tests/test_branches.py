@@ -348,12 +348,31 @@ def test_shallow_clone_is_zero_copy_and_independent(
     snap.append_version(table, _shift(seed.limit(2), 3 * 10**9))
     snap.vacuum(table, keep_versions=1)
     assert snap.read_version(spark, dest, 1).count() == seed.count()
-    assert "clone-cl" in snap.list_tags(table)
+    tag = br.clone_tag(dest)
+    assert tag in snap.list_tags(table)
     # shared-data safety: vacuum on the clone refuses
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="vacuum on a branch"):
         snap.vacuum(dest)
     # abandoning the clone = dropping its tag
-    snap.delete_tag(table, "clone-cl")
-    assert "clone-cl" not in snap.list_tags(table)
+    snap.delete_tag(table, tag)
+    assert tag not in snap.list_tags(table)
+
+
+def test_clones_with_same_basename_do_not_collide(
+    spark, sf_dir, tmp_path
+):
+    """Review catch: the GC tag keys on the absolute path, not the
+    leaf name — two clones named 'nightly' under different parents
+    each pin their own fork version."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    a = str(tmp_path / "east" / "nightly")
+    b = str(tmp_path / "west" / "nightly")
+    br.clone_table(table, a)
+    br.clone_table(table, b)  # must not raise
+    tags = snap.list_tags(table)
+    assert br.clone_tag(a) in tags and br.clone_tag(b) in tags
+    assert br.clone_tag(a) != br.clone_tag(b)
+    assert snap.read_version(spark, a).count() == seed.count()
+    assert snap.read_version(spark, b).count() == seed.count()

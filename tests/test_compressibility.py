@@ -160,7 +160,7 @@ def test_sidecar_variant_equals_production_path(spark, sf_dir):
         q_compressibility_buckets, q_doc_compressibility,
     )
 
-    prod = {
+    prod_all = {
         r.doc_id: (r.n_bytes, r.zlib_ratio, r.bucket)
         for r in q_doc_compressibility(spark, sf_dir).collect()
     }
@@ -168,4 +168,8 @@ def test_sidecar_variant_equals_production_path(spark, sf_dir):
         r.doc_id: (r.n_bytes, r.zlib_ratio, r.bucket)
         for r in q_compressibility_buckets(spark, sf_dir).collect()
     }
+    # the variant excludes NULL/empty docs (division semantics differ
+    # cross-engine there); the production path scores them NULL/'prose'
+    prod = {k: v for k, v in prod_all.items() if v[0] and v[0] > 0}
     assert prod == side and len(prod) == 500
+    assert all(v[1] is None for k, v in prod_all.items() if k not in side)

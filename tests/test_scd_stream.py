@@ -122,3 +122,25 @@ def test_closed_versions_never_rescanned(spark, tmp_path):
     r = {x.version: x for x in got.where("k = 1").collect()}
     assert r[1].valid_to == 2000 and r[1].is_current is False
     assert r[2].valid_from == 2000 and r[2].is_current is True
+
+
+def test_rebuilt_checkpoint_cannot_collide_with_old_epochs(
+    spark, tmp_path
+):
+    """Review catch: the committed txn id is app-scoped
+    ('<app>:<epoch>'). A stream whose checkpoint was rebuilt (epochs
+    restart at 0 under a new app identity) must APPLY its batches,
+    not silently no-op against the first run's epoch numbers."""
+    table = _mk_history_table(spark, tmp_path)
+    v = scd_stream.scd2_apply_to_lake(
+        spark, table, _obs(spark, B1), "k", "ts", "attr",
+        txn_id="ckptA:0",
+    )
+    assert v == 2
+    v = scd_stream.scd2_apply_to_lake(
+        spark, table, _obs(spark, B2), "k", "ts", "attr",
+        txn_id="ckptB:0",  # new app, epoch counter restarted
+    )
+    assert v == 3  # applied, not skipped
+    want = scd2_history(_obs(spark, B0 + B1 + B2), "k", "ts", "attr")
+    assert _rows(snap.read_version(spark, table)) == _rows(want)

@@ -40,7 +40,7 @@ def main() -> None:
             continue
         rows = con.execute(
             f"SELECT DISTINCT text FROM read_parquet('{p}') "
-            "WHERE text IS NOT NULL"
+            "WHERE text IS NOT NULL AND octet_length(encode(text)) > 0"
         ).fetchall()
         for (t,) in rows:
             b = t.encode("utf-8")
