@@ -1049,6 +1049,100 @@ def read_changes(
     return ch.select("_c.change_type", *[F.col(f"_c.{c}") for c in cols])
 
 
+def restore_version(table_dir: str, version: int) -> int:
+    """Delta RESTORE: roll the table BACK to a prior snapshot by
+    committing a NEW head whose file list is that snapshot's —
+    history-preserving (the bad versions stay readable for audit;
+    nothing is deleted), zero bytes move, and CDC across the restore
+    boundary shows exactly the rows the rollback re-inserted/removed.
+    The target's files must still exist (a vacuumed snapshot cannot
+    be restored — raises with the missing files). Concurrent-writer
+    safe through the same manifest CAS every commit uses."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    if version not in vs:
+        raise FileNotFoundError(f"no version {version} at {table_dir}")
+    m = _read_manifest(table_dir, version)
+    base = _data_dir(table_dir)
+    missing = [
+        f for f in m["files"] if not os.path.exists(os.path.join(base, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore v{version}: {len(missing)} of its files "
+            f"were vacuumed (e.g. {missing[:3]}) — restore targets "
+            "must be tag-pinned to survive GC"
+        )
+    while True:
+        cur = versions(table_dir)[-1]
+        try:
+            _commit(table_dir, {
+                "version": cur + 1, "parent": cur, "op": "restore",
+                "restored_from": version,
+                "part_col": m["part_col"], "columns": m["columns"],
+                "files": m["files"], "stats": m.get("stats", {}),
+            })
+            return cur + 1
+        except FileExistsError:
+            continue  # lost the CAS — re-offer on the new head
+
+
+# ------------------------------------------ metadata tables (DESCRIBE)
+
+
+def history_df(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a DataFrame: one row per commit (version,
+    parent, op, ts, n_files, txn_id, merged_from/restored_from when
+    present). Driver reads |versions| small JSONs — the same cost as
+    any manifest walk; the frame itself is queryable like any other."""
+    rows = []
+    for v in versions(table_dir):
+        m = _read_manifest(table_dir, v)
+        rows.append((
+            v, m.get("parent"), m["op"], float(m.get("ts") or 0.0),
+            len(m["files"]),
+            None if m.get("txn_id") is None else str(m["txn_id"]),
+            m.get("merged_from"),
+            m.get("restored_from"),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, op string, ts double, n_files int, "
+        "txn_id string, merged_from string, restored_from int",
+    )
+
+
+def files_df(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot's file inventory as a DataFrame (relative path,
+    hive partition value, on-disk bytes, per-column zone-map bounds as
+    a JSON string) — the Iceberg `.files` metadata table; what an
+    operator SELECTs to plan compaction or audit skew."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    v = vs[-1] if version is None else version
+    m = _read_manifest(table_dir, v)
+    base = _data_dir(table_dir)
+    stats = m.get("stats", {})
+    rows = []
+    for f in m["files"]:
+        p = os.path.join(base, f)
+        size = os.path.getsize(p) if os.path.exists(p) else None
+        rows.append((
+            f,
+            _partition_of(f).split("=", 1)[-1],
+            size,
+            json.dumps(stats[f], sort_keys=True) if f in stats else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "file string, partition string, bytes long, zone_maps string",
+    )
+
+
 # ------------------------------------------------- named tags (refs)
 
 

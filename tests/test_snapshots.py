@@ -758,3 +758,75 @@ def test_stale_marker_with_complete_manifest_stands(
         snap._fallback_publish(final, {"version": 1}, "taken")
     assert not os.path.exists(wip)  # orphan marker swept
     assert snap._read_manifest(table, 1)["op"] == "create"
+
+
+def test_restore_rolls_back_history_preserving(spark, sf_dir, tmp_path):
+    """Delta RESTORE parity: a bad delete rolls back by COMMITTING the
+    old snapshot as the new head — prior versions stay readable, no
+    bytes move, CDC across the restore shows exactly the re-inserted
+    rows, and a vacuumed target refuses with the missing files."""
+    import pytest
+
+    from tcrd_spark.sources.lake import load_table
+
+    table = str(tmp_path / "t")
+    seed = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey").limit(30)
+    snap.create_table(seed, table, "o_orderstatus")          # v1
+    _, n_del = snap.delete_version(spark, table, "o_orderkey % 2 = 0")
+    assert n_del > 0                                          # v2
+    v = snap.restore_version(table, 1)                        # v3
+    assert v == 3 and snap.versions(table) == [1, 2, 3]
+    assert snap.read_version(spark, table).count() == seed.count()
+    # audit trail intact: the bad version still reads
+    assert snap.read_version(spark, table, 2).count() == (
+        seed.count() - n_del
+    )
+    # CDC across the restore = the deleted rows coming back
+    feed = snap.read_changes(spark, table, 2, 3, ["o_orderkey"])
+    assert feed.count() == n_del
+    assert {r.change_type for r in feed.collect()} == {"insert"}
+    m = snap._read_manifest(table, 3)
+    assert m["op"] == "restore" and m["restored_from"] == 1
+    # a target whose files are gone (externally GC'd) refuses loudly
+    v2_only = set(snap._read_manifest(table, 2)["files"]) - set(
+        snap._read_manifest(table, 3)["files"]
+    )
+    if v2_only:
+        os.remove(os.path.join(snap._data_dir(table), sorted(v2_only)[0]))
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            snap.restore_version(table, 2)
+    # a fully vacuumed version is simply absent
+    snap.vacuum(table, keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="no version"):
+        snap.restore_version(table, 2)
+
+
+def test_metadata_tables(spark, sf_dir, tmp_path):
+    """history_df / files_df: the DESCRIBE HISTORY and .files
+    metadata views — one row per commit / per live file, queryable
+    like any DataFrame."""
+    from tcrd_spark.sources.lake import load_table
+
+    table = str(tmp_path / "t")
+    seed = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey").limit(30)
+    snap.create_table(seed, table, "o_orderstatus")
+    batch = seed.limit(3).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    )
+    snap.append_version(table, batch, txn_id=9)
+    h = {r.version: r for r in snap.history_df(spark, table).collect()}
+    assert h[1].op == "create" and h[1].parent is None
+    assert h[2].op == "append" and h[2].parent == 1
+    assert h[2].txn_id == "9" and h[2].n_files > 0
+    f = snap.files_df(spark, table).collect()
+    m = snap._read_manifest(table, 2)
+    assert sorted(r.file for r in f) == sorted(m["files"])
+    assert all(r.bytes and r.bytes > 0 for r in f)
+    assert all(r.partition for r in f)
+    # zone maps surface where stats exist
+    assert any(r.zone_maps for r in f)

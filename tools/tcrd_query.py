@@ -117,6 +117,19 @@ def _lake_cmd(args) -> int:
         v, n = snap.delete_version(spark, table, args.predicate)
         print(f"v{v}\tdeleted={n}")
         return 0
+    if args.action == "restore":
+        if args.v_to is None:
+            print("--to (version) required for restore", file=sys.stderr)
+            return 1
+        v = snap.restore_version(table, args.v_to)
+        print(f"restored v{args.v_to} as v{v}")
+        return 0
+    if args.action == "files":
+        for r in snap.files_df(spark, table, args.v_to).orderBy(
+            "file"
+        ).collect():
+            print(f"{r.file}	{r.partition}	{r.bytes}")
+        return 0
     if args.action == "clone":
         from tcrd_spark.sources import branches as br
 
@@ -189,7 +202,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["history", "diff", "changes", "optimize", "vacuum",
                  "tag", "tags", "delete", "branch", "branches",
                  "merge-branch", "drop-branch", "repartition",
-                 "clone"],
+                 "clone", "restore", "files"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
