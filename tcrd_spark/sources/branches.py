@@ -301,9 +301,22 @@ def clone_table(
              "data_dir": os.path.abspath(_data_dir(table_dir))},
             f"clone meta for {dest_dir!r} already exists",
         )
+        # register the clone on the SOURCE so remove_orphans can see
+        # the clone's manifests (clone-staged files live in the
+        # shared data dir and would otherwise look orphaned)
+        os.makedirs(os.path.join(table_dir, "_clones"), exist_ok=True)
+        _publish_exclusive(
+            os.path.join(table_dir, "_clones", f"{tag}.json"),
+            {"dest": os.path.abspath(dest_dir), "fork_version": v},
+            f"clone registry entry {tag} already exists",
+        )
     except Exception:
         shutil.rmtree(dest_dir, ignore_errors=True)
         delete_tag(table_dir, tag)
+        try:
+            os.remove(os.path.join(table_dir, "_clones", f"{tag}.json"))
+        except FileNotFoundError:
+            pass
         raise
     return dest_dir
 

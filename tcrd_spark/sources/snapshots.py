@@ -1203,6 +1203,66 @@ def read_tag(
     return read_version(spark, table_dir, tags[name])
 
 
+def remove_orphans(
+    table_dir: str, grace_seconds: float = 3600.0
+) -> list[str]:
+    """Iceberg's remove_orphan_files: delete data files referenced by
+    NO live manifest — the leak `vacuum` cannot see (vacuum removes
+    files of DROPPED manifests; a writer that staged files and died
+    before its manifest CAS leaves files no manifest ever referenced,
+    accumulating forever on a busy table).
+
+    Reference set = every manifest of the table itself, of every
+    branch under `_branches/`, and of every REGISTERED clone
+    (`clone_table` records its destination under `_clones/`; a
+    registered clone whose directory is gone is treated as abandoned)
+    — all of these stage new files into the SHARED data dir, so an
+    unregistered reader of this dir must never exist (the module
+    contract). Files younger than `grace_seconds` are kept: an
+    IN-FLIGHT commit stages files before publishing its manifest, and
+    deleting those would corrupt the commit that is about to win its
+    CAS. Returns the removed relative paths."""
+    import time
+
+    if os.path.exists(os.path.join(table_dir, "_branch.json")):
+        raise ValueError(
+            "remove_orphans on a branch/clone is refused — run it on "
+            "the source table (the data dir is shared)"
+        )
+    referenced: set[str] = set()
+    manifest_roots = [table_dir]
+    broot = os.path.join(table_dir, "_branches")
+    if os.path.isdir(broot):
+        manifest_roots += [
+            os.path.join(broot, n) for n in os.listdir(broot)
+            if os.path.isdir(os.path.join(broot, n))
+        ]
+    croot = os.path.join(table_dir, "_clones")
+    if os.path.isdir(croot):
+        for fn in os.listdir(croot):
+            with open(os.path.join(croot, fn)) as f:
+                dest = json.load(f)["dest"]
+            if os.path.isdir(os.path.join(dest, "_manifests")):
+                manifest_roots.append(dest)
+    for root in manifest_roots:
+        for v in versions(root):
+            referenced.update(_read_manifest(root, v)["files"])
+    base = _data_dir(table_dir)
+    now = time.time()
+    removed = []
+    for dirpath, _dirs, files in os.walk(base):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, base)
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(p) < grace_seconds:
+                continue  # possibly an in-flight commit's staging
+            os.remove(p)
+            removed.append(rel)
+    return sorted(removed)
+
+
 def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     """Retention GC: delete data files referenced ONLY by manifests
     older than the newest `keep_versions` (and those manifests). The

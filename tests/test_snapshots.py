@@ -830,3 +830,55 @@ def test_metadata_tables(spark, sf_dir, tmp_path):
     assert all(r.partition for r in f)
     # zone maps surface where stats exist
     assert any(r.zone_maps for r in f)
+
+
+def test_remove_orphans(spark, sf_dir, tmp_path):
+    """Iceberg remove_orphan_files parity: a dead writer's staged
+    files (referenced by NO manifest) are reclaimed once past the
+    grace window; live files, fresh staging, and files staged by a
+    BRANCH or a registered CLONE survive."""
+    from tcrd_spark.sources import branches as br
+    from tcrd_spark.sources.lake import load_table
+
+    table = str(tmp_path / "t")
+    seed = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey").limit(30)
+    snap.create_table(seed, table, "o_orderstatus")
+    # branch- and clone-staged files share the data dir
+    bdir = br.create_branch(table, "wip")
+    snap.append_version(bdir, seed.limit(2).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    ))
+    cdir = str(tmp_path / "cl")
+    br.clone_table(table, cdir)
+    snap.append_version(cdir, seed.limit(2).select(
+        (F.col("o_orderkey") + 2 * 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    ))
+    base = snap._data_dir(table)
+    # a dead writer's orphan: stale mtime, no manifest references it
+    part = os.listdir(base)[0]
+    orphan = os.path.join(base, part, "v99999-dead.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    os.utime(orphan, (1, 1))
+    # a fresh staging file: inside the grace window
+    fresh = os.path.join(base, part, "v99999-fresh.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"in-flight")
+
+    removed = snap.remove_orphans(table, grace_seconds=3600)
+    assert removed == [os.path.relpath(orphan, base)]
+    assert os.path.exists(fresh)
+    # every reader still intact
+    assert snap.read_version(spark, table).count() == seed.count()
+    assert snap.read_version(spark, bdir).count() == seed.count() + 2
+    assert snap.read_version(spark, cdir).count() == seed.count() + 2
+    os.remove(fresh)
+    # refused on shared-data paths
+    import pytest
+
+    with pytest.raises(ValueError, match="refused"):
+        snap.remove_orphans(bdir)

@@ -151,6 +151,10 @@ def _lake_cmd(args) -> int:
         v = snap.optimize_version(spark, table, cluster_by=cluster)
         print(f"committed v{v}")
         return 0
+    if args.action == "remove-orphans":
+        for f in snap.remove_orphans(table):
+            print(f"removed\t{f}")
+        return 0
     if args.action == "vacuum":
         removed = snap.vacuum(table, keep_versions=args.keep)
         for f in removed:
@@ -202,7 +206,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=["history", "diff", "changes", "optimize", "vacuum",
                  "tag", "tags", "delete", "branch", "branches",
                  "merge-branch", "drop-branch", "repartition",
-                 "clone", "restore", "files"],
+                 "clone", "restore", "files", "remove-orphans"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
