@@ -25,8 +25,12 @@ Composition, nothing new invented (the engine's whole design bet):
 
 100 TB shape: per trigger, work ∝ batch (semi-join pulls only the
 touched keys' CURRENT rows; the windowed replay partitions by key
-over seed+batch rows only); the MERGE rewrites only files whose keys
-the delta touches. The history table never rescans.
+over seed+batch rows only). COW write amplification is governed by
+the table's PARTITION LAYOUT: lay the history out by a stable KEY
+BUCKET (`with_history_bucket` at create time + `bucket_col` here) and
+a narrow batch rewrites only the buckets containing its keys —
+partitioning by anything batch-spanning (version, is_current) would
+rewrite partitions holding every key. The history never rescans.
 
 Reference parity: none (streaming extension; with operators/scd.py).
 """
@@ -34,6 +38,23 @@ Reference parity: none (streaming extension; with operators/scd.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_history_bucket(
+    df: DataFrame, key_col: str, n_buckets: int = 64,
+    bucket_col: str = "kb",
+) -> DataFrame:
+    """Stable key-bucket column for the history table's hive layout:
+    pmod(xxhash64(key), n) — deterministic across batches and engines
+    running the same Spark build, key-type agnostic. Use it ON THE
+    SAME ARGUMENTS when creating the table and when folding batches
+    (`scd2_apply_to_lake(bucket_col=..., n_buckets=...)`), so a
+    delta's rows land in exactly their keys' buckets and the COW
+    merge rewrites only those."""
+    return df.withColumn(
+        bucket_col, F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    )
 
 
 def scd2_apply_to_lake(
@@ -45,13 +66,20 @@ def scd2_apply_to_lake(
     attr_col: str,
     txn_id: int | str | None = None,
     tiebreak_col: str | None = None,
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
 ) -> int | None:
     """Fold one batch of observations into a lake-persisted SCD2
     history: delta via `scd2_batch_delta` against the CURRENT
     snapshot, persisted via `merge_version` on (key, version) with
     txn-idempotence. Returns the committed version (None = replayed
     txn, no-op). Usable directly for batch upkeep or from
-    foreachBatch (`scd2_stream_writer`)."""
+    foreachBatch (`scd2_stream_writer`).
+
+    `bucket_col`: the history table's key-bucket partition column
+    (created via `with_history_bucket`); the delta gains the same
+    derived column so the COW merge touches only the batch's keys'
+    buckets."""
     from tcrd_spark.operators.scd import scd2_batch_delta
     from tcrd_spark.sources.snapshots import (
         merge_version, read_version, txn_seen,
@@ -69,6 +97,10 @@ def scd2_apply_to_lake(
         history, batch, key_col, ts_col, attr_col,
         tiebreak_col=tiebreak_col,
     )
+    if bucket_col is not None:
+        delta = with_history_bucket(
+            delta, key_col, n_buckets, bucket_col
+        )
     return merge_version(
         spark, table_dir, delta, [key_col, "version"], txn_id=txn_id,
     )
@@ -83,6 +115,8 @@ def scd2_stream_writer(
     checkpoint: str,
     tiebreak_col: str | None = None,
     app_id: str | None = None,
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
 ):
     """writeStream handle maintaining `table_dir` from an observation
     stream; caller starts/stops it. At-least-once delivery from the
@@ -101,6 +135,7 @@ def scd2_stream_writer(
             batch.sparkSession, table_dir, batch,
             key_col, ts_col, attr_col,
             txn_id=f"{app}:{epoch}", tiebreak_col=tiebreak_col,
+            bucket_col=bucket_col, n_buckets=n_buckets,
         )
 
     return (

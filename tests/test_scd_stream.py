@@ -144,3 +144,36 @@ def test_rebuilt_checkpoint_cannot_collide_with_old_epochs(
     assert v == 3  # applied, not skipped
     want = scd2_history(_obs(spark, B0 + B1 + B2), "k", "ts", "attr")
     assert _rows(snap.read_version(spark, table)) == _rows(want)
+
+
+def test_bucketed_layout_rewrites_only_touched_buckets(spark, tmp_path):
+    """The COW write-amplification contract: with the history laid out
+    by key bucket (with_history_bucket), a single-key batch rewrites
+    ONLY that key's bucket partition — every other bucket's files
+    carry forward by reference in the new manifest."""
+    table = str(tmp_path / "hist")
+    hist = scd_stream.with_history_bucket(
+        scd2_history(_obs(spark, B0), "k", "ts", "attr"), "k",
+        n_buckets=4,
+    )
+    snap.create_table(hist, table, "kb")
+    v = scd_stream.scd2_apply_to_lake(
+        spark, table, _obs(spark, [(1, 2000, "z")]), "k", "ts", "attr",
+        txn_id="a:0", bucket_col="kb", n_buckets=4,
+    )
+    assert v == 2
+    d = snap.manifest_diff(table, 1, 2)
+    kb1 = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(4)).alias("b")
+    ).head().b
+    # every added/removed file lives in key 1's bucket; all other
+    # buckets carried by reference
+    changed = d["added"] + d["removed"]
+    assert changed and all(f.startswith(f"kb={kb1}/") for f in changed), (
+        kb1, d)
+    assert d["carried"], "untouched buckets must carry by reference"
+    # and the fold is still correct
+    got = snap.read_version(spark, table)
+    want = scd2_history(_obs(spark, B0 + [(1, 2000, "z")]), "k", "ts",
+                        "attr")
+    assert _rows(got) == _rows(want)
