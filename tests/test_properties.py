@@ -341,3 +341,56 @@ def test_token_budget_selection_is_hash_prefix(spark, docs, budget):
     assert sorted(r.doc_id for r in got) == sorted(want)
     for r in got:
         assert r.n_tok == toks[r.doc_id]
+
+
+# ------------------------------------------------- video near-dups
+
+payloads_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=288, max_size=420,
+    ),
+    min_size=2, max_size=6, unique=True,
+)
+
+
+@given(payloads_strategy)
+@SETTINGS
+def test_video_banding_is_pigeonhole_complete(spark, texts):
+    """For ANY corpus: the temporally-aligned banded candidate join
+    finds EVERY pair whose best single-frame Hamming is ≤ 3 (brute
+    force over the per-frame fingerprints), and every reported
+    n_close matches the brute-force close-frame count."""
+    from tcrd_spark.pipeline import videodup
+    from tcrd_spark.pipeline.multimodal import attach_fake_payload
+
+    docs = _spark_docs(spark, texts)
+    media = attach_fake_payload(docs, "doc_id", "text")
+    fp = videodup.video_fingerprints(media, "doc_id")
+    rows = fp.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = (
+            r.b0, r.b1, r.b2, r.b3
+        )
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    want = {}
+    ids = sorted(by_doc)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            n_close = sum(
+                1
+                for f in by_doc[a]
+                if ham(by_doc[a][f], by_doc[b][f]) <= videodup.MAX_HAMMING
+            )
+            if n_close >= 1:  # MIN_OVERLAP = 1/N_FRAMES
+                want[(a, b)] = n_close
+    got = {
+        (r.id_a, r.id_b): r.n_close
+        for r in videodup.video_near_dup_pairs(fp, "doc_id").collect()
+    }
+    assert got == want
