@@ -1055,27 +1055,38 @@ def restore_version(table_dir: str, version: int) -> int:
     history-preserving (the bad versions stay readable for audit;
     nothing is deleted), zero bytes move, and CDC across the restore
     boundary shows exactly the rows the rollback re-inserted/removed.
-    The target's files must still exist (a vacuumed snapshot cannot
-    be restored — raises with the missing files). Concurrent-writer
-    safe through the same manifest CAS every commit uses."""
+
+    Concurrency: a restore's file list encodes PRE-state, so losing
+    the manifest CAS to ANY concurrent commit is a genuine write
+    conflict and raises loudly (the merge_version rule — silently
+    re-offering would erase the other writer's rows from the head).
+    Against concurrent VACUUM, the target is pinned with a transient
+    tag for the commit's duration (restore resurrects non-recent
+    files into the head, which vacuum's retain-last-k rule otherwise
+    doesn't protect); a vacuum that listed tags before the pin landed
+    can still race — run maintenance and restores from one scheduler,
+    the same single-maintainer assumption vacuum itself documents."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
     if version not in vs:
         raise FileNotFoundError(f"no version {version} at {table_dir}")
-    m = _read_manifest(table_dir, version)
-    base = _data_dir(table_dir)
-    missing = [
-        f for f in m["files"] if not os.path.exists(os.path.join(base, f))
-    ]
-    if missing:
-        raise FileNotFoundError(
-            f"cannot restore v{version}: {len(missing)} of its files "
-            f"were vacuumed (e.g. {missing[:3]}) — restore targets "
-            "must be tag-pinned to survive GC"
-        )
-    while True:
-        cur = versions(table_dir)[-1]
+    pin = f"restoring-{uuid.uuid4().hex[:8]}"
+    tag_version(table_dir, pin, version)
+    try:
+        m = _read_manifest(table_dir, version)
+        base = _data_dir(table_dir)
+        missing = [
+            f for f in m["files"]
+            if not os.path.exists(os.path.join(base, f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: {len(missing)} of its "
+                f"files were vacuumed (e.g. {missing[:3]}) — restore "
+                "targets must be tag-pinned to survive GC"
+            )
+        cur = vs[-1]
         try:
             _commit(table_dir, {
                 "version": cur + 1, "parent": cur, "op": "restore",
@@ -1083,9 +1094,16 @@ def restore_version(table_dir: str, version: int) -> int:
                 "part_col": m["part_col"], "columns": m["columns"],
                 "files": m["files"], "stats": m.get("stats", {}),
             })
-            return cur + 1
         except FileExistsError:
-            continue  # lost the CAS — re-offer on the new head
+            raise ValueError(
+                f"restore conflict: version {cur + 1} was committed "
+                "concurrently — a restore encodes pre-state, so "
+                "re-offering it would erase that writer's rows; "
+                "re-examine the head and re-run"
+            ) from None
+        return cur + 1
+    finally:
+        delete_tag(table_dir, pin)
 
 
 # ------------------------------------------ metadata tables (DESCRIBE)
@@ -1096,8 +1114,11 @@ def history_df(spark: SparkSession, table_dir: str) -> DataFrame:
     parent, op, ts, n_files, txn_id, merged_from/restored_from when
     present). Driver reads |versions| small JSONs — the same cost as
     any manifest walk; the frame itself is queryable like any other."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
     rows = []
-    for v in versions(table_dir):
+    for v in vs:
         m = _read_manifest(table_dir, v)
         rows.append((
             v, m.get("parent"), m["op"], float(m.get("ts") or 0.0),
@@ -1204,7 +1225,7 @@ def read_tag(
 
 
 def remove_orphans(
-    table_dir: str, grace_seconds: float = 3600.0
+    table_dir: str, grace_seconds: float = 259200.0
 ) -> list[str]:
     """Iceberg's remove_orphan_files: delete data files referenced by
     NO live manifest — the leak `vacuum` cannot see (vacuum removes
@@ -1212,16 +1233,25 @@ def remove_orphans(
     before its manifest CAS leaves files no manifest ever referenced,
     accumulating forever on a busy table).
 
-    Reference set = every manifest of the table itself, of every
-    branch under `_branches/`, and of every REGISTERED clone
-    (`clone_table` records its destination under `_clones/`; a
-    registered clone whose directory is gone is treated as abandoned)
-    — all of these stage new files into the SHARED data dir, so an
-    unregistered reader of this dir must never exist (the module
-    contract). Files younger than `grace_seconds` are kept: an
-    IN-FLIGHT commit stages files before publishing its manifest, and
-    deleting those would corrupt the commit that is about to win its
-    CAS. Returns the removed relative paths."""
+    Reference set = every manifest reachable TRANSITIVELY from the
+    table: the table's own, every branch's under `_branches/`, every
+    REGISTERED clone's (`clone_table` records destinations under
+    `_clones/`), and recursively THEIR branches and registered clones
+    (a branch of a clone stages into the same shared data dir). A
+    registered clone whose directory is gone is treated as abandoned;
+    an unparseable registry entry (a dead writer's torn publish) is
+    skipped, not fatal. An UNREGISTERED reader of the data dir must
+    never exist — the module contract since the registry landed;
+    clones created by hand-copying manifests are invisible here.
+
+    Files younger than `grace_seconds` are kept: an IN-FLIGHT commit
+    stages files before publishing its manifest, and deleting those
+    would corrupt the commit about to win its CAS. The window is
+    measured from each file's WRITE-TIME mtime (staging preserves it),
+    so it must exceed the longest plausible staging duration — the
+    default is 3 days (Iceberg's default); do not run this
+    concurrently with writers on a tighter window. Returns the
+    removed relative paths."""
     import time
 
     if os.path.exists(os.path.join(table_dir, "_branch.json")):
@@ -1230,21 +1260,31 @@ def remove_orphans(
             "the source table (the data dir is shared)"
         )
     referenced: set[str] = set()
-    manifest_roots = [table_dir]
-    broot = os.path.join(table_dir, "_branches")
-    if os.path.isdir(broot):
-        manifest_roots += [
-            os.path.join(broot, n) for n in os.listdir(broot)
-            if os.path.isdir(os.path.join(broot, n))
-        ]
-    croot = os.path.join(table_dir, "_clones")
-    if os.path.isdir(croot):
-        for fn in os.listdir(croot):
-            with open(os.path.join(croot, fn)) as f:
-                dest = json.load(f)["dest"]
-            if os.path.isdir(os.path.join(dest, "_manifests")):
-                manifest_roots.append(dest)
-    for root in manifest_roots:
+    queue, seen_roots = [os.path.abspath(table_dir)], set()
+    while queue:
+        root = queue.pop()
+        if root in seen_roots:
+            continue
+        seen_roots.add(root)
+        broot = os.path.join(root, "_branches")
+        if os.path.isdir(broot):
+            queue += [
+                os.path.join(broot, n) for n in os.listdir(broot)
+                if os.path.isdir(os.path.join(broot, n))
+            ]
+        croot = os.path.join(root, "_clones")
+        if os.path.isdir(croot):
+            for fn in os.listdir(croot):
+                if not fn.endswith(".json"):
+                    continue  # .wip marker / .tmp of an in-flight publish
+                try:
+                    with open(os.path.join(croot, fn)) as f:
+                        dest = json.load(f)["dest"]
+                except (json.JSONDecodeError, KeyError, OSError):
+                    continue  # torn registry entry: skip, never fatal
+                if os.path.isdir(os.path.join(dest, "_manifests")):
+                    queue.append(os.path.abspath(dest))
+    for root in seen_roots:
         for v in versions(root):
             referenced.update(_read_manifest(root, v)["files"])
     base = _data_dir(table_dir)

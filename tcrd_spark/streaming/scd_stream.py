@@ -98,6 +98,35 @@ def scd2_apply_to_lake(
         tiebreak_col=tiebreak_col,
     )
     if bucket_col is not None:
+        if bucket_col not in history.columns:
+            raise ValueError(
+                f"history table has no {bucket_col!r} column — create "
+                "it with with_history_bucket(...) using the SAME "
+                "bucket spec"
+            )
+        # validate the spec against the STORED layout before writing:
+        # a mismatched n_buckets (or a key column read back at a
+        # different width — xxhash64 is type-sensitive) would drop the
+        # seed's closing update into the wrong partition, leaving two
+        # is_current rows for the key with no error. Cost ∝ batch: the
+        # check joins only the touched keys' current rows.
+        drift = (
+            with_history_bucket(
+                history.join(
+                    batch.select(key_col).distinct(), key_col, "semi"
+                ).select(key_col, F.col(bucket_col).alias("_stored")),
+                key_col, n_buckets, bucket_col,
+            )
+            .filter(F.col(bucket_col) != F.col("_stored"))
+        )
+        sample = drift.select(key_col, "_stored", bucket_col).take(3)
+        if sample:
+            raise ValueError(
+                "bucket spec mismatch: recomputed bucket differs from "
+                "the stored layout for existing keys (wrong n_buckets "
+                "or key dtype vs create time) — examples "
+                f"(key, stored, recomputed): {[tuple(r) for r in sample]}"
+            )
         delta = with_history_bucket(
             delta, key_col, n_buckets, bucket_col
         )

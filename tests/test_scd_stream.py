@@ -177,3 +177,33 @@ def test_bucketed_layout_rewrites_only_touched_buckets(spark, tmp_path):
     want = scd2_history(_obs(spark, B0 + [(1, 2000, "z")]), "k", "ts",
                         "attr")
     assert _rows(got) == _rows(want)
+
+
+def test_bucket_spec_mismatch_is_refused(spark, tmp_path):
+    """Review catch: folding with a DIFFERENT bucket spec than the
+    table was created with would scatter seed updates into wrong
+    partitions (duplicate is_current rows, silently) — it must raise
+    instead, and a missing bucket column must raise too."""
+    import pytest
+
+    table = str(tmp_path / "hist")
+    hist = scd_stream.with_history_bucket(
+        scd2_history(_obs(spark, B0), "k", "ts", "attr"), "k",
+        n_buckets=4,
+    )
+    snap.create_table(hist, table, "kb")
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        scd_stream.scd2_apply_to_lake(
+            spark, table, _obs(spark, B1), "k", "ts", "attr",
+            txn_id="a:0", bucket_col="kb", n_buckets=64,
+        )
+    # and a table created WITHOUT the bucket column refuses the knob
+    t2 = str(tmp_path / "hist2")
+    snap.create_table(
+        scd2_history(_obs(spark, B0), "k", "ts", "attr"), t2, "version"
+    )
+    with pytest.raises(ValueError, match="no 'kb' column"):
+        scd_stream.scd2_apply_to_lake(
+            spark, t2, _obs(spark, B1), "k", "ts", "attr",
+            txn_id="a:0", bucket_col="kb", n_buckets=4,
+        )
