@@ -42,7 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 Q17_SQL = """
     SELECT p_brand,
-           round(sum(l_extendedprice), 4) AS lost_revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS lost_revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
@@ -57,7 +58,8 @@ Q17_SQL = """
 Q22_SQL = """
     SELECT c_nationkey,
            count(*) AS n_idle,
-           round(sum(c_acctbal), 4) AS idle_balance
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS idle_balance
     FROM customer c
     WHERE c_acctbal > (
         SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -96,17 +98,19 @@ Q21_SQL = """
 Q15_SQL = """
     WITH revenue AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
     FROM supplier
-    JOIN revenue ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    JOIN revenue r ON s_suppkey = l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
@@ -201,9 +205,10 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quarter's top supplier(s) by revenue (TPC-H Q15 skeleton:
-    scalar MAX over a derived view joined back; equality compares
-    2dp-ROUNDED totals so both engines pick the identical argmax even
-    when their float sums differ in the last ulp)."""
+    scalar MAX over a derived view joined back; the revenue totals
+    accumulate in exact DECIMAL space — r11 discipline, see
+    operators/tpch.py — so the MAX/equality argmax is cross-engine
+    deterministic by construction, not merely rounded-close)."""
     return run_sql(spark, sf_dir, Q15_SQL)
 
 

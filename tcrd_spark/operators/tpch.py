@@ -14,11 +14,21 @@ l_commitdate/l_receiptdate — "late" is l_shipdate > o_orderdate + K
 days (the Q21 convention, `subqueries.Q21_SQL`); no comment columns —
 Q16's excluded-supplier predicate keys on s_acctbal instead.
 
-Cross-engine determinism discipline (the repo-wide float rules):
-every reported float aggregate rounds to 4dp; threshold decisions
+Cross-engine determinism discipline (the repo-wide float rules,
+tightened in r11 after the judge caught Q10 diverging by one cent at
+sf0.01): MONEY SUMS ACCUMULATE IN DECIMAL SPACE. The testdata's
+prices/discounts/balances are exact 2dp values stored as doubles, so
+`CAST(x AS DECIMAL(18,4))` is lossless and boundary-free in both
+engines; products land on an exact 4dp grid, decimal sums are
+order-independent, and the final `round(…, k)` is deterministic —
+float sums were one unlucky half-boundary away from a red row
+(sum-order differs between Spark and DuckDB). The rounded result is
+CAST back to DOUBLE so report schemas stay float. Threshold decisions
 (HAVING, WHERE) compare integral-quantity sums (float-exact) or
 untouched column values; Q10's top-N orders by the ROUNDED measure
-with a key tiebreak so both engines cut the same 20 rows.
+with a key tiebreak so both engines cut the same 20 rows. Ratio
+reports (Q8/Q14) cast the EXACT decimal numerator and denominator to
+double first — dividing identical doubles is IEEE-deterministic.
 
 100 TB shape: all of these are Catalyst's bread and butter — dims
 broadcast (region/nation/supplier/customer under the 64 MB
@@ -52,8 +62,10 @@ Q4_SQL = """
 """
 
 Q5_SQL = """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4)
-               AS revenue
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+                AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -68,7 +80,9 @@ Q5_SQL = """
 """
 
 Q6_SQL = """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -79,11 +93,12 @@ Q6_SQL = """
 
 Q7_SQL = """
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 4) AS revenue
+           CAST(round(sum(volume), 4) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
@@ -102,11 +117,13 @@ Q7_SQL = """
 
 Q8_SQL = """
     SELECT o_year,
-           round(sum(CASE WHEN nat = 'NATION_1' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN nat = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
              n2.n_name AS nat
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
@@ -125,10 +142,12 @@ Q8_SQL = """
 """
 
 Q9_SQL = """
-    SELECT nat, o_year, round(sum(amount), 4) AS sum_profit
+    SELECT nat, o_year,
+           CAST(round(sum(amount), 4) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nat, year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS amount
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS amount
       FROM part
       JOIN lineitem ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -143,8 +162,9 @@ Q10_SQL = """
     SELECT c_custkey, c_name, revenue, c_acctbal, n_name
     FROM (
       SELECT c_custkey, c_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
-                 AS revenue,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                  AS DOUBLE) AS revenue,
              c_acctbal, n_name
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -187,10 +207,13 @@ Q13_SQL = """
 
 Q14_SQL = """
     SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6
+             100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                   * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+             6
            ) AS promo_revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -226,8 +249,9 @@ Q18_SQL = """
 """
 
 Q19_SQL = """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4)
-               AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4)
+                AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
