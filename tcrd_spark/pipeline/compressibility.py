@@ -16,17 +16,16 @@ executors; zlib's format is stable across CPython versions in
 practice, and the pytest pins the reference values so a library bump
 that changed byte counts would fail loudly, not drift silently.
 
-No DuckDB oracle exists for zlib ITSELF, so `doc_compressibility`
-(the production path) takes the driver's weaker rows-only check, and
-the pytest twin compares the UDF against direct Python zlib on the
-same rows (exact equality) plus the monotone invariants (repetition ⇒
-lower ratio; random-ish ⇒ higher). The ratio/bucket VERDICT LOGIC is
-fully adjudicated through `compressibility_buckets`: compressed sizes
-come from a committed content-hash-keyed sidecar fixture
-(tools/gen_zlib_sidecar.py, level pinned) and both engines run the
-live division + CASE — with pytest pinning the variant row-identical
-to the production path, which re-validates the sidecar against live
-zlib on every run (VERDICT r9 #6).
+No DuckDB oracle exists for zlib ITSELF, but BOTH registered queries
+adjudicate through the committed content-hash-keyed sidecar fixture
+(tools/gen_zlib_sidecar.py, level pinned over every distinct testdata
+document): `doc_compressibility` (the live-UDF production path) gets
+a LEFT-JOIN oracle whose byte counts the pytest re-validates against
+direct Python zlib on every run — exact equality plus the monotone
+invariants (repetition ⇒ lower ratio; random-ish ⇒ higher) — and
+`compressibility_buckets` runs the division + CASE live in both
+engines over the same sidecar (VERDICT r9 #6 / r10 #7; the production
+path previously took the weaker rows-only driver check).
 
 100 TB shape: embarrassingly parallel map work, no shuffle; cost is
 ~30 MB/s/core of zlib — the reason real pipelines run this ONCE and
@@ -116,9 +115,10 @@ def mean_ratio_band(
 
 
 def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document zlib compression ratio + quality bucket (rows-only
-    driver check: zlib has no SQL oracle; the pytest twin pins exact
-    equality against direct Python zlib)."""
+    """Per-document zlib compression ratio + quality bucket. Live
+    Arrow-batched zlib UDF on the Spark side; adjudicated against the
+    sidecar-join oracle (the pytest twin pins exact equality against
+    direct Python zlib, so the sidecar cannot drift)."""
     from tcrd_spark.sources.lake import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -179,10 +179,36 @@ QUERIES = {
     "compressibility_buckets": q_compressibility_buckets,
 }
 
-# zlib itself is not SQL-expressible — doc_compressibility stays the
-# rows-only production path; the _buckets variant adjudicates the
-# ratio/bucket logic through the sidecar fixture.
+# zlib itself is not SQL-expressible, but the committed sidecar
+# fixture (content-hash-keyed, level-pinned byte counts that the
+# pytest re-validates against live zlib every run) gives BOTH queries
+# a DuckDB twin (VERDICT r10 #7 — the production path previously took
+# the weaker rows-only check and burned a cap slot on a permanent
+# no_oracle row). The production oracle LEFT JOINs the sidecar so
+# NULL/empty documents keep the production semantics: NULL ratio,
+# 'prose' bucket (a NULL CASE comparison falls through to ELSE in
+# both engines).
 ORACLE: dict[str, str] = {
+    "doc_compressibility": f"""
+        SELECT doc_id, n_bytes, zlib_ratio,
+               CASE
+                 WHEN zlib_ratio < {LO} THEN 'repetitive'
+                 WHEN zlib_ratio > {HI} THEN 'incompressible'
+                 ELSE 'prose'
+               END AS bucket
+        FROM (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n_bytes,
+                 CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+                      THEN NULL
+                      ELSE round(CAST(zlib_bytes AS DOUBLE)
+                                 / octet_length(encode(text)), 6)
+                 END AS zlib_ratio
+          FROM documents
+          LEFT JOIN read_parquet('{_SIDECAR}') s
+            ON s.text_md5 = md5(text)
+        ) scored
+    """,
     "compressibility_buckets": f"""
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,

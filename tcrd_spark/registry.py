@@ -14,75 +14,46 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 PRIORITY = (
-    # ---- the 50-query adjudication cap for round 10, emitted by
+    # ---- the 50-query adjudication cap for round 11, emitted by
     # tools/rotate_cap.py (obligations first, then strict
     # oldest-green-first filler):
-    #   (a) 6 never-driver-green (the five r9 additions, judge-
-    #       verified at sf0.01 in VERDICT r9, + rows-only
-    #       doc_compressibility);
-    #   (b) 2 closure-churn entries (snapshots.py changed after
-    #       their latest green);
-    #   (c) min_cost_supplier/big_share_parts — registered in r10
-    #       into a pre-existing module (no new-module grace, the
-    #       excess_share_suppliers r9 precedent);
-    #   (d) filler: the whole r5/r6 tiers + the oldest of r7.
+    #   (a) 15 never-driver-green — the 13 TPC-H-family queries +
+    #       video_near_dups (registered after the r10 cap was fixed;
+    #       judge-verified at sf0.01 in VERDICT r10) and
+    #       doc_compressibility (now ADJUDICABLE: r11 gave the
+    #       production path a sidecar-join oracle, VERDICT r10 #7);
+    #   (b) 10 closure-churn entries: subqueries.py changed in r11
+    #       (decimal money-sum sweep) after its queries' latest
+    #       greens; snapshots.py/scd.py changed late in r10 after
+    #       theirs;
+    #   (c) filler: the entire remaining r7 tier (oldest greens).
     # The staleness bound is computed from the LIVE registry size
     # (tools/rotate_cap.py): 205 queries -> ceil(205/50) = 5 rounds.
     "doc_compressibility",
-    "compressibility_buckets",  # adjudicable sidecar twin, same rule
-    "min_cost_supplier",   # registered this round into a pre-r10
-    "big_share_parts",     # module: no new-module grace — adjudicate now
-    "image_near_dups",
-    "lttb_downsample",
-    "phrase_search",
-    "quantile_sketch",
-    "table_profile",
-    "incremental_orders_agg",
-    "snapshot_changes",
-    "wide_export",
-    "window_session",
-    "window_tumbling",
-    "ann_ivfpq",
-    "ann_ivfsq",
-    "ann_pq_rerank",
-    "ann_pq_topk",
-    "ann_sq_topk",
-    "asof_join_events",
-    "bm25_search",
-    "ccnet_buckets",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "corpus_divergence",
-    "decontaminate_bloom",
-    "dedup_edit_distance",
-    "domain_mixture_exact",
-    "domain_mixture_sample",
-    "funnel_stages",
-    "gopher_quality_filter",
-    "gopher_repetition",
-    "kmv_distinct",
-    "lm_perplexity",
-    "lm_top_bigrams",
-    "merge_upsert",
-    "mixture_weights",
-    "nb_classify",
-    "range_join_events",
-    "sessionize_events",
-    "skyline_parts",
-    "substring_dedup",
-    "substring_dedup_incremental",
-    "substring_excise",
-    "theta_sketch_ops",
-    "winnow_candidate_pairs",
-    "zorder_sampled",
-    "zorder_values",
-    "ancestor_closure",
-    "apsp_min_merge",
-    # ---- past the driver's 50-query cap (position 51+): every
-    # entry holds a green driver CORRECTNESS row from a prior
-    # round, ordered oldest-green-first so the next rotation
-    # reads straight off this list ----
-    # last green r7
+    "tpch_q10_returned",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q4_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "video_near_dups",
+    "big_share_parts",
+    "blamed_suppliers",
+    "corr_not_exists_idle",
+    "corr_scalar_below_avg",
+    "excess_share_suppliers",
+    "incremental_join_agg",
+    "min_cost_supplier",
+    "scd2_apply_batch",
+    "scd2_history",
+    "top_revenue_supplier",
     "association_rules",
     "attribution_touch",
     "bpe_pair_counts",
@@ -108,6 +79,11 @@ PRIORITY = (
     "hgram_cdf",
     "merge_intervals",
     "mmr_rerank",
+    # ---- past the driver's 50-query cap (position 51+): every
+    # entry holds a green driver CORRECTNESS row from a prior
+    # round, ordered oldest-green-first so the next rotation
+    # reads straight off this list ----
+    # last green r7
     "nearest_flagged",
     "pagerank",
     "qualitative_levels",
@@ -157,8 +133,6 @@ PRIORITY = (
     "profile_documents",
     "quality_quantile_filter",
     "sample_stratified",
-    "scd2_apply_batch",
-    "scd2_history",
     "self_join_common",
     "session_durations",
     "shipping_priority",
@@ -179,11 +153,8 @@ PRIORITY = (
     # last green r9
     "asof_join_segmented",
     "beans_counts",
-    "blamed_suppliers",
     "bridge_m2n_join",
     "corpus_clean",
-    "corr_not_exists_idle",
-    "corr_scalar_below_avg",
     "decile_bucketing",
     "dedup_composite_key",
     "dedup_embedding_cosine",
@@ -196,12 +167,10 @@ PRIORITY = (
     "drift_psi",
     "event_pattern_match",
     "except_sets",
-    "excess_share_suppliers",
     "filter_like_null",
     "frank_level_buckets",
     "group_sum",
     "grouped_set_agg",
-    "incremental_join_agg",
     "intersect_sets",
     "json_case_funcs",
     "k_anonymity_audit",
@@ -223,25 +192,56 @@ PRIORITY = (
     "sessionize_skew",
     "string_math_funcs",
     "three_way_entity_join",
-    "top_revenue_supplier",
     "topk_per_group",
     "union_dedup",
-    # registered post-r10-cap rotation (new-query grace; heads the
-    # r11 cap)
-    "video_near_dups",
-    "tpch_q4_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q10_returned",
-    "tpch_q12_priority_lines",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
+    # last green r10
+    "ancestor_closure",
+    "ann_ivfpq",
+    "ann_ivfsq",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "ann_sq_topk",
+    "apsp_min_merge",
+    "asof_join_events",
+    "bm25_search",
+    "ccnet_buckets",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "compressibility_buckets",
+    "corpus_divergence",
+    "decontaminate_bloom",
+    "dedup_edit_distance",
+    "domain_mixture_exact",
+    "domain_mixture_sample",
+    "funnel_stages",
+    "gopher_quality_filter",
+    "gopher_repetition",
+    "image_near_dups",
+    "incremental_orders_agg",
+    "kmv_distinct",
+    "lm_perplexity",
+    "lm_top_bigrams",
+    "lttb_downsample",
+    "merge_upsert",
+    "mixture_weights",
+    "nb_classify",
+    "phrase_search",
+    "quantile_sketch",
+    "range_join_events",
+    "sessionize_events",
+    "skyline_parts",
+    "snapshot_changes",
+    "substring_dedup",
+    "substring_dedup_incremental",
+    "substring_excise",
+    "table_profile",
+    "theta_sketch_ops",
+    "wide_export",
+    "window_session",
+    "window_tumbling",
+    "winnow_candidate_pairs",
+    "zorder_sampled",
+    "zorder_values",
 )
 
 
