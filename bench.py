@@ -11,6 +11,19 @@ MINIMUM is reported: min-of-N is the standard noise-robust estimator
 for a deterministic workload on a shared box (ambient contention only
 ever adds time), so round-over-round comparisons track plan changes,
 not machine load.
+
+A machine-calibration anchor runs first (VERDICT r10 #4: round-over-
+round totals drifted ~13-20% on identical code because the BOX was
+slower, and only out-of-band re-timing could prove it): a fixed
+synthetic job — avg(xxhash64(id)) over 8e9 rows (avg, not sum: the
+session runs ANSI mode and a long sum of 64-bit hashes overflows),
+pure CPU inside one whole-stage-codegen span, no I/O, no shuffle
+beyond the final 1-row combine — timed min-of-3 and reported as
+`calibration_sec`.
+Round-over-round comparisons divide query seconds by the calibration
+ratio to get load-normalized numbers (see SCALE.md); the anchor
+itself never changes, so any drift in it is the machine, not the
+engine.
 """
 
 from __future__ import annotations
@@ -140,6 +153,15 @@ def main():
     # warm the JVM + parquet footers with one tiny job
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # machine-calibration anchor: constant CPU-bound work, min-of-3.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(8_000_000_000).selectExpr(
+            "avg(xxhash64(id)) AS h"
+        ).write.format("noop").mode("overwrite").save()
+        calib = min(calib, time.time() - t0)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     per_query, first_run = _run_section(spark, queries, names, sf_dir, reps)
     total = round(sum(per_query.values()), 3)
@@ -153,6 +175,10 @@ def main():
         "unit": "sec",
         "reps": reps,  # per-query timing = min of this many runs
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # fixed synthetic job (8e9-row xxhash64 avg, min-of-3): divide
+        # any round's query seconds by (its calibration_sec / another
+        # round's) to compare rounds load-normalized
+        "calibration_sec": round(calib, 3),
     }
 
     # scaling-curve section: a 10× replica of sf0.1 generated by

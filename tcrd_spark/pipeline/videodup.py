@@ -10,20 +10,38 @@ fingerprint is a SET of per-frame image fingerprints — sample
 1→N discipline), dHash each frame with the imagedup grid (64 bits →
 four 16-bit bands), keep (video, frame_idx, b0..b3).
 
-Pair generation is TEMPORALLY ALIGNED banding: candidates must share
-a band value on the SAME frame index. Pigeonhole-completeness is then
-per-frame — any video pair whose frame f differs by Hamming ≤ 3 WILL
-collide on one of frame f's four bands — so every pair with at least
-one close frame reaches verification. Verification joins the full
-fingerprint sets back per pair, scores per-frame Hamming, and reports
-(n_close, frame_overlap), keeping pairs whose close-frame fraction
-clears ``min_overlap``. The default gate is ONE close frame
+Pair generation is TWO-TIER banding (VERDICT r10 #3 added the second
+tier):
+
+- ALIGNED tier: candidates share a band value on the SAME frame
+  index. Pigeonhole-completeness is per-frame — any video pair whose
+  frame f differs by Hamming ≤ 3 WILL collide on one of frame f's
+  four bands — so every pair with at least one temporally-aligned
+  close frame reaches verification. Buckets are small (the key space
+  is N_FRAMES× larger than image banding), so this tier runs
+  uncapped by default.
+- UNALIGNED fallback tier: candidates share a band value on ANY
+  frame index — the tier that catches TRIMMED/TIME-SHIFTED copies,
+  which never share a frame index with their source and were
+  structurally invisible to the aligned join. Folding frame indices
+  makes buckets up to N_FRAMES× hotter, so this tier is ALWAYS
+  capped (``unaligned_max_band_freq``, default 24 videos/bucket —
+  the df-cap discipline): members of a hotter bucket lose candidacy
+  through it, keeping degenerate corpora bounded at a documented
+  recall cost (pass None to disable the tier).
+
+Verification joins the full fingerprint sets back per candidate pair
+and scores BEST-ALIGNMENT Hamming: for each frame of the lower-id
+video, the minimum Hamming over ALL frames of the other (N_FRAMES²
+comparisons per pair — constant, tiny). ``n_close`` counts frames
+whose best match is ≤ max_hamming, so an offset copy scores close
+frames at its shifted positions. The default gate is ONE close frame
 (``MIN_OVERLAP`` = 1/N_FRAMES): a 64-bit frame hash within Hamming 3
-by chance is ~2e-15, so a single aligned close frame is already
-reused footage, and surfacing partial copies (clip excerpts) is the
+by chance is ~2e-15, so a single close frame is already reused
+footage, and surfacing partial copies (clip excerpts) is the
 corpus-curation point; consumers wanting whole-clip duplicates only
 raise min_overlap (a 16-bit band collision alone never qualifies —
-verification requires the full 64-bit frame to be close).
+verification requires a full 64-bit frame to be close).
 
 Three tiers, one bit contract (the imagedup discipline):
 
@@ -77,6 +95,11 @@ from tcrd_spark.pipeline.imagedup import (
 N_FRAMES = 4
 MIN_OVERLAP = 1 / N_FRAMES  # close-frame fraction gate (see docstring)
 MIN_CHARS = N_FRAMES * N_SAMPLES  # every frame covers a full grid
+# default hot-bucket cap for the UNALIGNED candidate tier (videos per
+# (band, value) bucket) — folding frame indices makes buckets up to
+# N_FRAMES× hotter than the aligned tier, so the fallback is never
+# run uncapped (see module docstring)
+UNALIGNED_MAX_BAND_FREQ = 24
 
 def _vfp_schema(id_col: str) -> str:
     return (
@@ -207,15 +230,19 @@ def video_near_dup_pairs(
     max_hamming: int = MAX_HAMMING,
     min_overlap: float = MIN_OVERLAP,
     max_band_freq: int | None = None,
+    unaligned_max_band_freq: int | None = UNALIGNED_MAX_BAND_FREQ,
 ) -> DataFrame:
     """(id_a, id_b, n_close, frame_overlap): video pairs whose
-    close-frame fraction (per-frame Hamming ≤ max_hamming, same frame
-    index) reaches min_overlap. Temporally-aligned band-equality join
-    for candidates; full fingerprint-set join for verification.
-    `max_band_freq` drops (frame, band, value) buckets seen in more
-    than that many videos before the self-join (hot-bucket cap —
-    bounded fan-out on degenerate corpora, recall note in the module
-    docstring)."""
+    close-frame fraction reaches min_overlap. Two candidate tiers —
+    temporally-aligned band equality (uncapped unless `max_band_freq`)
+    plus the frame-index-free UNALIGNED fallback that catches
+    trimmed/offset copies (always capped by `unaligned_max_band_freq`;
+    None disables the tier) — then a full fingerprint-set join scoring
+    BEST-ALIGNMENT Hamming per lower-id frame (min over the other
+    video's frames), so `n_close` counts close frames wherever they
+    sit in the clip. Hot-bucket caps drop buckets seen in more than
+    that many videos before the self-join (bounded fan-out on
+    degenerate corpora; recall note in the module docstring)."""
     bands = fp.select(
         id_col,
         F.explode(
@@ -237,6 +264,30 @@ def video_near_dup_pairs(
             F.count(F.lit(1)).alias("_bf")
         ).filter(F.col("_bf") <= max_band_freq)
         bands = bands.join(freq.select("band"), "band")
+    if unaligned_max_band_freq is not None:
+        # fallback tier: same band VALUES, frame index folded away —
+        # one distinct (video, band) row per video so the freq count
+        # is videos-per-bucket, then the cap, then the same self-join
+        ubands = fp.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit("u"),
+                            F.lit(str(j)),
+                            F.col(f"b{j}").cast("string"),
+                        )
+                        for j in range(BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).distinct()
+        ufreq = ubands.groupBy("band").agg(
+            F.count(F.lit(1)).alias("_bf")
+        ).filter(F.col("_bf") <= unaligned_max_band_freq)
+        bands = bands.unionByName(ubands.join(ufreq.select("band"), "band"))
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), "band")
@@ -249,28 +300,30 @@ def video_near_dup_pairs(
     )
     fa = fp.select(
         F.col(id_col).alias("id_a"),
-        F.col("frame_idx"),
+        F.col("frame_idx").alias("fa_idx"),
         *[F.col(f"b{j}").alias(f"ab{j}") for j in range(BANDS)],
     )
     fb = fp.select(
         F.col(id_col).alias("id_b"),
-        F.col("frame_idx"),
         *[F.col(f"b{j}").alias(f"bb{j}") for j in range(BANDS)],
     )
     hamming = None
     for j in range(BANDS):
         t = F.bit_count(F.col(f"ab{j}").bitwiseXOR(F.col(f"bb{j}")))
         hamming = t if hamming is None else hamming + t
-    scored = (
+    # best-alignment: N_FRAMES² rows per pair (a-frames × b-frames,
+    # no frame-equality), min per a-frame — constant per-pair cost
+    best = (
         cand.join(fa, "id_a")
-        .join(fb, ["id_b", "frame_idx"])
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        .join(fb, "id_b")
+        .groupBy("id_a", "id_b", "fa_idx")
+        .agg(F.min(hamming).alias("best_hamming"))
     )
     return (
-        scored.groupBy("id_a", "id_b")
+        best.groupBy("id_a", "id_b")
         .agg(
             F.sum(
-                F.when(F.col("hamming") <= max_hamming, 1).otherwise(0)
+                F.when(F.col("best_hamming") <= max_hamming, 1).otherwise(0)
             ).alias("n_close")
         )
         .filter(F.col("n_close") / F.lit(n_frames) >= min_overlap)
@@ -297,6 +350,8 @@ def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (overlap 1.0), near-dup documents surface with fractional
     overlap (edits hit some frames, not all), and random band
     collisions are rejected by the full-frame Hamming verification.
+    The unaligned fallback tier (default cap) additionally surfaces
+    trimmed/offset copies that share no frame index with their source.
     JVM expression twin of the mapInPandas path (pinned equal in
     tests/test_videodup.py)."""
     docs = load_table(spark, sf_dir, "documents").where(
@@ -314,31 +369,50 @@ _BANDS_UNION = " UNION ALL ".join(
     for j in range(BANDS)
 )
 
+_UBANDS_UNION = " UNION ALL ".join(
+    f"SELECT DISTINCT doc_id, concat('u:', '{j}', ':', "
+    f"CAST(b{j} AS VARCHAR)) AS band FROM fp"
+    for j in range(BANDS)
+)
+
 ORACLE = {
     "video_near_dups": f"""
         WITH fp AS ({video_bands_oracle('documents', 'doc_id', 'text')}),
         bands AS ({_BANDS_UNION}),
+        ubands_all AS ({_UBANDS_UNION}),
+        ubands AS (
+          SELECT doc_id, band FROM ubands_all
+          WHERE band IN (
+            SELECT band FROM ubands_all
+            GROUP BY band
+            HAVING count(*) <= {UNALIGNED_MAX_BAND_FREQ}
+          )
+        ),
+        all_bands AS (
+          SELECT doc_id, band FROM bands
+          UNION ALL SELECT doc_id, band FROM ubands
+        ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
+          FROM all_bands a JOIN all_bands b
             ON a.band = b.band AND a.doc_id < b.doc_id
         ),
-        scored AS (
-          SELECT cand.id_a, cand.id_b,
-                 bit_count(xor(fa.b0, fb.b0))
-                 + bit_count(xor(fa.b1, fb.b1))
-                 + bit_count(xor(fa.b2, fb.b2))
-                 + bit_count(xor(fa.b3, fb.b3)) AS hamming
+        best AS (
+          SELECT cand.id_a, cand.id_b, fa.frame_idx AS fa_idx,
+                 min(bit_count(xor(fa.b0, fb.b0))
+                     + bit_count(xor(fa.b1, fb.b1))
+                     + bit_count(xor(fa.b2, fb.b2))
+                     + bit_count(xor(fa.b3, fb.b3))) AS best_hamming
           FROM cand
           JOIN fp fa ON fa.doc_id = cand.id_a
           JOIN fp fb ON fb.doc_id = cand.id_b
-           AND fb.frame_idx = fa.frame_idx
+          GROUP BY cand.id_a, cand.id_b, fa.frame_idx
         ),
         agg AS (
           SELECT id_a, id_b,
-                 CAST(sum(CASE WHEN hamming <= {MAX_HAMMING}
+                 CAST(sum(CASE WHEN best_hamming <= {MAX_HAMMING}
                           THEN 1 ELSE 0 END) AS BIGINT) AS n_close
-          FROM scored GROUP BY id_a, id_b
+          FROM best GROUP BY id_a, id_b
         )
         SELECT id_a, id_b, n_close,
                round(CAST(n_close AS DOUBLE) / {N_FRAMES}, 6)
