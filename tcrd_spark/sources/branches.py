@@ -240,19 +240,24 @@ def merge_branch(
     # landed — mid-loop; with one manifest the merge is either fully
     # live or not at all, the same atomicity every other writer gets.
     head_m = _read_manifest(bdir, new_vs[-1])
-    _publish_exclusive(
-        _manifest_path(table_dir, src_head + 1),
-        {
+    try:
+        # through _commit, not _publish_exclusive directly: _commit
+        # stamps the wall-clock `ts` every TIMESTAMP AS OF lookup
+        # keys on — a ts-less manifest reads as +inf and version_as_of
+        # would silently skip the merge forever (ADVICE r10)
+        _commit(table_dir, {
             "version": src_head + 1, "parent": src_head,
             "op": "merge_branch", "merged_from": name,
             "part_col": head_m["part_col"],
             "columns": head_m["columns"],
             "files": head_m["files"],
             "stats": head_m.get("stats", {}),
-        },
-        f"merge conflict: version {src_head + 1} committed on the "
-        "source during the fast-forward — re-fork and replay",
-    )
+        })
+    except FileExistsError:
+        raise FileExistsError(
+            f"merge conflict: version {src_head + 1} committed on the "
+            "source during the fast-forward — re-fork and replay"
+        ) from None
     return versions(table_dir)[-1]
 
 

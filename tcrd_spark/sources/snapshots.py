@@ -114,6 +114,19 @@ def _read_manifest(table_dir: str, version: int) -> dict:
 _WIP_TIMEOUT = 30.0  # seconds a fallback publish may hold its slot
 
 
+def _read_manifest_opt(table_dir: str, version: int) -> dict | None:
+    """Version-WALK flavor of `_read_manifest`: a manifest that
+    vanishes between the `versions()` listing and the read — just
+    repaired away as an aborted commit, or concurrently vacuumed — is
+    ABSENT, not an error (ADVICE r10: a single torn manifest must not
+    abort a metadata walk or a txn-guard check; point reads of a
+    version the caller named keep the loud FileNotFoundError)."""
+    try:
+        return _read_manifest(table_dir, version)
+    except FileNotFoundError:
+        return None
+
+
 def _repair_aborted(final: str) -> bool:
     """If `final` is torn AND its .wip marker is stale (writer
     presumed dead), unlink both and return True. A fresh marker means
@@ -128,6 +141,11 @@ def _repair_aborted(final: str) -> bool:
         age = time.time() - os.path.getmtime(wip)
     except OSError:
         return False
+    # A LIVE writer stalled past the timeout is indistinguishable
+    # from a dead one here; repair may still fire against it. That
+    # writer's _fallback_publish re-verifies inode identity after its
+    # fsync and reports the lost commit LOUDLY (lost-CAS error, the
+    # caller retries) — never a silent success over repaired wreckage.
     if age <= _WIP_TIMEOUT:
         return False
     try:
@@ -193,9 +211,12 @@ def _fallback_publish(final: str, obj: dict, errmsg: str) -> None:
     existing FRESH marker is a lost race; a STALE one is a dead
     writer — repair and retry the claim once."""
     wip = final + ".wip"
+    wip_ino = None
     for attempt in (0, 1):
         try:
-            os.close(os.open(wip, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            wfd = os.open(wip, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            wip_ino = os.fstat(wfd).st_ino
+            os.close(wfd)
             break
         except FileExistsError:
             if attempt or not _repair_aborted(final):
@@ -212,6 +233,7 @@ def _fallback_publish(final: str, obj: dict, errmsg: str) -> None:
                 json.dump(obj, f, indent=1, sort_keys=True)
                 f.flush()
                 os.fsync(f.fileno())
+                final_ino = os.fstat(f.fileno()).st_ino
         except Exception:
             # an EXCEPTION mid-write (disk full, …) reaches this
             # handler with the process alive: remove the torn file we
@@ -222,10 +244,30 @@ def _fallback_publish(final: str, obj: dict, errmsg: str) -> None:
             except FileNotFoundError:
                 pass
             raise
-    finally:
+        # post-write liveness re-check (ADVICE r10): a writer that
+        # STALLED past _WIP_TIMEOUT mid-write looks dead — a
+        # competitor may have repaired the slot (unlinked marker +
+        # torn final) and even re-claimed the version, in which case
+        # these bytes landed in an UNLINKED inode. Only report
+        # success if the published name still refers to THIS write;
+        # otherwise the commit was lost — surface it as a lost CAS
+        # (the caller's retry loop re-reads the head and re-lands),
+        # never a silent no-op. The name (if present) is then a
+        # competitor's complete manifest — do NOT unlink it.
         try:
-            os.unlink(wip)
-        except FileNotFoundError:
+            still_ours = os.stat(final).st_ino == final_ino
+        except OSError:
+            still_ours = False
+        if not still_ours:
+            raise FileExistsError(errmsg) from None
+    finally:
+        # drop only OUR marker: if the slot was repaired and
+        # re-claimed, `wip` is now the competitor's liveness marker —
+        # unlinking it would expose THEIR in-flight write to repair
+        try:
+            if wip_ino is not None and os.stat(wip).st_ino == wip_ino:
+                os.unlink(wip)
+        except OSError:
             pass
 
 
@@ -385,7 +427,8 @@ def version_as_of(table_dir: str, ts: float) -> int:
     the asked-for time."""
     best = None
     for v in versions(table_dir):
-        if _read_manifest(table_dir, v).get("ts", float("inf")) <= ts:
+        m = _read_manifest_opt(table_dir, v)
+        if m is not None and m.get("ts", float("inf")) <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -589,7 +632,9 @@ def streaming_snapshot_append(
     )
 
 
-_TXN_CACHE: dict[tuple[str, int], object] = {}
+_TXN_CACHE: dict[tuple, object] = {}
+_TXN_CACHE_MAX = 65536  # entries; cleared wholesale when full
+_ABSENT = object()  # version vanished mid-walk (repaired/vacuumed)
 
 
 def _txn_of(table_dir: str, v: int):
@@ -597,12 +642,29 @@ def _txn_of(table_dir: str, v: int):
     committed version's txn_id never changes; without the cache every
     txn-guarded commit re-parses the FULL manifest history (O(N) JSON
     reads per trigger, O(N²) over a stream's life — the lake_source
-    _added_count pathology). Aborted/torn manifests never parse, so
-    they never poison the cache; vacuumed versions simply stop being
-    iterated."""
-    key = (table_dir, v)
+    _added_count pathology). The cache key is the manifest FILE'S
+    IDENTITY (path + inode + mtime_ns + size), not (table_dir, v):
+    a table dropped and recreated at the same path within one driver
+    process must never resolve to the OLD table's txn_id — that made
+    txn_seen wrongly report a fresh batch as already applied and the
+    write verbs silently no-op it (ADVICE r10, data loss). Aborted/
+    torn manifests never parse, so they never poison the cache; a
+    version that vanishes mid-walk reads as _ABSENT (never equal to
+    any txn_id); the size bound stops unbounded growth across many
+    tables."""
+    path = _manifest_path(table_dir, v)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return _ABSENT
+    key = (os.path.abspath(path), st.st_ino, st.st_mtime_ns, st.st_size)
     if key not in _TXN_CACHE:
-        _TXN_CACHE[key] = _read_manifest(table_dir, v).get("txn_id")
+        m = _read_manifest_opt(table_dir, v)
+        if m is None:
+            return _ABSENT
+        if len(_TXN_CACHE) >= _TXN_CACHE_MAX:
+            _TXN_CACHE.clear()
+        _TXN_CACHE[key] = m.get("txn_id")
     return _TXN_CACHE[key]
 
 
@@ -1119,7 +1181,9 @@ def history_df(spark: SparkSession, table_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no versions at {table_dir}")
     rows = []
     for v in vs:
-        m = _read_manifest(table_dir, v)
+        m = _read_manifest_opt(table_dir, v)
+        if m is None:
+            continue  # repaired away / vacuumed mid-walk: absent
         rows.append((
             v, m.get("parent"), m["op"], float(m.get("ts") or 0.0),
             len(m["files"]),
@@ -1145,7 +1209,19 @@ def files_df(
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
     v = vs[-1] if version is None else version
-    m = _read_manifest(table_dir, v)
+    if version is None:
+        # the listed head can be repaired away between listing and
+        # read (aborted fallback commit) — re-resolve once; an
+        # EXPLICITLY named version keeps the loud FileNotFoundError
+        m = _read_manifest_opt(table_dir, v)
+        if m is None:
+            vs = versions(table_dir)
+            if not vs:
+                raise FileNotFoundError(f"no versions at {table_dir}")
+            v = vs[-1]
+            m = _read_manifest(table_dir, v)
+    else:
+        m = _read_manifest(table_dir, v)
     base = _data_dir(table_dir)
     stats = m.get("stats", {})
     rows = []
@@ -1286,7 +1362,9 @@ def remove_orphans(
                     queue.append(os.path.abspath(dest))
     for root in seen_roots:
         for v in versions(root):
-            referenced.update(_read_manifest(root, v)["files"])
+            m = _read_manifest_opt(root, v)
+            if m is not None:  # repaired/vacuumed mid-walk: no refs
+                referenced.update(m["files"])
     base = _data_dir(table_dir)
     now = time.time()
     removed = []

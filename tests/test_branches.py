@@ -376,3 +376,28 @@ def test_clones_with_same_basename_do_not_collide(
     assert br.clone_tag(a) != br.clone_tag(b)
     assert snap.read_version(spark, a).count() == seed.count()
     assert snap.read_version(spark, b).count() == seed.count()
+
+
+def test_squash_merge_carries_commit_ts(spark, sf_dir, tmp_path):
+    """ADVICE r10 (high): the fast-forward squash used to publish its
+    manifest around _commit, skipping the wall-clock `ts` stamp —
+    version_as_of treats a missing ts as +inf, so TIMESTAMP AS OF
+    silently skipped the merge forever and history_df reported 0.0."""
+    import time
+
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    bdir = br.create_branch(table, "wip")
+    snap.append_version(bdir, _shift(seed.limit(5), 10**9))
+    # a REWRITE commit forces the one-CAS squash path (append-only
+    # branches replay through _commit, which always stamped ts)
+    key = seed.head().o_orderkey
+    snap.delete_version(spark, bdir, f"o_orderkey = {key}")
+    head = br.merge_branch(spark, table, "wip")
+
+    m = snap._read_manifest(table, head)
+    assert m["op"] == "merge_branch"
+    assert m.get("ts", 0) > 0
+    # time travel to "now" resolves THROUGH the merge, not around it
+    assert snap.version_as_of(table, time.time() + 1) == head
+    hist = {r.version: r.ts for r in snap.history_df(spark, table).collect()}
+    assert hist[head] > 0.0

@@ -882,3 +882,114 @@ def test_remove_orphans(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="refused"):
         snap.remove_orphans(bdir)
+
+
+def test_txn_cache_survives_drop_and_recreate(spark, sf_dir, tmp_path):
+    """ADVICE r10 (medium): the txn_id cache was keyed (table_dir,
+    version) and never invalidated — a table dropped and recreated at
+    the SAME path inside one driver process returned the OLD table's
+    txn_id, so txn_seen wrongly reported a fresh batch as applied and
+    the write verbs silently no-opped it (data loss). The cache now
+    keys on manifest file identity."""
+    import shutil
+
+    table = str(tmp_path / "t")
+    seed = _orders(spark, sf_dir).limit(20)
+    snap.create_table(seed, table, "o_orderstatus")
+    batch = seed.limit(3).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    )
+    snap.append_version(table, batch, txn_id="batch-7")
+    assert snap.txn_seen(table, "batch-7")  # caches the lookup
+
+    shutil.rmtree(table)  # drop …
+    snap.create_table(seed, table, "o_orderstatus")  # … recreate
+
+    assert not snap.txn_seen(table, "batch-7"), (
+        "recreated table must not inherit the old table's txn ids"
+    )
+    # and the idempotence guard must let the batch actually land
+    v = snap.append_version(table, batch, txn_id="batch-7")
+    assert v == 2
+    assert snap.read_version(spark, table).count() == seed.count() + 3
+
+
+def test_stalled_fallback_writer_loses_loudly(spark, sf_dir, tmp_path):
+    """ADVICE r10 (medium): a LIVE fallback-path writer stalled past
+    _WIP_TIMEOUT can be repaired away by a competitor; it then
+    finishes writing into an unlinked inode. It must report the lost
+    commit (lost-CAS error), never silent success — and must not
+    destroy the competitor's manifest or marker on the way out."""
+    import json as _json
+    import os
+
+    import pytest
+
+    table = str(tmp_path / "t")
+    seed = _orders(spark, sf_dir).limit(5)
+    snap.create_table(seed, table, "o_orderstatus")
+    final = snap._manifest_path(table, 2)
+    wip = final + ".wip"
+
+    real_fsync = os.fsync
+
+    def stall_then_repair(fd):
+        real_fsync(fd)
+        # competitor's view meanwhile: our marker went stale, repair
+        # fired (unlink marker + torn final), they claimed the slot
+        os.unlink(final)
+        os.unlink(wip)
+        with open(final, "w") as f:
+            _json.dump({"version": 2, "op": "competitor",
+                        "files": [], "ts": 1.0}, f)
+
+    import tcrd_spark.sources.snapshots as s
+
+    orig = s.os.fsync
+    s.os.fsync = stall_then_repair
+    try:
+        with pytest.raises(FileExistsError):
+            snap._fallback_publish(
+                final, {"version": 2, "op": "mine", "files": []}, "lost"
+            )
+    finally:
+        s.os.fsync = orig
+
+    # the competitor's commit stands untouched
+    assert snap._read_manifest(table, 2)["op"] == "competitor"
+    assert not os.path.exists(wip)
+
+
+def test_version_walks_skip_repaired_manifests(spark, sf_dir, tmp_path):
+    """ADVICE r10 (low): txn_seen / history_df / files_df /
+    remove_orphans / version_as_of iterate versions(); a torn
+    manifest that _read_manifest repairs away mid-walk must read as
+    ABSENT, not abort the whole walk with FileNotFoundError."""
+    import os
+    import time
+
+    table = str(tmp_path / "t")
+    seed = _orders(spark, sf_dir).limit(20)
+    snap.create_table(seed, table, "o_orderstatus")
+    snap.append_version(table, seed.limit(3).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    ), txn_id="b1")
+
+    # version 3: torn manifest + stale marker (dead fallback writer)
+    final = snap._manifest_path(table, 3)
+    with open(final, "w") as f:
+        f.write('{"version": 3, "files": ["trunc')
+    with open(final + ".wip", "w"):
+        pass
+    old = os.path.getmtime(final + ".wip") - snap._WIP_TIMEOUT - 5
+    os.utime(final + ".wip", (old, old))
+
+    assert snap.txn_seen(table, "b1")
+    assert not snap.txn_seen(table, "nope")
+    hist = snap.history_df(spark, table)
+    assert sorted(r.version for r in hist.collect()) == [1, 2]
+    assert snap.files_df(spark, table).count() > 0
+    assert snap.version_as_of(table, time.time() + 1) == 2
+    snap.remove_orphans(table, grace_seconds=10**9)  # must not raise
