@@ -54,6 +54,10 @@ PRIORITY = (
     "scd2_apply_batch",
     "scd2_history",
     "top_revenue_supplier",
+    # registered mid-r11 into a pre-existing module (sources/
+    # snapshots.py): no new-module grace — adjudicate now, displacing
+    # the youngest-green filler (mmr_rerank, r7, back to the tail)
+    "lake_history",
     "association_rules",
     "attribution_touch",
     "bpe_pair_counts",
@@ -78,12 +82,12 @@ PRIORITY = (
     "grouping_sets_mix",
     "hgram_cdf",
     "merge_intervals",
-    "mmr_rerank",
     # ---- past the driver's 50-query cap (position 51+): every
     # entry holds a green driver CORRECTNESS row from a prior
     # round, ordered oldest-green-first so the next rotation
     # reads straight off this list ----
     # last green r7
+    "mmr_rerank",
     "nearest_flagged",
     "pagerank",
     "qualitative_levels",

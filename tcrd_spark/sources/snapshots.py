@@ -1497,7 +1497,43 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(spark, path, 1, 2, ["o_orderkey"])
 
 
-QUERIES = {"snapshot_changes": q_snapshot_changes}
+def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY + .files metadata tables as an ADJUDICATED
+    query (VERDICT r10 #5 — these verbs were pytest-pinned only):
+    over the deterministic two-commit orders lake, join history_df's
+    commit log (version/parent/op, plus `has_ts` — the wall clock
+    itself can't be SQL-replayed, but its PRESENCE is the invariant
+    the r11 squash-merge fix protects) with per-version row counts
+    (read_version) and per-version distinct hive partitions
+    (files_df). The oracle replays the commit history logically: both
+    versions are pure filters/patches of `orders`, so every reported
+    number is SQL over the base table."""
+    path = _changes_lake(spark, sf_dir)
+    h = history_df(spark, path).select(
+        "version", "parent", "op", (F.col("ts") > 0).alias("has_ts")
+    )
+    rows = None
+    fparts = None
+    for v in versions(path):
+        d = read_version(spark, path, v).select(
+            F.lit(v).alias("version")
+        )
+        rows = d if rows is None else rows.unionByName(d)
+        p = files_df(spark, path, v).select(
+            F.lit(v).alias("version"), "partition"
+        )
+        fparts = p if fparts is None else fparts.unionByName(p)
+    nrows = rows.groupBy("version").agg(F.count("*").alias("n_rows"))
+    nparts = fparts.groupBy("version").agg(
+        F.countDistinct("partition").alias("n_parts")
+    )
+    return h.join(nrows, "version").join(nparts, "version")
+
+
+QUERIES = {
+    "snapshot_changes": q_snapshot_changes,
+    "lake_history": q_lake_history,
+}
 
 # The oracle replays the lake's commit history logically: v1 and the
 # merge source are pure filters of `orders`, so the row-level diff —
@@ -1541,5 +1577,31 @@ ORACLE = {
         SELECT 'update_pre', tk, t_st, t_pr, t_pri FROM upd
         UNION ALL
         SELECT 'update_post', sk, s_st, s_pr, s_pri FROM upd
+    """,
+    # v1 = filter; v2 = v1 − matched-'F' deletes + source-only
+    # inserts (updates replace in place, count-neutral). Partition
+    # count per version = distinct o_orderpriority present in that
+    # version's CONTENT (hive layout: one dir per value; the merge
+    # carries untouched partitions forward by reference).
+    "lake_history": """
+        WITH v1 AS (
+          SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+        ),
+        v2 AS (
+          SELECT * FROM v1
+          WHERE NOT (o_orderkey % 3 = 0 AND o_orderstatus = 'F')
+          UNION ALL
+          SELECT * FROM orders
+          WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+        )
+        SELECT 1 AS version, CAST(NULL AS INTEGER) AS parent,
+               'create' AS op, TRUE AS has_ts,
+               (SELECT count(*) FROM v1) AS n_rows,
+               (SELECT count(DISTINCT o_orderpriority) FROM v1)
+                   AS n_parts
+        UNION ALL
+        SELECT 2, 1, 'merge', TRUE,
+               (SELECT count(*) FROM v2),
+               (SELECT count(DISTINCT o_orderpriority) FROM v2)
     """,
 }
