@@ -52,12 +52,12 @@ Reference parity: none (lakehouse extension; with sources/snapshots.py).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
 from pyspark.sql import SparkSession
 
+from tcrd_spark.sources.metastore import get_store
 from tcrd_spark.sources.snapshots import (
     _commit,
     _data_dir,
@@ -78,8 +78,9 @@ def _branch_dir(table_dir: str, name: str) -> str:
 
 
 def _branch_meta(branch_dir: str) -> dict:
-    with open(os.path.join(branch_dir, "_branch.json")) as f:
-        return json.load(f)
+    return get_store().read_json(
+        os.path.join(branch_dir, "_branch.json")
+    )
 
 
 def _fork_tag(name: str) -> str:
@@ -90,15 +91,14 @@ def list_branches(table_dir: str) -> dict[str, dict]:
     """{name: {fork_version, head}} for every live branch."""
     root = os.path.join(table_dir, "_branches")
     out = {}
-    if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            bdir = os.path.join(root, name)
-            if os.path.exists(os.path.join(bdir, "_branch.json")):
-                meta = _branch_meta(bdir)
-                out[name] = {
-                    "fork_version": meta["fork_version"],
-                    "head": versions(bdir)[-1],
-                }
+    for name in get_store().listdir(root):
+        bdir = os.path.join(root, name)
+        if get_store().exists(os.path.join(bdir, "_branch.json")):
+            meta = _branch_meta(bdir)
+            out[name] = {
+                "fork_version": meta["fork_version"],
+                "head": versions(bdir)[-1],
+            }
     return out
 
 
@@ -124,8 +124,9 @@ def create_branch(
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"no version {v} at {table_dir}")
+    store = get_store()
     bdir = _branch_dir(table_dir, name)
-    if os.path.exists(bdir):
+    if os.path.exists(bdir) or store.exists(bdir):
         raise FileExistsError(f"branch {name!r} exists at {table_dir}")
     # the fork tag is the branch's GC root: source vacuum retains the
     # fork version (and so every file the branch inherited) while the
@@ -134,11 +135,12 @@ def create_branch(
     meta = {"name": name, "source": os.path.abspath(table_dir),
             "fork_version": v}
     try:
-        os.makedirs(_manifest_dir(bdir))
-        if no_symlink:
+        store.claim_dir(_manifest_dir(bdir))
+        if no_symlink or not store.supports_symlink:
             meta["data_dir"] = os.path.abspath(_data_dir(table_dir))
         else:
             try:
+                os.makedirs(bdir, exist_ok=True)
                 os.symlink(
                     os.path.relpath(_data_dir(table_dir), bdir),
                     _data_dir(bdir),
@@ -157,6 +159,7 @@ def create_branch(
         )
     except Exception:
         shutil.rmtree(bdir, ignore_errors=True)
+        store.remove_tree(bdir)
         delete_tag(table_dir, _fork_tag(name))
         raise
     return bdir
@@ -175,7 +178,7 @@ def merge_branch(
     branches with rewrite commits fast-forward only (else raises).
     The branch itself is left intact — `delete_branch` retires it."""
     bdir = _branch_dir(table_dir, name)
-    if not os.path.exists(os.path.join(bdir, "_branch.json")):
+    if not get_store().exists(os.path.join(bdir, "_branch.json")):
         raise FileNotFoundError(f"no branch {name!r} at {table_dir}")
     fork_v = _branch_meta(bdir)["fork_version"]
     new_vs = _branch_new_versions(bdir)
@@ -287,12 +290,13 @@ def clone_table(
     v = vs[-1] if version is None else version
     if v not in vs:
         raise FileNotFoundError(f"no version {v} at {table_dir}")
-    if os.path.exists(dest_dir):
+    store = get_store()
+    if os.path.exists(dest_dir) or store.exists(dest_dir):
         raise FileExistsError(f"clone destination exists: {dest_dir}")
     tag = clone_tag(dest_dir)
     tag_version(table_dir, tag, v)
     try:
-        os.makedirs(_manifest_dir(dest_dir))
+        store.claim_dir(_manifest_dir(dest_dir))
         m = _read_manifest(table_dir, v)
         _publish_exclusive(
             _manifest_path(dest_dir, v), m,
@@ -309,7 +313,7 @@ def clone_table(
         # register the clone on the SOURCE so remove_orphans can see
         # the clone's manifests (clone-staged files live in the
         # shared data dir and would otherwise look orphaned)
-        os.makedirs(os.path.join(table_dir, "_clones"), exist_ok=True)
+        store.makedirs(os.path.join(table_dir, "_clones"))
         _publish_exclusive(
             os.path.join(table_dir, "_clones", f"{tag}.json"),
             {"dest": os.path.abspath(dest_dir), "fork_version": v},
@@ -317,9 +321,10 @@ def clone_table(
         )
     except Exception:
         shutil.rmtree(dest_dir, ignore_errors=True)
+        store.remove_tree(dest_dir)
         delete_tag(table_dir, tag)
         try:
-            os.remove(os.path.join(table_dir, "_clones", f"{tag}.json"))
+            store.unlink(os.path.join(table_dir, "_clones", f"{tag}.json"))
         except FileNotFoundError:
             pass
         raise
@@ -345,7 +350,7 @@ def delete_branch(table_dir: str, name: str) -> list[str]:
     on the branch, never merged), its directory, and the fork tag.
     Returns the removed file names."""
     bdir = _branch_dir(table_dir, name)
-    if not os.path.exists(os.path.join(bdir, "_branch.json")):
+    if not get_store().exists(os.path.join(bdir, "_branch.json")):
         raise FileNotFoundError(f"no branch {name!r} at {table_dir}")
     branch_files = {
         f for v in versions(bdir) for f in _read_manifest(bdir, v)["files"]
@@ -362,6 +367,7 @@ def delete_branch(table_dir: str, name: str) -> list[str]:
         if os.path.exists(p):
             os.remove(p)
             removed.append(f)
-    shutil.rmtree(bdir)
+    shutil.rmtree(bdir, ignore_errors=True)
+    get_store().remove_tree(bdir)
     delete_tag(table_dir, _fork_tag(name))
     return removed

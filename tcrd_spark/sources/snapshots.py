@@ -26,9 +26,12 @@ Minimal honest design, the same shape the real formats use:
   by reference. Bytes written ∝ change, exactly like
   `merge_partitioned_write` — but the previous version survives.
 
-Commit protocol: manifests are written to a temp name and renamed —
-atomic on POSIX/HDFS; single writer assumed (a real deployment puts a
-catalog/lock in front, same as Delta's log store contract).
+Commit protocol: every metadata object (manifest, tag, branch meta)
+publishes through the active store's atomic PUT-IF-ABSENT
+(`sources/metastore.py` — the Delta LogStore seam): link(2) CAS with
+an O_EXCL + .wip fallback on PosixStore; a conditional PUT on an
+object store. Concurrent writers race the CAS and the loser retries
+against the new head — no catalog lock needed.
 ``manifest_diff`` exposes the provenance view (files added/removed
 per version). Not oracle-adjudicated: the semantics are filesystem
 state over self-written tables, outside the driver's fixed
@@ -49,6 +52,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tcrd_spark.sources.merge import affected_partitions, merge_frames
+from tcrd_spark.sources.metastore import (  # metadata-plane seam
+    _WIP_TIMEOUT,  # noqa: F401  (tests pin the posix protocol via here)
+    _fallback_publish,  # noqa: F401
+    _repair_aborted,  # noqa: F401
+    get_store,
+    use_store,  # noqa: F401  (re-export: the deployment/test knob)
+)
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -65,9 +75,8 @@ def _data_dir(table_dir: str) -> str:
     d = os.path.join(table_dir, "data")
     if not os.path.exists(d):
         bj = os.path.join(table_dir, "_branch.json")
-        if os.path.exists(bj):
-            with open(bj) as f:
-                mapped = json.load(f).get("data_dir")
+        if get_store().exists(bj):
+            mapped = get_store().read_json(bj).get("data_dir")
             if mapped:
                 return mapped
     return d
@@ -80,38 +89,19 @@ def _manifest_path(table_dir: str, version: int) -> str:
 def versions(table_dir: str) -> list[int]:
     """Committed version numbers, ascending."""
     return sorted(
-        int(os.path.basename(p)[1:-5])
-        for p in glob.glob(os.path.join(_manifest_dir(table_dir), "v*.json"))
+        int(n[1:-5])
+        for n in get_store().listdir(_manifest_dir(table_dir))
+        if n.startswith("v") and n.endswith(".json")
+        and n[1:-5].isdigit()
     )
 
 
 def _read_manifest(table_dir: str, version: int) -> dict:
-    path = _manifest_path(table_dir, version)
-    for backoff in (0.05, 0.2):  # torn-read window of the O_EXCL
-        try:  # fallback publish path (link(2)-less filesystems only)
-            with open(path) as f:
-                return json.load(f)
-        except json.JSONDecodeError:
-            __import__("time").sleep(backoff)
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except json.JSONDecodeError:
-        # Still torn past the retry window. On the fallback path every
-        # publish holds a .wip marker for the write's duration — a
-        # STALE marker means the writer died mid-write, so the torn
-        # file is an ABORTED commit: repair (unlink both) and report
-        # the version as absent, freeing the slot for the next CAS
-        # instead of poisoning it forever.
-        if _repair_aborted(path):
-            raise FileNotFoundError(
-                f"aborted commit repaired: {path} (torn manifest from "
-                "a dead fallback-path writer was removed)"
-            ) from None
-        raise
-
-
-_WIP_TIMEOUT = 30.0  # seconds a fallback publish may hold its slot
+    """One committed manifest, read through the active metadata store
+    (complete-read contract; the PosixStore adds the torn-window retry
+    + stale-marker repair of its fallback publish path). Raises
+    FileNotFoundError for absent and just-repaired versions."""
+    return get_store().read_json(_manifest_path(table_dir, version))
 
 
 def _read_manifest_opt(table_dir: str, version: int) -> dict | None:
@@ -127,148 +117,13 @@ def _read_manifest_opt(table_dir: str, version: int) -> dict | None:
         return None
 
 
-def _repair_aborted(final: str) -> bool:
-    """If `final` is torn AND its .wip marker is stale (writer
-    presumed dead), unlink both and return True. A fresh marker means
-    the writer may still be mid-write — leave it alone. A torn file
-    WITHOUT a marker predates the marker protocol (or the marker was
-    already swept); only marker-confirmed aborts are repaired — never
-    guess against a live slow writer."""
-    import time
-
-    wip = final + ".wip"
-    try:
-        age = time.time() - os.path.getmtime(wip)
-    except OSError:
-        return False
-    # A LIVE writer stalled past the timeout is indistinguishable
-    # from a dead one here; repair may still fire against it. That
-    # writer's _fallback_publish re-verifies inode identity after its
-    # fsync and reports the lost commit LOUDLY (lost-CAS error, the
-    # caller retries) — never a silent success over repaired wreckage.
-    if age <= _WIP_TIMEOUT:
-        return False
-    try:
-        with open(final) as f:
-            json.load(f)
-    except (json.JSONDecodeError, FileNotFoundError):
-        # torn (or already gone): aborted commit — clear the slot
-        for p in (final, wip):
-            try:
-                os.unlink(p)
-            except FileNotFoundError:
-                pass
-        return True
-    # final is COMPLETE: the writer died between finishing the write
-    # and removing its marker — the commit stands; sweep the marker
-    try:
-        os.unlink(wip)
-    except FileNotFoundError:
-        pass
-    return False
-
-
 def _publish_exclusive(final: str, obj: dict, errmsg: str) -> None:
-    """Atomic EXCLUSIVE JSON publish: write-temp, then hard-LINK to
-    the final name. link(2) fails with EEXIST if the name is already
-    taken — a true compare-and-swap, where check-then-rename is not:
-    POSIX rename silently REPLACES, so two racers could both pass the
-    exists() check and the loser would clobber the winner (both
-    "winning" the same version and dropping the winner's files from
-    history). Readers only ever see a complete file (the link appears
-    atomically, fully written). The temp file is removed on EVERY
-    exit path, including a json.dump failure mid-write.
-
-    Filesystem requirement: link(2). Where the backing store lacks it
-    (object-store FUSE mounts, some NFS exports), falls back to an
-    O_EXCL-create of the final name — still a true CAS, but a
-    concurrent reader can observe a PARTIALLY WRITTEN file for the
-    write's duration; `_read_manifest` retries torn JSON to cover
-    that window. The fallback additionally holds a `.wip` marker for
-    the write's duration: a writer that DIES mid-write leaves marker +
-    torn file, and any later reader or writer repairs the slot
-    (validate-then-unlink once the marker is stale,
-    `_repair_aborted`) instead of the truncated manifest permanently
-    poisoning that version."""
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    try:
-        with open(tmp, "w") as f:
-            json.dump(obj, f, indent=1, sort_keys=True)
-        try:
-            os.link(tmp, final)  # atomic CAS: EEXIST ⇒ lost the race
-        except FileExistsError:
-            raise FileExistsError(errmsg) from None
-        except OSError:
-            _fallback_publish(final, obj, errmsg)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-
-
-def _fallback_publish(final: str, obj: dict, errmsg: str) -> None:
-    """link(2)-less CAS: claim `final + '.wip'` exclusively, O_EXCL-
-    create the final name, write + fsync, drop the marker. An
-    existing FRESH marker is a lost race; a STALE one is a dead
-    writer — repair and retry the claim once."""
-    wip = final + ".wip"
-    wip_ino = None
-    for attempt in (0, 1):
-        try:
-            wfd = os.open(wip, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            wip_ino = os.fstat(wfd).st_ino
-            os.close(wfd)
-            break
-        except FileExistsError:
-            if attempt or not _repair_aborted(final):
-                raise FileExistsError(errmsg) from None
-            # repaired a dead writer's wreckage (or swept its orphan
-            # marker) — one more claim attempt
-    try:
-        try:
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise FileExistsError(errmsg) from None
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(obj, f, indent=1, sort_keys=True)
-                f.flush()
-                os.fsync(f.fileno())
-                final_ino = os.fstat(f.fileno()).st_ino
-        except Exception:
-            # an EXCEPTION mid-write (disk full, …) reaches this
-            # handler with the process alive: remove the torn file we
-            # created so the slot frees immediately (a process DEATH
-            # skips this — the stale-marker repair covers that)
-            try:
-                os.unlink(final)
-            except FileNotFoundError:
-                pass
-            raise
-        # post-write liveness re-check (ADVICE r10): a writer that
-        # STALLED past _WIP_TIMEOUT mid-write looks dead — a
-        # competitor may have repaired the slot (unlinked marker +
-        # torn final) and even re-claimed the version, in which case
-        # these bytes landed in an UNLINKED inode. Only report
-        # success if the published name still refers to THIS write;
-        # otherwise the commit was lost — surface it as a lost CAS
-        # (the caller's retry loop re-reads the head and re-lands),
-        # never a silent no-op. The name (if present) is then a
-        # competitor's complete manifest — do NOT unlink it.
-        try:
-            still_ours = os.stat(final).st_ino == final_ino
-        except OSError:
-            still_ours = False
-        if not still_ours:
-            raise FileExistsError(errmsg) from None
-    finally:
-        # drop only OUR marker: if the slot was repaired and
-        # re-claimed, `wip` is now the competitor's liveness marker —
-        # unlinking it would expose THEIR in-flight write to repair
-        try:
-            if wip_ino is not None and os.stat(wip).st_ino == wip_ino:
-                os.unlink(wip)
-        except OSError:
-            pass
+    """Atomic EXCLUSIVE JSON publish through the active metadata
+    store (sources/metastore.py): put-if-absent is the one primitive
+    the whole commit protocol stands on — link(2) CAS with an O_EXCL
+    + .wip fallback on PosixStore, a conditional PUT on an object
+    store. Raises FileExistsError(errmsg) on a lost race."""
+    get_store().publish_exclusive(final, obj, errmsg)
 
 
 def _commit(table_dir: str, manifest: dict) -> None:
@@ -278,7 +133,7 @@ def _commit(table_dir: str, manifest: dict) -> None:
     import time
 
     manifest.setdefault("ts", time.time())
-    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    get_store().makedirs(_manifest_dir(table_dir))
     final = _manifest_path(table_dir, manifest["version"])
     _publish_exclusive(
         final, manifest,
@@ -653,11 +508,10 @@ def _txn_of(table_dir: str, v: int):
     any txn_id); the size bound stops unbounded growth across many
     tables."""
     path = _manifest_path(table_dir, v)
-    try:
-        st = os.stat(path)
-    except OSError:
+    ident = get_store().ident(path)
+    if ident is None:
         return _ABSENT
-    key = (os.path.abspath(path), st.st_ino, st.st_mtime_ns, st.st_size)
+    key = (os.path.abspath(path), ident)
     if key not in _TXN_CACHE:
         m = _read_manifest_opt(table_dir, v)
         if m is None:
@@ -1263,7 +1117,7 @@ def tag_version(
         raise FileNotFoundError(f"no version {v} at {table_dir}")
     import time
 
-    os.makedirs(_tags_dir(table_dir), exist_ok=True)
+    get_store().makedirs(_tags_dir(table_dir))
     final = os.path.join(_tags_dir(table_dir), f"{name}.json")
     _publish_exclusive(
         final, {"name": name, "version": v, "ts": time.time()},
@@ -1277,17 +1131,15 @@ def list_tags(table_dir: str) -> dict[str, int]:
     """{name: version} for every tag."""
     d = _tags_dir(table_dir)
     out = {}
-    if os.path.isdir(d):
-        for fn in sorted(os.listdir(d)):
-            if fn.endswith(".json"):
-                with open(os.path.join(d, fn)) as f:
-                    t = json.load(f)
-                out[t["name"]] = t["version"]
+    for fn in get_store().listdir(d):
+        if fn.endswith(".json"):
+            t = get_store().read_json(os.path.join(d, fn))
+            out[t["name"]] = t["version"]
     return out
 
 
 def delete_tag(table_dir: str, name: str) -> None:
-    os.remove(os.path.join(_tags_dir(table_dir), f"{name}.json"))
+    get_store().unlink(os.path.join(_tags_dir(table_dir), f"{name}.json"))
 
 
 def read_tag(
@@ -1342,24 +1194,23 @@ def remove_orphans(
         if root in seen_roots:
             continue
         seen_roots.add(root)
+        store = get_store()
         broot = os.path.join(root, "_branches")
-        if os.path.isdir(broot):
-            queue += [
-                os.path.join(broot, n) for n in os.listdir(broot)
-                if os.path.isdir(os.path.join(broot, n))
-            ]
+        queue += [
+            os.path.join(broot, n) for n in store.listdir(broot)
+            if versions(os.path.join(broot, n))
+            or store.exists(os.path.join(broot, n, "_branch.json"))
+        ]
         croot = os.path.join(root, "_clones")
-        if os.path.isdir(croot):
-            for fn in os.listdir(croot):
-                if not fn.endswith(".json"):
-                    continue  # .wip marker / .tmp of an in-flight publish
-                try:
-                    with open(os.path.join(croot, fn)) as f:
-                        dest = json.load(f)["dest"]
-                except (json.JSONDecodeError, KeyError, OSError):
-                    continue  # torn registry entry: skip, never fatal
-                if os.path.isdir(os.path.join(dest, "_manifests")):
-                    queue.append(os.path.abspath(dest))
+        for fn in store.listdir(croot):
+            if not fn.endswith(".json"):
+                continue  # .wip marker / .tmp of an in-flight publish
+            try:
+                dest = store.read_json(os.path.join(croot, fn))["dest"]
+            except (json.JSONDecodeError, KeyError, OSError):
+                continue  # torn registry entry: skip, never fatal
+            if versions(dest):
+                queue.append(os.path.abspath(dest))
     for root in seen_roots:
         for v in versions(root):
             m = _read_manifest_opt(root, v)
@@ -1388,7 +1239,7 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     retained version references, and never a TAGGED version: a tag is
     a promise that a training set stays reproducible, so its manifest
     and files survive any retention window."""
-    if os.path.exists(os.path.join(table_dir, "_branch.json")):
+    if get_store().exists(os.path.join(table_dir, "_branch.json")):
         # a branch's dropped manifests reference files shared with
         # (and possibly live in) its source — per-branch retention GC
         # could delete source data. Merge or delete the branch, then
@@ -1413,7 +1264,7 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
                 if os.path.exists(p):
                     os.remove(p)
                     removed.append(f)
-        os.remove(_manifest_path(table_dir, v))
+        get_store().unlink(_manifest_path(table_dir, v))
         # index sidecars (sources/bloomidx.py) GC with their version:
         # a sidecar outliving its manifest is a storage leak and lets
         # a probe resolve an index whose files may be gone — probes on
@@ -1450,9 +1301,8 @@ def _changes_lake(spark: SparkSession, sf_dir: str) -> str:
     key = os.path.realpath(sf_dir)
     with _SNAP_LAKE_LOCK:
         path = _SNAP_LAKE_CACHE.get(key)
-        if path is not None and not os.path.isdir(
-            _manifest_dir(path)
-        ):  # externally wiped tmp dir — rebuild, don't serve a ghost
+        if path is not None and not versions(path):
+            # externally wiped tmp dir — rebuild, don't serve a ghost
             path = None
         if path is None:
             from tcrd_spark.sources.lake import load_table
