@@ -183,6 +183,37 @@ def test_memory_store_primitives():
     s.claim_dir("/a/d")  # reclaimable after removal
 
 
+def test_memory_store_cas_single_winner_under_threads():
+    """The whole commit protocol rests on put-if-absent being atomic:
+    32 threads racing the same key must produce exactly ONE winner
+    and 31 FileExistsError losers, and the surviving object must be
+    the winner's (never a torn interleaving)."""
+    import threading
+
+    s = MemoryStore()
+    results: list[int | None] = [None] * 32
+    barrier = threading.Barrier(32)
+
+    def racer(i):
+        barrier.wait()
+        try:
+            s.publish_exclusive("/t/v2.json", {"writer": i}, "lost")
+            results[i] = i
+        except FileExistsError:
+            results[i] = None
+
+    threads = [
+        threading.Thread(target=racer, args=(i,)) for i in range(32)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1
+    assert s.read_json("/t/v2.json") == {"writer": winners[0]}
+
+
 def test_memory_store_txn_cache_isolation(spark, sf_dir, tmp_path):
     """Drop/recreate under the fake: identity tokens are publish
     counters, so the recreated table never resolves the old txn."""
