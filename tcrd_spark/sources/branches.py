@@ -222,6 +222,9 @@ def merge_branch(
                         "columns": cm["columns"],
                         "files": sorted(set(cm["files"]) | set(added)),
                         "stats": {**cm.get("stats", {}), **added_stats},
+                        # the SOURCE head's dv state — append-only
+                        # branches cannot add dv commits
+                        "dv": cm.get("dv", []),
                     })
                     break
                 except FileExistsError:
@@ -255,6 +258,10 @@ def merge_branch(
             "columns": head_m["columns"],
             "files": head_m["files"],
             "stats": head_m.get("stats", {}),
+            # the branch head's dv state (fork-inherited + its own dv
+            # deletes; sidecars live in the SHARED _dv namespace, so
+            # every name keeps resolving on the source)
+            "dv": head_m.get("dv", []),
         })
     except FileExistsError:
         raise FileExistsError(
@@ -367,6 +374,22 @@ def delete_branch(table_dir: str, name: str) -> list[str]:
         if os.path.exists(p):
             os.remove(p)
             removed.append(f)
+    # dv sidecars only the branch references (its own dv deletes,
+    # never merged) — same shared-namespace cleanup as staged files
+    from tcrd_spark.sources.snapshots import _dv_dir
+
+    branch_dv = {
+        n for v in versions(bdir)
+        for n in (_read_manifest(bdir, v).get("dv") or [])
+    }
+    source_dv = {
+        n for v in versions(table_dir)
+        for n in (_read_manifest(table_dir, v).get("dv") or [])
+    }
+    for n in sorted(branch_dv - source_dv):
+        shutil.rmtree(
+            os.path.join(_dv_dir(table_dir), n), ignore_errors=True
+        )
     shutil.rmtree(bdir, ignore_errors=True)
     get_store().remove_tree(bdir)
     delete_tag(table_dir, _fork_tag(name))

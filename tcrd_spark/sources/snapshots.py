@@ -86,6 +86,100 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(_manifest_dir(table_dir), f"v{version:05d}.json")
 
 
+# --------------------------------------------- deletion vectors (MOR)
+#
+# Merge-on-read DELETE (Delta deletion vectors / Iceberg v2 position
+# deletes): `delete_version(..., mode="dv")` writes a tiny parquet
+# sidecar of (file, pos) row positions under `<table>/_dv/` and a new
+# manifest that REFERENCES it (`"dv": [name, ...]`) with the file
+# list unchanged — a 10-row GDPR erasure on a 100 TB table moves
+# kilobytes instead of rewriting partitions. Every snapshot read
+# anti-joins its manifest's DV index on (relative file, parquet row
+# index via `_metadata.row_index`) — positions are physical file
+# offsets, stable because data files are immutable. Sidecars are
+# DISJOINT by construction (a dv delete scans the DV-APPLIED current
+# snapshot, so already-deleted rows are never re-marked), which is
+# what makes the CDC delta (read_changes) exact. Rewrite commits
+# carry the dv list forward: entries for files they rewrote become
+# inert (the name is no longer in the file list — the anti-join
+# matches nothing), entries for carried files stay live; a FULL
+# rewrite (optimize/repartition) clears the list. DVs are for SMALL
+# deletes — the index broadcasts; bulk erasure belongs to the default
+# copy-on-write mode.
+
+
+def _dv_dir(table_dir: str) -> str:
+    """DV sidecars live in the DATA namespace (`<table>/_dv`, beside
+    `<table>/data`), resolved through the same symlink/prefix mapping
+    branches and clones use for data files: a branch's dv delete
+    writes into the SHARED sidecar dir under a uuid name no source
+    manifest references — exactly the staged-data-file discipline —
+    and source-inherited dv names keep resolving on the branch."""
+    base = os.path.realpath(os.path.abspath(_data_dir(table_dir)))
+    return os.path.join(os.path.dirname(base), "_dv")
+
+
+def _dv_df(spark: SparkSession, table_dir: str, m: dict):
+    """The manifest's deletion-vector index as a ('file','pos')
+    DataFrame, or None when the snapshot has no DVs."""
+    names = m.get("dv") or []
+    if not names:
+        return None
+    return spark.read.parquet(
+        *[os.path.join(_dv_dir(table_dir), n) for n in names]
+    )
+
+
+def _rel_file():
+    """'part=val/vNNNNN-xxx.parquet' from the scan's file metadata —
+    the manifest-relative path (one hive level, the layout contract)."""
+    return F.regexp_extract(
+        F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+    )
+
+
+def _dv_marked_rows(
+    spark: SparkSession, base: str, files: list[str], dvdf: DataFrame
+) -> DataFrame:
+    """The full rows a DV frame marks inside `files` — inner join of
+    the file scan with the (file, pos) set (read_changes' CDC delta
+    materialization)."""
+    marked = dvdf.select(
+        F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+    )
+    rows = (
+        spark.read.option("basePath", base)
+        .parquet(*[os.path.join(base, f) for f in files])
+        .withColumn("_rf", _rel_file())
+        .withColumn("_ri", F.col("_metadata.row_index"))
+    )
+    return rows.join(
+        F.broadcast(marked),
+        (F.col("_rf") == F.col("_dv_file"))
+        & (F.col("_ri") == F.col("_dv_pos")),
+    )
+
+
+def _apply_dv(df: DataFrame, dvdf: DataFrame) -> DataFrame:
+    """Drop DV-marked rows from a RAW FILE SCAN (the frame must still
+    carry `_metadata`; apply before any select). Broadcast anti-join:
+    the DV index is small by the mode's contract. Join columns are
+    materialized first — the sidecar is itself a parquet scan, so
+    referencing `_metadata` inside the join condition is ambiguous."""
+    marked = dvdf.select(
+        F.col("file").alias("_dv_file"), F.col("pos").alias("_dv_pos")
+    )
+    tagged = df.withColumn("_rf", _rel_file()).withColumn(
+        "_ri", F.col("_metadata.row_index")
+    )
+    return tagged.join(
+        F.broadcast(marked),
+        (F.col("_rf") == F.col("_dv_file"))
+        & (F.col("_ri") == F.col("_dv_pos")),
+        "left_anti",
+    ).drop("_rf", "_ri")
+
+
 def versions(table_dir: str) -> list[int]:
     """Committed version numbers, ascending."""
     return sorted(
@@ -271,6 +365,9 @@ def read_version(
         .option("mergeSchema", "true")
         .parquet(*paths)
     )
+    dv = _dv_df(spark, table_dir, m)
+    if dv is not None:
+        df = _apply_dv(df, dv)
     # hive reads surface the partition column last; restore the
     # committed column order so a snapshot read is schema-stable
     return df.select(*m["columns"])
@@ -349,6 +446,9 @@ def read_version_pruned(
     df = spark.read.option("basePath", base).parquet(
         *[os.path.join(base, f) for f in kept]
     )
+    dv = _dv_df(spark, table_dir, m)
+    if dv is not None:
+        df = _apply_dv(df, dv)
     return df.select(*m["columns"]).where(pred)
 
 
@@ -419,6 +519,7 @@ def append_version(
                 "txn_id": txn_id,
                 "files": sorted(base_m["files"] + new_files),
                 "stats": {**base_m.get("stats", {}), **new_stats},
+                "dv": base_m.get("dv", []),  # deletes stay applied
             })
             return v_next
         except FileExistsError:
@@ -609,6 +710,9 @@ def merge_version(
         target = spark.read.option("basePath", base).parquet(
             *[os.path.join(base, f) for f in touched]
         )
+        dv = _dv_df(spark, table_dir, m)
+        if dv is not None:  # rewrite from the DV-APPLIED state
+            target = _apply_dv(target, dv)
     else:  # merge into partitions the table has never seen
         target = read_version(spark, table_dir, cur_v).limit(0)
     merged = merge_frames(
@@ -626,6 +730,9 @@ def merge_version(
         "txn_id": txn_id,
         "files": sorted(keep + new_files),
         "stats": {**kept_stats, **new_stats},
+        # carried files keep their live DV entries; entries for the
+        # rewritten files just became inert (names left the list)
+        "dv": m.get("dv", []) if keep else [],
     })
     return cur_v + 1
 
@@ -647,6 +754,7 @@ def delete_version(
     table_dir: str,
     predicate: str,
     prune: tuple[str, object, object] | None = None,
+    mode: str = "rewrite",
 ) -> tuple[int, int]:
     """Predicate DELETE as a copy-on-write commit (the GDPR / DSAR
     erasure verb): rewrite ONLY the files that hold matching rows,
@@ -673,7 +781,16 @@ def delete_version(
     delete_version + `vacuum` past the old versions (pytest-pinned:
     after vacuum the matching rows' files are gone from disk). A TAG
     pinning an old version deliberately blocks that — drop the tag to
-    erase, and the tags listing is the thing to audit."""
+    erase, and the tags listing is the thing to audit.
+
+    ``mode="dv"`` is the MERGE-ON-READ form (see the deletion-vector
+    block above `_dv_dir`): instead of rewriting files it writes a
+    (file, pos) sidecar and a manifest referencing it — bytes moved ∝
+    rows deleted, not partitions touched. Row-identical to the
+    rewrite mode by construction (pytest-pinned); note that dv
+    deletes are LOGICAL-only until a rewrite materializes them, so
+    physical GDPR erasure under dv mode additionally needs a later
+    optimize/merge + vacuum."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
@@ -694,14 +811,21 @@ def delete_version(
         cand = list(m["files"])
     if not cand:
         return cur_v, 0
+    if mode == "dv":
+        return _delete_dv(spark, table_dir, m, cand, predicate)
+    if mode != "rewrite":
+        raise ValueError(f"delete mode must be 'rewrite' or 'dv': {mode!r}")
     import urllib.parse
 
+    dv = _dv_df(spark, table_dir, m)
     src = (
         spark.read.option("basePath", base)
         .option("mergeSchema", "true")
         .parquet(*[os.path.join(base, f) for f in cand])
-        .withColumn("_f", F.input_file_name())
     )
+    if dv is not None:  # only still-VISIBLE rows count as matches
+        src = _apply_dv(src, dv)
+    src = src.withColumn("_f", F.input_file_name())
     absbase = os.path.abspath(base)
     hits = {
         os.path.relpath(
@@ -718,6 +842,8 @@ def delete_version(
         .option("mergeSchema", "true")
         .parquet(*[os.path.join(base, f) for f in touched])
     )
+    if dv is not None:  # rewrite from the DV-APPLIED state
+        tdf = _apply_dv(tdf, dv)
     n_before = tdf.count()
     # NOT(pred) is NULL for NULL-pred rows and would drop them too —
     # survivors are rows where the predicate is not TRUE
@@ -738,8 +864,58 @@ def delete_version(
         "part_col": part_col, "columns": m["columns"],
         "files": sorted(keep + new_files),
         "stats": {**kept_stats, **new_stats},
+        "dv": m.get("dv", []) if keep else [],
     })
     return cur_v + 1, n_deleted
+
+
+def _delete_dv(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    cand: list[str],
+    predicate: str,
+) -> tuple[int, int]:
+    """The merge-on-read delete body: mark matching VISIBLE rows in a
+    (file, pos) sidecar; the manifest's file list never changes."""
+    cur_v = m["version"]
+    base = _data_dir(table_dir)
+    src = (
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(base, f) for f in cand])
+    )
+    dv = _dv_df(spark, table_dir, m)
+    if dv is not None:  # sidecars stay DISJOINT: mark visible rows only
+        src = _apply_dv(src, dv)
+    hits = src.where(predicate).select(
+        _rel_file().alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    hits.persist()
+    try:
+        n_deleted = hits.count()
+        if n_deleted == 0:
+            return cur_v, 0
+        name = f"v{cur_v + 1:05d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(_dv_dir(table_dir), name)
+        # positions, not data: kilobytes for a targeted erasure
+        hits.coalesce(1).write.parquet(out)
+        try:
+            _commit(table_dir, {
+                "version": cur_v + 1, "parent": cur_v, "op": "delete",
+                "mode": "dv", "predicate": predicate,
+                "part_col": m["part_col"], "columns": m["columns"],
+                "files": m["files"],
+                "stats": m.get("stats", {}),
+                "dv": m.get("dv", []) + [name],
+            })
+        except FileExistsError:
+            shutil.rmtree(out, ignore_errors=True)  # lost the CAS
+            raise
+        return cur_v + 1, n_deleted
+    finally:
+        hits.unpersist()
 
 
 def optimize_version(
@@ -799,6 +975,7 @@ def optimize_version(
         "part_col": m["part_col"], "columns": m["columns"],
         "files": new_files,
         "stats": new_stats,
+        "dv": [],  # full rewrite: every DV delete is materialized
     })
     return cur_v + 1
 
@@ -859,6 +1036,7 @@ def repartition_table(
         "columns": m["columns"],
         "files": new_files,
         "stats": new_stats,
+        "dv": [],  # full rewrite: every DV delete is materialized
     })
     return cur_v + 1
 
@@ -919,16 +1097,23 @@ def read_changes(
     d = manifest_diff(table_dir, v_from, v_to)
     base = _data_dir(table_dir)
 
-    def _rd(files: list[str]) -> DataFrame:
+    def _rd(files: list[str], m: dict) -> DataFrame:
         if not files:
             return read_version(spark, table_dir, v_to).limit(0)
         df = spark.read.option("basePath", base).parquet(
             *[os.path.join(base, f) for f in files]
         )
+        dv = _dv_df(spark, table_dir, m)
+        if dv is not None:  # each side reflects ITS snapshot's view
+            df = _apply_dv(df, dv)
         return df.select(*cols)
 
-    old = _rd(d["removed"]).withColumn("_t_present", F.lit(1)).alias("t")
-    new = _rd(d["added"]).withColumn("_s_present", F.lit(1)).alias("s")
+    old = _rd(d["removed"], ma).withColumn(
+        "_t_present", F.lit(1)
+    ).alias("t")
+    new = _rd(d["added"], mb).withColumn(
+        "_s_present", F.lit(1)
+    ).alias("s")
     cond = None
     for k in keys:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
@@ -962,7 +1147,44 @@ def read_changes(
     ch = j.select(
         F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("_c")
     )
-    return ch.select("_c.change_type", *[F.col(f"_c.{c}") for c in cols])
+    feed = ch.select(
+        "_c.change_type", *[F.col(f"_c.{c}") for c in cols]
+    )
+
+    # DV-delta deletes: rows dv-marked in the window inside files
+    # CARRIED at both endpoints — untouched by the file diff above,
+    # so only this branch can see them. Files rewritten in-window are
+    # excluded: their dv-deleted rows already surface as deletes
+    # through the removed-vs-added comparison (double-count hazard).
+    # Sidecar disjointness guarantees each delta row was visible at
+    # v_from.
+    new_dvs = [n for n in mb.get("dv", []) if n not in set(ma.get("dv", []))]
+    if new_dvs:
+        delta = spark.read.parquet(
+            *[os.path.join(_dv_dir(table_dir), n) for n in new_dvs]
+        )
+        carried = sorted(set(ma["files"]) & set(mb["files"]))
+        if carried:
+            dv_del = _dv_marked_rows(
+                spark, base, carried, delta
+            ).select(F.lit("delete").alias("change_type"), *cols)
+            feed = feed.unionByName(dv_del)
+    # the mirror image: a RESTORE inside the window can DROP dv
+    # entries, resurrecting their rows in carried files — surface
+    # them as inserts (file-rewritten resurrections already show
+    # through the file diff)
+    gone_dvs = [n for n in ma.get("dv", []) if n not in set(mb.get("dv", []))]
+    if gone_dvs:
+        delta = spark.read.parquet(
+            *[os.path.join(_dv_dir(table_dir), n) for n in gone_dvs]
+        )
+        carried = sorted(set(ma["files"]) & set(mb["files"]))
+        if carried:
+            dv_ins = _dv_marked_rows(
+                spark, base, carried, delta
+            ).select(F.lit("insert").alias("change_type"), *cols)
+            feed = feed.unionByName(dv_ins)
+    return feed
 
 
 def restore_version(table_dir: str, version: int) -> int:
@@ -1002,6 +1224,17 @@ def restore_version(table_dir: str, version: int) -> int:
                 f"files were vacuumed (e.g. {missing[:3]}) — restore "
                 "targets must be tag-pinned to survive GC"
             )
+        gone_dv = [
+            n for n in m.get("dv", [])
+            if not os.path.exists(os.path.join(_dv_dir(table_dir), n))
+        ]
+        if gone_dv:
+            # restoring without the snapshot's deletion vectors would
+            # RESURRECT its deleted rows — refuse, never guess
+            raise FileNotFoundError(
+                f"cannot restore v{version}: its deletion-vector "
+                f"sidecars {gone_dv[:3]} were vacuumed"
+            )
         cur = vs[-1]
         try:
             _commit(table_dir, {
@@ -1009,6 +1242,7 @@ def restore_version(table_dir: str, version: int) -> int:
                 "restored_from": version,
                 "part_col": m["part_col"], "columns": m["columns"],
                 "files": m["files"], "stats": m.get("stats", {}),
+                "dv": m.get("dv", []),  # the snapshot's OWN dv state
             })
         except FileExistsError:
             raise ValueError(
@@ -1256,6 +1490,10 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
     live = {
         f for v in retain for f in _read_manifest(table_dir, v)["files"]
     }
+    # capture dropped manifests' dv lists BEFORE their files go away
+    dropped_dv = {
+        v: (_read_manifest(table_dir, v).get("dv") or []) for v in drop
+    }
     removed = []
     for v in drop:
         for f in _read_manifest(table_dir, v)["files"]:
@@ -1277,6 +1515,22 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
         hits = glob.glob(os.path.join(table_dir, "_index", f"*-v{v:05d}*"))
         for p in sorted(hits, key=os.path.isdir):
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    # DV sidecar GC, same containment rule as data files: a sidecar
+    # referenced by a dropped manifest and by NO retained one is
+    # unreachable from any surviving snapshot. Branch/clone-created
+    # sidecars never appear in source manifests, so this never
+    # touches them (their lifecycle is delete_branch / the fork tag).
+    live_dv = {
+        n for v in retain
+        for n in (_read_manifest(table_dir, v).get("dv") or [])
+    }
+    for v in drop:
+        for n in dropped_dv.get(v, []):
+            if n not in live_dv:
+                shutil.rmtree(
+                    os.path.join(_dv_dir(table_dir), n),
+                    ignore_errors=True,
+                )
     return sorted(set(removed))
 
 
@@ -1380,9 +1634,66 @@ def q_lake_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(nrows, "version").join(nparts, "version")
 
 
+_DV_LAKE_CACHE: dict[str, str] = {}
+
+
+def _dv_lake(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic three-version orders lake for the deletion-
+    vector query: v1 = orders with key % 7 != 0; v2 = dv delete of
+    (key % 5 = 0 AND status = 'F'); v3 = dv delete of key % 11 = 0.
+    Same build-once-per-process discipline (and lock) as
+    `_changes_lake`."""
+    import hashlib
+    import tempfile
+
+    key = os.path.realpath(sf_dir)
+    with _SNAP_LAKE_LOCK:
+        path = _DV_LAKE_CACHE.get(key)
+        if path is not None and not versions(path):
+            path = None
+        if path is None:
+            from tcrd_spark.sources.lake import load_table
+
+            tag = hashlib.md5(
+                f"dv:{key}:{os.getpid()}".encode()
+            ).hexdigest()[:12]
+            path = os.path.join(
+                tempfile.gettempdir(), f"tcrd_dv_lake_{tag}", "orders"
+            )
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderpriority",
+            )
+            create_table(
+                orders.filter(F.col("o_orderkey") % 7 != 0),
+                path,
+                "o_orderpriority",
+            )
+            delete_version(
+                spark, path,
+                "o_orderkey % 5 = 0 AND o_orderstatus = 'F'",
+                mode="dv",
+            )
+            delete_version(spark, path, "o_orderkey % 11 = 0", mode="dv")
+            _DV_LAKE_CACHE[key] = path
+        return path
+
+
+def q_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes, adjudicated end-to-end: the head of the
+    dv fixture lake (two composed deletion-vector commits — file list
+    never rewritten, readers anti-join the sidecars) must equal the
+    logical filter chain over the base table, which is exactly what
+    the DuckDB oracle computes."""
+    path = _dv_lake(spark, sf_dir)
+    return read_version(spark, path)
+
+
 QUERIES = {
     "snapshot_changes": q_snapshot_changes,
     "lake_history": q_lake_history,
+    "dv_deletes": q_dv_deletes,
 }
 
 # The oracle replays the lake's commit history logically: v1 and the
@@ -1453,5 +1764,16 @@ ORACLE = {
         SELECT 2, 1, 'merge', TRUE,
                (SELECT count(*) FROM v2),
                (SELECT count(DISTINCT o_orderpriority) FROM v2)
+    """,
+    # the dv lake's head replayed logically: v1 filter, then the two
+    # dv predicates negated (NULL-safe, the delete_version rule)
+    "dv_deletes": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+          AND NOT coalesce(
+                (o_orderkey % 5 = 0 AND o_orderstatus = 'F'), false)
+          AND NOT coalesce((o_orderkey % 11 = 0), false)
     """,
 }

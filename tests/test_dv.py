@@ -1,0 +1,240 @@
+"""Deletion vectors — merge-on-read DELETE (sources/snapshots.py
+`delete_version(mode="dv")`): row-identical to the copy-on-write
+rewrite, file list untouched, sidecars compose and stay disjoint,
+every reader (read_version, pruned reads, MERGE, OPTIMIZE, CDC,
+restore, branches) sees the DV-applied state, and GC reclaims
+sidecars exactly when no surviving snapshot references them."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tcrd_spark.sources import branches as br
+from tcrd_spark.sources import snapshots as snap
+
+
+def _orders(spark, sf_dir):
+    from tcrd_spark.sources.lake import load_table
+
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, sf_dir, tmp_path, name="t"):
+    table = str(tmp_path / name)
+    seed = _orders(spark, sf_dir)
+    snap.create_table(seed, table, "o_orderstatus")
+    return table, seed
+
+
+def test_dv_delete_equals_rewrite_delete(spark, sf_dir, tmp_path):
+    """The two modes are row-identical for the same predicate — and
+    the dv commit's file list is UNCHANGED (that is the point)."""
+    ta, seed = _mk(spark, sf_dir, tmp_path, "a")
+    tb, _ = _mk(spark, sf_dir, tmp_path, "b")
+    pred = "o_orderkey % 10 = 0"
+    va, na = snap.delete_version(spark, ta, pred, mode="dv")
+    vb, nb = snap.delete_version(spark, tb, pred)  # rewrite
+    assert (va, na) == (2, nb)
+    assert _rows(snap.read_version(spark, ta)) == _rows(
+        snap.read_version(spark, tb)
+    )
+    ma1 = snap._read_manifest(ta, 1)
+    ma2 = snap._read_manifest(ta, 2)
+    assert ma2["files"] == ma1["files"]
+    assert ma2["mode"] == "dv" and len(ma2["dv"]) == 1
+    assert snap._read_manifest(tb, 2)["files"] != ma1["files"]
+
+
+def test_dv_composition_time_travel_and_no_match(spark, sf_dir, tmp_path):
+    """Sidecars compose (disjoint by construction), every prior
+    version re-reads exactly, and a no-match dv delete commits
+    nothing."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    n0 = seed.count()
+    snap.delete_version(spark, table, "o_orderkey % 10 = 0", mode="dv")
+    snap.delete_version(spark, table, "o_orderstatus = 'F'", mode="dv")
+    got = snap.read_version(spark, table)
+    exp = seed.where(
+        "NOT (o_orderkey % 10 = 0) AND NOT (o_orderstatus = 'F')"
+    )
+    assert _rows(got) == _rows(exp)
+    assert snap.read_version(spark, table, 1).count() == n0
+    assert snap.read_version(spark, table, 2).count() == seed.where(
+        "NOT (o_orderkey % 10 = 0)"
+    ).count()
+    # disjointness: the second sidecar re-marks none of the first's
+    import glob as _g
+
+    dv2, dv3 = snap._read_manifest(table, 3)["dv"]
+    a = set(map(tuple, spark.read.parquet(
+        os.path.join(snap._dv_dir(table), dv2)).collect()))
+    b = set(map(tuple, spark.read.parquet(
+        os.path.join(snap._dv_dir(table), dv3)).collect()))
+    assert not (a & b)
+    v, nd = snap.delete_version(
+        spark, table, "o_orderkey < 0", mode="dv"
+    )
+    assert (v, nd) == (3, 0) and snap.versions(table) == [1, 2, 3]
+
+
+def test_dv_cdc_matches_rewrite_cdc(spark, sf_dir, tmp_path):
+    """read_changes across a dv delete equals the feed across the
+    SAME delete done as a rewrite — CDC is mode-independent."""
+    ta, seed = _mk(spark, sf_dir, tmp_path, "a")
+    tb, _ = _mk(spark, sf_dir, tmp_path, "b")
+    pred = "o_orderkey % 7 = 0 AND o_orderstatus = 'O'"
+    snap.delete_version(spark, ta, pred, mode="dv")
+    snap.delete_version(spark, tb, pred)
+    fa = snap.read_changes(spark, ta, 1, 2, ["o_orderkey"])
+    fb = snap.read_changes(spark, tb, 1, 2, ["o_orderkey"])
+    assert _rows(fa) == _rows(fb)
+    assert {r.change_type for r in fa.collect()} == {"delete"}
+
+
+def test_dv_then_merge_and_optimize(spark, sf_dir, tmp_path):
+    """A MERGE after a dv delete rewrites from the DV-APPLIED state
+    and carries live entries for carried files; OPTIMIZE materializes
+    everything and clears the dv list."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    snap.delete_version(spark, table, "o_orderkey % 10 = 0", mode="dv")
+    # single-partition source: the other partitions CARRY, so their
+    # dv entries must stay live (a whole-table source would rewrite
+    # everything and correctly clear the list)
+    src = seed.where(
+        "o_orderkey % 13 = 0 AND o_orderstatus = 'F'"
+    ).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 100.0, 2)
+    )
+    snap.merge_version(spark, table, src, ["o_orderkey"])
+    kept = seed.where("NOT (o_orderkey % 10 = 0)").alias("k")
+    exp = (
+        kept.join(src.alias("s"), "o_orderkey", "left_anti")
+        .unionByName(src)
+    )
+    assert _rows(snap.read_version(spark, table)) == _rows(exp)
+    assert snap._read_manifest(table, 3)["dv"], "carried files keep dv"
+
+    v = snap.optimize_version(spark, table)
+    m = snap._read_manifest(table, v)
+    assert m["dv"] == []
+    assert _rows(snap.read_version(spark, table, v)) == _rows(exp)
+    # optimize changed no rows → empty CDC (the classic pin, now
+    # across a dv-materializing compaction)
+    assert snap.read_changes(
+        spark, table, v - 1, v, ["o_orderkey"]
+    ).count() == 0
+
+
+def test_dv_pruned_read_applies_vector(spark, sf_dir, tmp_path):
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    snap.delete_version(spark, table, "o_orderkey % 10 = 0", mode="dv")
+    lo, hi = 100.0, 50000.0
+    got = snap.read_version_pruned(
+        spark, table, "o_totalprice", lo, hi
+    )
+    exp = seed.where(
+        f"NOT (o_orderkey % 10 = 0) AND o_totalprice >= {lo} "
+        f"AND o_totalprice <= {hi}"
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_dv_restore_and_resurrection_cdc(spark, sf_dir, tmp_path):
+    """RESTORE re-applies the target's dv state; CDC across the
+    restore surfaces the resurrected rows as inserts. A restore whose
+    target dv sidecar is gone refuses (silent resurrection would be
+    data corruption)."""
+    import shutil
+    import time
+
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    snap.delete_version(spark, table, "o_orderkey % 10 = 0", mode="dv")
+    snap.delete_version(spark, table, "o_orderstatus = 'F'", mode="dv")
+    rv = snap.restore_version(table, 2)  # undo the second delete
+    assert _rows(snap.read_version(spark, table, rv)) == _rows(
+        snap.read_version(spark, table, 2)
+    )
+    feed = snap.read_changes(spark, table, 3, rv, ["o_orderkey"])
+    kinds = {r.change_type for r in feed.collect()}
+    assert kinds == {"insert"}
+    n_resurrected = feed.count()
+    assert n_resurrected == (
+        snap.read_version(spark, table, 2).count()
+        - snap.read_version(spark, table, 3).count()
+    )
+
+    gone = snap._read_manifest(table, 3)["dv"][-1]
+    shutil.rmtree(os.path.join(snap._dv_dir(table), gone))
+    with pytest.raises(FileNotFoundError, match="deletion-vector"):
+        snap.restore_version(table, 3)
+
+
+def test_dv_vacuum_gc_and_physical_erasure_story(spark, sf_dir, tmp_path):
+    """vacuum reclaims a sidecar exactly when no retained manifest
+    references it — and keeps it while any retained version (here the
+    head chain) still does."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    snap.delete_version(spark, table, "o_orderkey % 10 = 0", mode="dv")
+    name = snap._read_manifest(table, 2)["dv"][0]
+    side = os.path.join(snap._dv_dir(table), name)
+    # appends keep carrying the dv → still referenced after vacuum
+    snap.append_version(table, seed.limit(3).select(
+        (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+        "o_orderstatus", "o_totalprice",
+    ))
+    snap.vacuum(table, keep_versions=2)
+    assert os.path.isdir(side)
+    # optimize clears the reference; vacuuming past the dv era drops it
+    snap.optimize_version(spark, table)
+    snap.vacuum(table, keep_versions=1)
+    assert not os.path.isdir(side)
+    assert snap.read_version(spark, table).count() == seed.where(
+        "NOT (o_orderkey % 10 = 0)"
+    ).count() + 3
+
+
+def test_dv_on_branch_squash_merges_and_cleans_up(
+    spark, sf_dir, tmp_path
+):
+    """A dv delete on a branch is invisible to the source, squash-
+    merges (rewrite-class commit) with its sidecar resolving through
+    the SHARED _dv namespace, and delete_branch removes sidecars only
+    the branch ever referenced."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    n0 = seed.count()
+    bdir = br.create_branch(table, "wip")
+    v, nd = snap.delete_version(
+        spark, bdir, "o_orderkey % 10 = 0", mode="dv"
+    )
+    assert nd > 0
+    assert snap.read_version(spark, table).count() == n0  # isolated
+    assert snap.read_version(spark, bdir).count() == n0 - nd
+    head = br.merge_branch(spark, table, "wip")
+    assert snap._read_manifest(table, head)["dv"]
+    assert snap.read_version(spark, table).count() == n0 - nd
+    assert not br.delete_branch(table, "wip")
+    # merged sidecar survives the branch deletion (source references it)
+    assert snap.read_version(spark, table).count() == n0 - nd
+
+    # an UNMERGED branch's sidecar is cleaned with the branch
+    bdir2 = br.create_branch(table, "scrap")
+    snap.delete_version(spark, bdir2, "o_orderstatus = 'F'", mode="dv")
+    scrap_dv = set(snap._read_manifest(bdir2, head + 1)["dv"]) - set(
+        snap._read_manifest(table, head)["dv"]
+    )
+    assert len(scrap_dv) == 1
+    side = os.path.join(snap._dv_dir(table), next(iter(scrap_dv)))
+    assert os.path.isdir(side)
+    br.delete_branch(table, "scrap")
+    assert not os.path.isdir(side)
+    assert snap.read_version(spark, table).count() == n0 - nd

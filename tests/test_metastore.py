@@ -120,6 +120,17 @@ def test_full_lifecycle_on_memory_store(
         assert snap.read_version(spark, dest).count() == n + 7
         assert snap.read_version(spark, table).count() == n + 8
 
+        # merge-on-read delete: manifest's dv ref flows through the
+        # store; the sidecar itself is data-plane parquet
+        v_dv, n_dv = snap.delete_version(
+            spark, table, "o_orderkey % 5 = 0", mode="dv"
+        )
+        assert n_dv > 0
+        assert snap._read_manifest(table, v_dv)["dv"]
+        assert snap.read_version(spark, table).count() == (
+            n + 8 - n_dv
+        )
+
         rv = snap.restore_version(table, 2)
         assert _rows(snap.read_version(spark, table)) == _rows(
             snap.read_version(spark, table, 2)
