@@ -39,4 +39,6 @@ def test_q15_argmax_is_singletonish_and_maximal(spark, sf_dir):
         Q15_SQL.split("SELECT s_suppkey")[0] +
         "SELECT max(total_revenue) AS m FROM revenue",
     ).head()
-    assert inner.m == top
+    # the CTE accumulates in exact DECIMAL space since r11 (the money
+    # -sum discipline); the report column is the DOUBLE cast of it
+    assert float(inner.m) == top

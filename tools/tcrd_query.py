@@ -114,7 +114,9 @@ def _lake_cmd(args) -> int:
         if not args.predicate:
             print("--predicate required for delete", file=sys.stderr)
             return 1
-        v, n = snap.delete_version(spark, table, args.predicate)
+        v, n = snap.delete_version(
+            spark, table, args.predicate, mode=args.mode
+        )
         print(f"v{v}\tdeleted={n}")
         return 0
     if args.action == "restore":
@@ -216,6 +218,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="tag or branch name (tag/branch actions)")
     lk.add_argument("--predicate", default=None,
                     help="SQL predicate (delete action)")
+    lk.add_argument("--mode", default="rewrite",
+                    choices=["rewrite", "dv"],
+                    help="delete mode: copy-on-write rewrite or "
+                         "merge-on-read deletion vector")
     lk.add_argument("--cluster-by", default=None,
                     help="comma-joined OPTIMIZE ZORDER columns")
     lk.add_argument("--dest", default=None,
