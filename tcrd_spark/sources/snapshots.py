@@ -869,6 +869,101 @@ def delete_version(
     return cur_v + 1, n_deleted
 
 
+def update_version(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    prune: tuple[str, object, object] | None = None,
+) -> tuple[int, int]:
+    """Merge-on-read UPDATE (the deletion-vector pattern's second
+    half — Delta's DV-accelerated UPDATE/MERGE): ONE commit that
+    dv-marks the matching rows' old positions AND appends the patched
+    rows as new files — bytes moved ∝ rows updated, never partitions
+    touched. `set_exprs` maps column → SQL expression evaluated
+    against the OLD row (columns not mapped carry through).
+
+    Because the old copy is position-marked rather than left behind
+    in a carried file, this verb supports PARTITION-MOVING updates —
+    the case the copy-on-write MERGE documents as a contract
+    violation (the moved row's old copy would survive in an untouched
+    partition). CDC across the commit surfaces delete(old) +
+    insert(new) rows — the same signed-multiset effect as an
+    update_pre/update_post pair, so incremental maintenance folds it
+    identically. Returns (version, n_updated); no commit when nothing
+    matches. Bulk updates belong to merge_version (COW)."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    cur_v = vs[-1]
+    m = _read_manifest(table_dir, cur_v)
+    unknown = [c for c in set_exprs if c not in m["columns"]]
+    if unknown:
+        raise ValueError(f"set columns not in table: {unknown}")
+    base = _data_dir(table_dir)
+    if prune is not None:
+        pcol, lo, hi = prune
+        condition = (
+            f"(({condition}) AND {pcol} >= {_sql_lit(lo)} "
+            f"AND {pcol} <= {_sql_lit(hi)})"
+        )
+        cand, _total = plan_files(table_dir, cur_v, pcol, lo, hi)
+    else:
+        cand = list(m["files"])
+    if not cand:
+        return cur_v, 0
+    src = (
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*[os.path.join(base, f) for f in cand])
+    )
+    dv = _dv_df(spark, table_dir, m)
+    if dv is not None:
+        src = _apply_dv(src, dv)
+    hits = src.where(condition).select(
+        _rel_file().alias("_dv_mark_file"),
+        F.col("_metadata.row_index").alias("_dv_mark_pos"),
+        *m["columns"],
+    )
+    hits.persist()
+    try:
+        n_updated = hits.count()
+        if n_updated == 0:
+            return cur_v, 0
+        updated = hits.select(*[
+            F.expr(set_exprs.get(c, c)).alias(c) for c in m["columns"]
+        ])
+        part_col = m["part_col"]
+        new_files, new_stats = _stage_files(
+            updated.repartition(part_col), table_dir, part_col,
+            cur_v + 1,
+        )
+        name = f"v{cur_v + 1:05d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(_dv_dir(table_dir), name)
+        hits.select(
+            F.col("_dv_mark_file").alias("file"),
+            F.col("_dv_mark_pos").alias("pos"),
+        ).coalesce(1).write.parquet(out)
+        try:
+            _commit(table_dir, {
+                "version": cur_v + 1, "parent": cur_v, "op": "update",
+                "mode": "dv", "predicate": condition,
+                "set": dict(set_exprs),
+                "part_col": part_col, "columns": m["columns"],
+                "files": sorted(m["files"] + new_files),
+                "stats": {**m.get("stats", {}), **new_stats},
+                "dv": m.get("dv", []) + [name],
+            })
+        except FileExistsError:
+            # lost the CAS: reclaim the sidecar now; the staged data
+            # files are unreferenced orphans remove_orphans sweeps
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        return cur_v + 1, n_updated
+    finally:
+        hits.unpersist()
+
+
 def _delete_dv(
     spark: SparkSession,
     table_dir: str,
@@ -1638,11 +1733,12 @@ _DV_LAKE_CACHE: dict[str, str] = {}
 
 
 def _dv_lake(spark: SparkSession, sf_dir: str) -> str:
-    """Deterministic three-version orders lake for the deletion-
-    vector query: v1 = orders with key % 7 != 0; v2 = dv delete of
-    (key % 5 = 0 AND status = 'F'); v3 = dv delete of key % 11 = 0.
-    Same build-once-per-process discipline (and lock) as
-    `_changes_lake`."""
+    """Deterministic four-version orders lake for the deletion-
+    vector queries: v1 = orders with key % 7 != 0; v2 = dv delete of
+    (key % 5 = 0 AND status = 'F'); v3 = dv delete of key % 11 = 0;
+    v4 = MOR update of key % 3 = 0 (totalprice + 100.0 — IEEE-exact,
+    no rounding ambiguity). Same build-once-per-process discipline
+    (and lock) as `_changes_lake`."""
     import hashlib
     import tempfile
 
@@ -1676,16 +1772,29 @@ def _dv_lake(spark: SparkSession, sf_dir: str) -> str:
                 mode="dv",
             )
             delete_version(spark, path, "o_orderkey % 11 = 0", mode="dv")
+            update_version(
+                spark, path, "o_orderkey % 3 = 0",
+                {"o_totalprice": "o_totalprice + 100.0"},
+            )
             _DV_LAKE_CACHE[key] = path
         return path
 
 
 def q_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read deletes, adjudicated end-to-end: the head of the
-    dv fixture lake (two composed deletion-vector commits — file list
-    never rewritten, readers anti-join the sidecars) must equal the
-    logical filter chain over the base table, which is exactly what
-    the DuckDB oracle computes."""
+    """Merge-on-read deletes, adjudicated end-to-end: version 3 of
+    the dv fixture lake (two composed deletion-vector commits — file
+    list never rewritten, readers anti-join the sidecars) must equal
+    the logical filter chain over the base table, which is exactly
+    what the DuckDB oracle computes."""
+    path = _dv_lake(spark, sf_dir)
+    return read_version(spark, path, 3)
+
+
+def q_dv_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE adjudicated end-to-end: the lake's head
+    (dv-marked old positions + appended patched rows, one commit)
+    must equal the filter chain with the update expressed as a CASE
+    over the base table."""
     path = _dv_lake(spark, sf_dir)
     return read_version(spark, path)
 
@@ -1694,6 +1803,7 @@ QUERIES = {
     "snapshot_changes": q_snapshot_changes,
     "lake_history": q_lake_history,
     "dv_deletes": q_dv_deletes,
+    "dv_updates": q_dv_updates,
 }
 
 # The oracle replays the lake's commit history logically: v1 and the
@@ -1765,10 +1875,23 @@ ORACLE = {
                (SELECT count(*) FROM v2),
                (SELECT count(DISTINCT o_orderpriority) FROM v2)
     """,
-    # the dv lake's head replayed logically: v1 filter, then the two
+    # the dv lake's v3 replayed logically: v1 filter, then the two
     # dv predicates negated (NULL-safe, the delete_version rule)
     "dv_deletes": """
         SELECT o_orderkey, o_orderstatus, o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+          AND NOT coalesce(
+                (o_orderkey % 5 = 0 AND o_orderstatus = 'F'), false)
+          AND NOT coalesce((o_orderkey % 11 = 0), false)
+    """,
+    # the head adds the MOR update as a CASE over the same chain
+    "dv_updates": """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
                o_orderpriority
         FROM orders
         WHERE o_orderkey % 7 <> 0

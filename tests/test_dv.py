@@ -238,3 +238,95 @@ def test_dv_on_branch_squash_merges_and_cleans_up(
     br.delete_branch(table, "scrap")
     assert not os.path.isdir(side)
     assert snap.read_version(spark, table).count() == n0 - nd
+
+
+def test_mor_update_equals_case_rewrite(spark, sf_dir, tmp_path):
+    """update_version == the CASE-expression rewrite of the same
+    logical update; one commit, file list grows (patch files), dv
+    grows (old positions), prior version re-reads exactly."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    n0 = seed.count()
+    v, nu = snap.update_version(
+        spark, table, "o_orderkey % 9 = 0",
+        {"o_totalprice": "round(o_totalprice + 100.0, 2)"},
+    )
+    assert v == 2 and nu == seed.where("o_orderkey % 9 = 0").count()
+    exp = seed.select(
+        "o_orderkey", "o_orderstatus",
+        F.when(
+            F.expr("o_orderkey % 9 = 0"),
+            F.round(F.col("o_totalprice") + 100.0, 2),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    assert _rows(snap.read_version(spark, table)) == _rows(exp)
+    assert snap.read_version(spark, table).count() == n0
+    assert _rows(snap.read_version(spark, table, 1)) == _rows(seed)
+    m = snap._read_manifest(table, 2)
+    assert m["op"] == "update" and m["mode"] == "dv" and len(m["dv"]) == 1
+    assert len(m["files"]) > len(snap._read_manifest(table, 1)["files"])
+
+    # no-match update commits nothing
+    v2, nu2 = snap.update_version(
+        spark, table, "o_orderkey < 0", {"o_orderstatus": "'X'"}
+    )
+    assert (v2, nu2) == (2, 0) and snap.versions(table) == [1, 2]
+
+
+def test_mor_update_moves_partitions(spark, sf_dir, tmp_path):
+    """A partition-moving update — the case COW MERGE documents as a
+    contract violation — is exact under MOR: the old copy is
+    position-marked, never stranded in a carried file."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    v, nu = snap.update_version(
+        spark, table, "o_orderstatus = 'F' AND o_orderkey % 4 = 0",
+        {"o_orderstatus": "'O'"},
+    )
+    assert nu > 0
+    got = snap.read_version(spark, table)
+    exp = seed.select(
+        "o_orderkey",
+        F.when(
+            F.expr("o_orderstatus = 'F' AND o_orderkey % 4 = 0"),
+            F.lit("O"),
+        ).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    assert _rows(got) == _rows(exp)
+    assert got.where(
+        "o_orderstatus = 'F' AND o_orderkey % 4 = 0"
+    ).count() == 0
+
+
+def test_mor_update_cdc_and_optimize(spark, sf_dir, tmp_path):
+    """CDC across a MOR update emits delete(old) + insert(new) — the
+    signed-multiset equivalent of an update pair — and a later
+    OPTIMIZE materializes the patch with an empty feed."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    pred = "o_orderkey % 9 = 0"
+    snap.update_version(
+        spark, table, pred,
+        {"o_totalprice": "round(o_totalprice + 100.0, 2)"},
+    )
+    feed = snap.read_changes(spark, table, 1, 2, ["o_orderkey"])
+    rows = feed.collect()
+    from collections import Counter
+
+    n = seed.where(pred).count()
+    assert Counter(r.change_type for r in rows) == {
+        "delete": n, "insert": n
+    }
+    old = {r.o_orderkey: r.o_totalprice for r in rows
+           if r.change_type == "delete"}
+    new = {r.o_orderkey: r.o_totalprice for r in rows
+           if r.change_type == "insert"}
+    assert set(old) == set(new)
+    assert all(new[k] == round(old[k] + 100.0, 2) for k in old)
+
+    v = snap.optimize_version(spark, table)
+    assert snap._read_manifest(table, v)["dv"] == []
+    assert snap.read_changes(
+        spark, table, v - 1, v, ["o_orderkey"]
+    ).count() == 0
+    assert _rows(snap.read_version(spark, table, v)) == _rows(
+        snap.read_version(spark, table, 2)
+    )
