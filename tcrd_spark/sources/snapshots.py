@@ -675,6 +675,10 @@ def merge_version(
     cur_v = vs[-1]
     m = _read_manifest(table_dir, cur_v)
     part_col = m["part_col"]
+    if granularity == "dv":
+        return _merge_dv(
+            spark, table_dir, m, source, keys, delete_condition, txn_id
+        )
     if granularity == "file" and len(keys) == 1:
         key = keys[0]
         stats = m.get("stats", {})
@@ -733,6 +737,111 @@ def merge_version(
         # carried files keep their live DV entries; entries for the
         # rewritten files just became inert (names left the list)
         "dv": m.get("dv", []) if keep else [],
+    })
+    return cur_v + 1
+
+
+def _merge_dv(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    source: DataFrame,
+    keys: list[str],
+    delete_condition: str | None,
+    txn_id,
+) -> int:
+    """Merge-on-read MERGE (``granularity="dv"`` — Delta's
+    DV-accelerated MERGE): ONE commit that dv-marks every MATCHED
+    target row's position and appends the source's effect — updated
+    rows for matches (minus `delete_condition` matches, which are
+    marked only), fresh rows for source-only keys. No target file is
+    ever rewritten: bytes moved ∝ source size, so a narrow CDC batch
+    against a 100 TB table costs kilobytes of sidecar plus the batch
+    itself — regardless of partition scheme OR clustering (the
+    rewrite granularities need zone-map luck to touch few files; this
+    needs none). Semantics mirror `merge_frames` exactly (SCD-1:
+    update matched, insert unmatched-source, keep unmatched-target;
+    `delete_condition` is SQL over the s-aliased source columns) —
+    pytest-pinned row-identical to the partition-rewrite merge."""
+    cur_v = m["version"]
+    base = _data_dir(table_dir)
+    part_col = m["part_col"]
+    if source.columns != m["columns"]:
+        raise ValueError(
+            f"merge schemas differ: {source.columns} vs {m['columns']}"
+        )
+    parts = affected_partitions(source, part_col)
+    hive = {f"{part_col}={p}" for p in parts}
+    touched = [f for f in m["files"] if _partition_of(f) in hive]
+    marks = None
+    if touched:
+        target = (
+            spark.read.option("basePath", base)
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(base, f) for f in touched])
+        )
+        dv = _dv_df(spark, table_dir, m)
+        if dv is not None:  # only VISIBLE rows can match
+            target = _apply_dv(target, dv)
+        # meta captured as plain columns BEFORE the join (metadata
+        # columns don't survive arbitrary plan shapes)
+        t = (
+            target.withColumn("_rf", _rel_file())
+            .withColumn("_ri", F.col("_metadata.row_index"))
+            .alias("t")
+        )
+        cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            cond = c if cond is None else (cond & c)
+        marks = (
+            t.join(source.alias("s"), cond, "left_semi")
+            .select(
+                F.col("_rf").alias("file"), F.col("_ri").alias("pos")
+            )
+        )
+        matched_keys = (
+            t.join(source.alias("s"), cond, "left_semi")
+            .select(*keys)
+            .distinct()
+        )
+    else:
+        matched_keys = source.select(*keys).limit(0)
+    # the source's effect: matched rows update (append the SOURCE
+    # row) unless delete_condition says delete (mark only);
+    # source-only keys insert. Row logic mirrors merge_frames.
+    s = source.alias("s")
+    mk = matched_keys.withColumn("_mk", F.lit(1)).alias("mk")
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}").eqNullSafe(F.col(f"mk.{k}"))
+        cond = c if cond is None else (cond & c)
+    flagged = s.join(F.broadcast(mk), cond, "left_outer")
+    appends = flagged.where(
+        ~(
+            F.col("mk._mk").isNotNull()
+            & F.expr(delete_condition or "false")
+        )
+    ).select(*[F.col(f"s.{c}") for c in m["columns"]])
+    new_files, new_stats = _stage_files(
+        appends.repartition(part_col), table_dir, part_col, cur_v + 1
+    )
+    dv_list = list(m.get("dv", []))
+    if marks is not None:
+        name = f"v{cur_v + 1:05d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(_dv_dir(table_dir), name)
+        marks.coalesce(1).write.parquet(out)
+        # an all-unmatched source writes an EMPTY sidecar — keep it
+        # (referencing it is harmless; pruning would need a count)
+        dv_list.append(name)
+    _commit(table_dir, {
+        "version": cur_v + 1, "parent": cur_v, "op": "merge",
+        "mode": "dv",
+        "part_col": part_col, "columns": m["columns"],
+        "txn_id": txn_id,
+        "files": sorted(m["files"] + new_files),
+        "stats": {**m.get("stats", {}), **new_stats},
+        "dv": dv_list,
     })
     return cur_v + 1
 

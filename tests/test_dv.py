@@ -330,3 +330,87 @@ def test_mor_update_cdc_and_optimize(spark, sf_dir, tmp_path):
     assert _rows(snap.read_version(spark, table, v)) == _rows(
         snap.read_version(spark, table, 2)
     )
+
+
+def test_mor_merge_equals_rewrite_merge(spark, sf_dir, tmp_path):
+    """merge_version(granularity='dv') is row-identical to the
+    partition-rewrite merge for the same source — updates, inserts,
+    and delete_condition all included — without rewriting any target
+    file; a replayed txn_id no-ops; a second dv merge composes."""
+    ta, seed = _mk(spark, sf_dir, tmp_path, "a")
+    tb, _ = _mk(spark, sf_dir, tmp_path, "b")
+    src = seed.where("o_orderkey % 6 = 0").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 100.0, 2)
+    ).unionByName(
+        seed.limit(7).select(
+            (F.col("o_orderkey") + 10**9).alias("o_orderkey"),
+            "o_orderstatus", "o_totalprice",
+        )
+    )
+    va = snap.merge_version(
+        spark, ta, src, ["o_orderkey"],
+        delete_condition="s.o_orderstatus = 'F'",
+        granularity="dv", txn_id="m1",
+    )
+    vb = snap.merge_version(
+        spark, tb, src, ["o_orderkey"],
+        delete_condition="s.o_orderstatus = 'F'",
+    )
+    assert va == vb == 2
+    assert _rows(snap.read_version(spark, ta)) == _rows(
+        snap.read_version(spark, tb)
+    )
+    ma = snap._read_manifest(ta, 2)
+    assert ma["mode"] == "dv"
+    # every v1 file carried — nothing rewritten
+    assert set(snap._read_manifest(ta, 1)["files"]) <= set(ma["files"])
+
+    # replay no-ops
+    assert snap.merge_version(
+        spark, ta, src, ["o_orderkey"], granularity="dv", txn_id="m1"
+    ) is None
+
+    # a second dv merge composes on the dv-applied state
+    src2 = seed.where("o_orderkey % 15 = 0").withColumn(
+        "o_orderstatus", F.lit("P")
+    )
+    snap.merge_version(spark, ta, src2, ["o_orderkey"], granularity="dv")
+    snap.merge_version(spark, tb, src2, ["o_orderkey"])
+    assert _rows(snap.read_version(spark, ta)) == _rows(
+        snap.read_version(spark, tb)
+    )
+    assert _rows(snap.read_version(spark, ta, 2)) == _rows(
+        snap.read_version(spark, tb, 2)
+    )
+
+
+def test_mor_merge_cdc_folds_like_rewrite(spark, sf_dir, tmp_path):
+    """The dv merge's delete+insert CDC representation folds into a
+    maintained aggregate exactly like the rewrite merge's update
+    pairs — the signed-multiset equivalence, end to end."""
+    from tcrd_spark.sources.incremental import (
+        apply_delta, delta_group_agg, group_agg,
+    )
+
+    ta, seed = _mk(spark, sf_dir, tmp_path, "a")
+    src = seed.where("o_orderkey % 6 = 0").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 100.0, 2)
+    )
+    snap.merge_version(spark, ta, src, ["o_orderkey"], granularity="dv")
+    state = group_agg(
+        snap.read_version(spark, ta, 1), "o_orderstatus", "o_totalprice"
+    )
+    feed = snap.read_changes(spark, ta, 1, 2, ["o_orderkey"])
+    folded = apply_delta(
+        state,
+        delta_group_agg(feed, "o_orderstatus", "o_totalprice"),
+        "o_orderstatus",
+    )
+    full = group_agg(
+        snap.read_version(spark, ta, 2), "o_orderstatus", "o_totalprice"
+    )
+    got = {r.o_orderstatus: (r.n, round(r.s, 2))
+           for r in folded.collect()}
+    exp = {r.o_orderstatus: (r.n, round(r.s, 2))
+           for r in full.collect()}
+    assert got == exp
