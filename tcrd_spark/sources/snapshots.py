@@ -762,7 +762,13 @@ def _merge_dv(
     needs none). Semantics mirror `merge_frames` exactly (SCD-1:
     update matched, insert unmatched-source, keep unmatched-target;
     `delete_condition` is SQL over the s-aliased source columns) —
-    pytest-pinned row-identical to the partition-rewrite merge."""
+    pytest-pinned row-identical to the partition-rewrite merge. One
+    contract RELAXATION vs the rewrite modes: matches are found by
+    key across the whole table (zone-map-scoped, not
+    partition-scoped) and old copies are position-marked, so CDC
+    tombstones and partition-moving updates whose source rows carry a
+    different partition value apply correctly instead of stranding
+    the old copy."""
     cur_v = m["version"]
     base = _data_dir(table_dir)
     part_col = m["part_col"]
@@ -770,9 +776,41 @@ def _merge_dv(
         raise ValueError(
             f"merge schemas differ: {source.columns} vs {m['columns']}"
         )
-    parts = affected_partitions(source, part_col)
-    hive = {f"{part_col}={p}" for p in parts}
-    touched = [f for f in m["files"] if _partition_of(f) in hive]
+    # candidate scope is an OPTIMIZATION only (nothing here is
+    # rewritten, so an over-wide scan costs read time, never
+    # correctness): single-key merges prune by the key zone maps;
+    # otherwise scan everything. Deliberately NOT partition-scoped —
+    # the COW merge's "a key's partition never changes" contract does
+    # not bind here, because matches are found by KEY wherever they
+    # live and old copies are position-marked (a CDC tombstone or
+    # partition-moving update whose source row carries a different
+    # partition value still finds and kills the old copy).
+    if len(keys) == 1:
+        key = keys[0]
+        stats = m.get("stats", {})
+        no_stats = [
+            f for f in m["files"] if stats.get(f, {}).get(key) is None
+        ]
+        ranged = [
+            (f, stats[f][key][0], stats[f][key][1])
+            for f in m["files"]
+            if stats.get(f, {}).get(key) is not None
+        ]
+        hit: set[str] = set()
+        if ranged:
+            rng = spark.createDataFrame(ranged, ["_f", "_lo", "_hi"])
+            hit = {
+                r["_f"]
+                for r in rng.join(
+                    F.broadcast(source.select(key).distinct()),
+                    (F.col(key) >= F.col("_lo"))
+                    & (F.col(key) <= F.col("_hi")),
+                    "left_semi",
+                ).collect()
+            }
+        touched = sorted(hit | set(no_stats))
+    else:
+        touched = list(m["files"])
     marks = None
     if touched:
         target = (

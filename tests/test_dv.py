@@ -370,9 +370,11 @@ def test_mor_merge_equals_rewrite_merge(spark, sf_dir, tmp_path):
         spark, ta, src, ["o_orderkey"], granularity="dv", txn_id="m1"
     ) is None
 
-    # a second dv merge composes on the dv-applied state
+    # a second dv merge composes on the dv-applied state (partition-
+    # preserving source: the rewrite merge's comparison baseline
+    # requires its partition-stability contract)
     src2 = seed.where("o_orderkey % 15 = 0").withColumn(
-        "o_orderstatus", F.lit("P")
+        "o_totalprice", F.round(F.col("o_totalprice") + 7.0, 2)
     )
     snap.merge_version(spark, ta, src2, ["o_orderkey"], granularity="dv")
     snap.merge_version(spark, tb, src2, ["o_orderkey"])
@@ -382,6 +384,34 @@ def test_mor_merge_equals_rewrite_merge(spark, sf_dir, tmp_path):
     assert _rows(snap.read_version(spark, ta, 2)) == _rows(
         snap.read_version(spark, tb, 2)
     )
+
+
+def test_mor_merge_applies_partition_moving_source(
+    spark, sf_dir, tmp_path
+):
+    """The dv merge's contract RELAXATION: a source row carrying a
+    NEW partition value (the CDC-tombstone / moved-row case that
+    strands old copies under the partition-scoped COW merge) finds
+    its target by key and position-marks the old copy — no
+    double-presence, no strand."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    src = seed.where("o_orderkey % 15 = 0").withColumn(
+        "o_orderstatus", F.lit("P")
+    )
+    snap.merge_version(spark, table, src, ["o_orderkey"], granularity="dv")
+    got = snap.read_version(spark, table)
+    exp = seed.select(
+        "o_orderkey",
+        F.when(F.expr("o_orderkey % 15 = 0"), F.lit("P"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    assert _rows(got) == _rows(exp)
+    # exactly one copy per moved key — the old-partition copy is dead
+    dups = (
+        got.groupBy("o_orderkey").count().where("count > 1").count()
+    )
+    assert dups == 0
 
 
 def test_mor_merge_cdc_folds_like_rewrite(spark, sf_dir, tmp_path):

@@ -166,3 +166,77 @@ def test_write_audit_publish_quarantines_bad_batches(spark, tmp_path):
     finally:
         q.stop()
     assert snap.read_version(spark, table).count() == before
+
+
+def test_streaming_cdc_apply_via_dv_merge(spark, tmp_path):
+    """An at-least-once CDC-apply sink using the MOR merge: each
+    micro-batch lands as ONE mark+append dv commit under its batch
+    txn_id (no target file ever rewritten), a restart replays the
+    stream from scratch and every replayed batch no-ops on the txn
+    guard, and the final table equals the batch-computed expectation."""
+    table = str(tmp_path / "t")
+    src = tmp_path / "src"
+    src.mkdir()
+    seed = spark.createDataFrame(
+        [(i, "OF"[i % 2], 10.0 * i) for i in range(1, 21)], SCHEMA
+    )
+    snap.create_table(seed, table, "o_orderstatus")
+    v1_files = set(snap._read_manifest(table, 1)["files"])
+
+    def write_chunk(name, rows):
+        p = os.path.join(str(src), f"{name}.json")
+        with open(p + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(p + ".tmp", p)
+
+    # batch a: price updates for even keys; batch b: new keys + one
+    # tombstone (status X ⇒ delete via the merge's delete_condition)
+    write_chunk("a", [
+        {"o_orderkey": k, "o_orderstatus": "OF"[k % 2],
+         "o_totalprice": 10.0 * k + 1.0}
+        for k in range(2, 21, 2)
+    ])
+    write_chunk("b", [
+        {"o_orderkey": 100 + i, "o_orderstatus": "P",
+         "o_totalprice": 5.0 * i} for i in range(3)
+    ] + [{"o_orderkey": 7, "o_orderstatus": "X", "o_totalprice": 0.0}])
+
+    def apply_batch(df, bid):
+        snap.merge_version(
+            spark, table, df, ["o_orderkey"],
+            delete_condition="s.o_orderstatus = 'X'",
+            granularity="dv", txn_id=f"cdc-{bid}",
+        )
+
+    def run(ckpt):
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).json(str(src))
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    head = snap.versions(table)[-1]
+    # a FRESH checkpoint replays every batch from scratch — each must
+    # no-op on its committed txn_id, landing zero new versions
+    run(str(tmp_path / "ckpt2"))
+    assert snap.versions(table)[-1] == head
+
+    got = {
+        (r.o_orderkey, r.o_orderstatus, round(r.o_totalprice, 2))
+        for r in snap.read_version(spark, table).collect()
+    }
+    exp = {
+        (k, "OF"[k % 2], 10.0 * k + (1.0 if k % 2 == 0 else 0.0))
+        for k in range(1, 21) if k != 7
+    } | {(100 + i, "P", 5.0 * i) for i in range(3)}
+    assert got == exp
+    # every seed file survived every commit — merge-on-read all the way
+    assert v1_files <= set(snap._read_manifest(table, head)["files"])
