@@ -57,10 +57,11 @@ PRIORITY = (
     # registered mid-r11 into a pre-existing module (sources/
     # snapshots.py): no new-module grace — adjudicate now, displacing
     # the youngest-green fillers (mmr_rerank, merge_intervals,
-    # hgram_cdf — r7, back to the tail)
+    # hgram_cdf, grouping_sets_mix — r7, back to the tail)
     "lake_history",
     "dv_deletes",
     "dv_updates",
+    "dv_merge",
     "association_rules",
     "attribution_touch",
     "bpe_pair_counts",
@@ -82,12 +83,12 @@ PRIORITY = (
     "dsir_weights",
     "event_transitions",
     "group_ols",
-    "grouping_sets_mix",
     # ---- past the driver's 50-query cap (position 51+): every
     # entry holds a green driver CORRECTNESS row from a prior
     # round, ordered oldest-green-first so the next rotation
     # reads straight off this list ----
     # last green r7
+    "grouping_sets_mix",
     "hgram_cdf",
     "merge_intervals",
     "mmr_rerank",

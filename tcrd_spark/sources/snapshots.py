@@ -1880,12 +1880,16 @@ _DV_LAKE_CACHE: dict[str, str] = {}
 
 
 def _dv_lake(spark: SparkSession, sf_dir: str) -> str:
-    """Deterministic four-version orders lake for the deletion-
+    """Deterministic five-version orders lake for the deletion-
     vector queries: v1 = orders with key % 7 != 0; v2 = dv delete of
     (key % 5 = 0 AND status = 'F'); v3 = dv delete of key % 11 = 0;
     v4 = MOR update of key % 3 = 0 (totalprice + 100.0 — IEEE-exact,
-    no rounding ambiguity). Same build-once-per-process discipline
-    (and lock) as `_changes_lake`."""
+    no rounding ambiguity); v5 = MOR MERGE of the key % 13 = 0 slice
+    of the BASE table (totalprice + 50.0) with delete_condition
+    status='F' — matched rows update-or-die, source-only keys
+    (including previously deleted ones) insert. Same
+    build-once-per-process discipline (and lock) as
+    `_changes_lake`."""
     import hashlib
     import tempfile
 
@@ -1923,6 +1927,16 @@ def _dv_lake(spark: SparkSession, sf_dir: str) -> str:
                 spark, path, "o_orderkey % 3 = 0",
                 {"o_totalprice": "o_totalprice + 100.0"},
             )
+            merge_version(
+                spark, path,
+                orders.filter(F.col("o_orderkey") % 13 == 0)
+                .withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 50.0
+                ),
+                ["o_orderkey"],
+                delete_condition="s.o_orderstatus = 'F'",
+                granularity="dv",
+            )
             _DV_LAKE_CACHE[key] = path
         return path
 
@@ -1938,10 +1952,21 @@ def q_dv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dv_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-on-read UPDATE adjudicated end-to-end: the lake's head
+    """Merge-on-read UPDATE adjudicated end-to-end: version 4
     (dv-marked old positions + appended patched rows, one commit)
     must equal the filter chain with the update expressed as a CASE
     over the base table."""
+    path = _dv_lake(spark, sf_dir)
+    return read_version(spark, path, 4)
+
+
+def q_dv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE adjudicated end-to-end: the head (one
+    mark+append commit — matched rows update-or-die by
+    delete_condition, source-only keys insert, matches found by KEY
+    with no partition contract) must equal the oracle's logical
+    replay: v4 minus source keys, union the source minus its
+    matched-and-tombstoned rows."""
     path = _dv_lake(spark, sf_dir)
     return read_version(spark, path)
 
@@ -1951,6 +1976,7 @@ QUERIES = {
     "lake_history": q_lake_history,
     "dv_deletes": q_dv_deletes,
     "dv_updates": q_dv_updates,
+    "dv_merge": q_dv_merge,
 }
 
 # The oracle replays the lake's commit history logically: v1 and the
@@ -2033,7 +2059,7 @@ ORACLE = {
                 (o_orderkey % 5 = 0 AND o_orderstatus = 'F'), false)
           AND NOT coalesce((o_orderkey % 11 = 0), false)
     """,
-    # the head adds the MOR update as a CASE over the same chain
+    # v4 adds the MOR update as a CASE over the same chain
     "dv_updates": """
         SELECT o_orderkey, o_orderstatus,
                CASE WHEN o_orderkey % 3 = 0
@@ -2045,5 +2071,33 @@ ORACLE = {
           AND NOT coalesce(
                 (o_orderkey % 5 = 0 AND o_orderstatus = 'F'), false)
           AND NOT coalesce((o_orderkey % 11 = 0), false)
+    """,
+    # the head: v4 minus source keys, union the source minus its
+    # matched tombstones (merge_frames semantics replayed logically)
+    "dv_merge": """
+        WITH v4 AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN o_totalprice + 100.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderpriority
+          FROM orders
+          WHERE o_orderkey % 7 <> 0
+            AND NOT coalesce(
+                  (o_orderkey % 5 = 0 AND o_orderstatus = 'F'), false)
+            AND NOT coalesce((o_orderkey % 11 = 0), false)
+        ),
+        src AS (
+          SELECT o_orderkey, o_orderstatus,
+                 o_totalprice + 50.0 AS o_totalprice,
+                 o_orderpriority
+          FROM orders WHERE o_orderkey % 13 = 0
+        )
+        SELECT * FROM v4
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        UNION ALL
+        SELECT * FROM src s
+        WHERE NOT (s.o_orderstatus = 'F'
+                   AND s.o_orderkey IN (SELECT o_orderkey FROM v4))
     """,
 }
