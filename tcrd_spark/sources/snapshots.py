@@ -149,6 +149,7 @@ def _dv_marked_rows(
     )
     rows = (
         spark.read.option("basePath", base)
+        .option("mergeSchema", "true")  # pre-evolution files read NULL
         .parquet(*[os.path.join(base, f) for f in files])
         .withColumn("_rf", _rel_file())
         .withColumn("_ri", F.col("_metadata.row_index"))
@@ -962,22 +963,21 @@ def delete_version(
         return _delete_dv(spark, table_dir, m, cand, predicate)
     if mode != "rewrite":
         raise ValueError(f"delete mode must be 'rewrite' or 'dv': {mode!r}")
-    import urllib.parse
-
     dv = _dv_df(spark, table_dir, m)
     src = (
         spark.read.option("basePath", base)
         .option("mergeSchema", "true")
         .parquet(*[os.path.join(base, f) for f in cand])
+        # manifest-relative path captured from the scan's metadata
+        # BEFORE any join — input_file_name() refuses plans with a
+        # second source (the DV anti-join adds one), and the metadata
+        # column already speaks relative paths (no URI parsing)
+        .withColumn("_f", _rel_file())
     )
     if dv is not None:  # only still-VISIBLE rows count as matches
         src = _apply_dv(src, dv)
-    src = src.withColumn("_f", F.input_file_name())
-    absbase = os.path.abspath(base)
     hits = {
-        os.path.relpath(
-            urllib.parse.urlparse(urllib.parse.unquote(r._f)).path, absbase
-        )
+        r._f
         for r in src.where(predicate).select("_f").distinct().collect()
     }
     if not hits:
@@ -1342,8 +1342,12 @@ def read_changes(
     def _rd(files: list[str], m: dict) -> DataFrame:
         if not files:
             return read_version(spark, table_dir, v_to).limit(0)
-        df = spark.read.option("basePath", base).parquet(
-            *[os.path.join(base, f) for f in files]
+        df = (
+            spark.read.option("basePath", base)
+            # a carried pre-evolution file inside a touched set must
+            # read the evolved columns as NULL, not fail the select
+            .option("mergeSchema", "true")
+            .parquet(*[os.path.join(base, f) for f in files])
         )
         dv = _dv_df(spark, table_dir, m)
         if dv is not None:  # each side reflects ITS snapshot's view

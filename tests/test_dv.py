@@ -444,3 +444,28 @@ def test_mor_merge_cdc_folds_like_rewrite(spark, sf_dir, tmp_path):
     exp = {r.o_orderstatus: (r.n, round(r.s, 2))
            for r in full.collect()}
     assert got == exp
+
+
+def test_rewrite_delete_after_dv_materializes(spark, sf_dir, tmp_path):
+    """A copy-on-write delete AFTER a dv delete rewrites from the
+    DV-APPLIED state: n_deleted counts only visible rows, the
+    dv-deleted rows never resurrect in the rewritten files, and the
+    carried partitions keep their dv entries live."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    snap.delete_version(spark, table, "o_orderkey % 10 = 0", mode="dv")
+    # rewrite-delete scoped to one partition; the others carry
+    v, nd = snap.delete_version(
+        spark, table, "o_orderstatus = 'F' AND o_orderkey % 4 = 1"
+    )
+    exp_deleted = seed.where(
+        "NOT (o_orderkey % 10 = 0) "
+        "AND o_orderstatus = 'F' AND o_orderkey % 4 = 1"
+    ).count()
+    assert (v, nd) == (3, exp_deleted)
+    got = snap.read_version(spark, table)
+    exp = seed.where(
+        "NOT (o_orderkey % 10 = 0) "
+        "AND NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 1)"
+    )
+    assert _rows(got) == _rows(exp)
+    assert snap._read_manifest(table, 3)["dv"], "carried partitions keep dv"
