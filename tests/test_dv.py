@@ -469,3 +469,36 @@ def test_rewrite_delete_after_dv_materializes(spark, sf_dir, tmp_path):
     )
     assert _rows(got) == _rows(exp)
     assert snap._read_manifest(table, 3)["dv"], "carried partitions keep dv"
+
+
+def test_mor_update_with_zone_map_prune(spark, sf_dir, tmp_path):
+    """`prune=(col, lo, hi)` conjoins the range into the update's
+    predicate (the delete_version discipline): rows outside the range
+    are out of the update's declared scope, candidates are zone-map
+    scoped, and the result matches the equivalent full-predicate
+    CASE."""
+    table, seed = _mk(spark, sf_dir, tmp_path)
+    keys = sorted(r.o_orderkey for r in seed.select(
+        "o_orderkey").collect())
+    lo, hi = keys[10], keys[min(len(keys) - 1, 200)]
+    v, nu = snap.update_version(
+        spark, table, "o_orderkey % 2 = 0",
+        {"o_totalprice": "round(o_totalprice + 9.0, 2)"},
+        prune=("o_orderkey", int(lo), int(hi)),
+    )
+    full_pred = (
+        f"o_orderkey % 2 = 0 AND o_orderkey >= {lo} "
+        f"AND o_orderkey <= {hi}"
+    )
+    assert nu == seed.where(full_pred).count() > 0
+    exp = seed.select(
+        "o_orderkey", "o_orderstatus",
+        F.when(
+            F.expr(full_pred),
+            F.round(F.col("o_totalprice") + 9.0, 2),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    assert _rows(snap.read_version(spark, table)) == _rows(exp)
+    assert full_pred.replace("  ", " ") in snap._read_manifest(
+        table, v
+    )["predicate"].replace("(", "").replace(")", "").replace("  ", " ")
