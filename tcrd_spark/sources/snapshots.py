@@ -235,6 +235,14 @@ def _commit(table_dir: str, manifest: dict) -> None:
         f"version {manifest['version']} already committed "
         f"(concurrent writer?): {final}",
     )
+    if manifest["version"] % _CKPT_EVERY == 0:
+        # best-effort walk checkpoint (Delta's auto-checkpoint
+        # cadence): a failure here never un-commits the manifest —
+        # the next multiple simply retries
+        try:
+            checkpoint_manifests(table_dir)
+        except Exception:
+            pass
 
 
 def _partition_of(relpath: str) -> str:
@@ -374,14 +382,129 @@ def read_version(
     return df.select(*m["columns"])
 
 
+# ------------------------------------------------ walk checkpoints
+#
+# Delta's `_last_checkpoint` shape for the metadata WALKS: the verbs
+# that consult every commit's small header — TIMESTAMP AS OF
+# resolution, the txn-idempotence guard, DESCRIBE HISTORY — read
+# O(versions) manifest JSONs cold. On a streaming table committing
+# once a minute that is tens of thousands of reads per cold walk. A
+# checkpoint summarizes the headers (ts / txn_id / op / parent /
+# n_files / merged_from / restored_from — NOT file lists; snapshot
+# READS keep planning from their own manifest) through version N;
+# walks then read the checkpoint + only the manifests beyond it.
+# Correctness under vacuum/repair: entries are always intersected
+# with the LIVE versions() listing (one cheap listdir, no JSON), so a
+# dropped or repaired-away version never resurfaces through a stale
+# checkpoint. `_commit` auto-checkpoints every `_CKPT_EVERY` commits,
+# best-effort (a lost CAS or failed write never blocks the commit —
+# the next multiple retries).
+
+_CKPT_EVERY = 10
+_WALK_FIELDS = (
+    "ts", "txn_id", "op", "parent", "merged_from", "restored_from"
+)
+
+
+def _ckpt_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        _manifest_dir(table_dir), f"_ckpt-v{version:05d}.json"
+    )
+
+
+def _walk_entry(m: dict) -> dict:
+    e = {k: m.get(k) for k in _WALK_FIELDS if m.get(k) is not None}
+    e["n_files"] = len(m.get("files", []))
+    return e
+
+
+_CKPT_CACHE: dict[tuple, tuple] = {}  # identity-keyed, like _TXN_CACHE
+
+
+def _latest_ckpt(table_dir: str):
+    """(through_version, entries) of the newest checkpoint, or None.
+    The parse is cached on the checkpoint FILE'S identity token —
+    checkpoints are immutable once published, and a streaming sink
+    calls the txn guard every trigger."""
+    names = [
+        n for n in get_store().listdir(_manifest_dir(table_dir))
+        if n.startswith("_ckpt-v") and n.endswith(".json")
+        and n[7:-5].isdigit()
+    ]
+    if not names:
+        return None
+    v = max(int(n[7:-5]) for n in names)
+    path = _ckpt_path(table_dir, v)
+    ident = get_store().ident(path)
+    if ident is None:
+        return None
+    key = (os.path.abspath(path), ident)
+    if key not in _CKPT_CACHE:
+        try:
+            c = get_store().read_json(path)
+        except FileNotFoundError:
+            return None
+        if len(_CKPT_CACHE) >= _TXN_CACHE_MAX:
+            _CKPT_CACHE.clear()
+        _CKPT_CACHE[key] = (
+            c["through"],
+            {int(k): e for k, e in c["entries"].items()},
+        )
+    return _CKPT_CACHE[key]
+
+
+def checkpoint_manifests(table_dir: str) -> int:
+    """Write a walk checkpoint through the current head; returns the
+    covered version. INCREMENTAL: builds on the previous checkpoint,
+    reading only the manifests beyond it — amortized O(1) manifest
+    reads per commit under the auto-checkpoint cadence. Idempotent
+    per head version (exclusive publish; a concurrent writer's
+    identical checkpoint wins harmlessly)."""
+    vs = versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no versions at {table_dir}")
+    head = vs[-1]
+    entries = {
+        str(v): e for v, e in _walk_headers(table_dir).items()
+    }
+    try:
+        _publish_exclusive(
+            _ckpt_path(table_dir, head),
+            {"through": head, "entries": entries},
+            f"checkpoint v{head} exists",
+        )
+    except FileExistsError:
+        pass  # an equivalent checkpoint already covers this head
+    return head
+
+
+def _walk_headers(table_dir: str) -> dict[int, dict]:
+    """{version: header} for every LIVE version — checkpoint entries
+    for the covered prefix, manifest reads only beyond it."""
+    live = versions(table_dir)
+    ck = _latest_ckpt(table_dir)
+    out: dict[int, dict] = {}
+    through = -1
+    if ck is not None:
+        through, entries = ck
+        for v in live:
+            if v <= through and v in entries:
+                out[v] = entries[v]
+    for v in live:
+        if v > through or v not in out:
+            m = _read_manifest_opt(table_dir, v)
+            if m is not None:
+                out[v] = _walk_entry(m)
+    return out
+
+
 def version_as_of(table_dir: str, ts: float) -> int:
     """TIMESTAMP AS OF resolution: the newest version committed at or
     before `ts` (epoch seconds). Raises if the table is younger than
     the asked-for time."""
     best = None
-    for v in versions(table_dir):
-        m = _read_manifest_opt(table_dir, v)
-        if m is not None and m.get("ts", float("inf")) <= ts:
+    for v, e in sorted(_walk_headers(table_dir).items()):
+        if e.get("ts", float("inf")) <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -629,10 +752,18 @@ def txn_seen(table_dir: str, txn_id) -> bool:
     an at-least-once sink makes BEFORE recomputing a batch's effect
     (a replayed batch may no longer VALIDATE against the post-apply
     state, e.g. SCD2's strictly-later precondition, so skip-detection
-    cannot wait for the write verb's own guard)."""
-    return any(
-        _txn_of(table_dir, v) == txn_id for v in versions(table_dir)
-    )
+    cannot wait for the write verb's own guard). The covered prefix
+    answers from the walk checkpoint (one identity-cached parse);
+    only post-checkpoint manifests hit the per-version txn cache."""
+    ck = _latest_ckpt(table_dir)
+    through, entries = ck if ck is not None else (-1, {})
+    for v in versions(table_dir):
+        if v <= through and v in entries:
+            if entries[v].get("txn_id") == txn_id:
+                return True
+        elif _txn_of(table_dir, v) == txn_id:
+            return True
+    return False
 
 
 def merge_version(
@@ -1508,22 +1639,19 @@ def restore_version(table_dir: str, version: int) -> int:
 def history_df(spark: SparkSession, table_dir: str) -> DataFrame:
     """DESCRIBE HISTORY as a DataFrame: one row per commit (version,
     parent, op, ts, n_files, txn_id, merged_from/restored_from when
-    present). Driver reads |versions| small JSONs — the same cost as
-    any manifest walk; the frame itself is queryable like any other."""
+    present). The checkpointed prefix answers from the walk
+    checkpoint; only the tail reads manifest JSONs."""
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no versions at {table_dir}")
     rows = []
-    for v in vs:
-        m = _read_manifest_opt(table_dir, v)
-        if m is None:
-            continue  # repaired away / vacuumed mid-walk: absent
+    for v, e in sorted(_walk_headers(table_dir).items()):
         rows.append((
-            v, m.get("parent"), m["op"], float(m.get("ts") or 0.0),
-            len(m["files"]),
-            None if m.get("txn_id") is None else str(m["txn_id"]),
-            m.get("merged_from"),
-            m.get("restored_from"),
+            v, e.get("parent"), e["op"], float(e.get("ts") or 0.0),
+            e["n_files"],
+            None if e.get("txn_id") is None else str(e["txn_id"]),
+            e.get("merged_from"),
+            e.get("restored_from"),
         ))
     return spark.createDataFrame(
         rows,
@@ -1777,6 +1905,18 @@ def vacuum(table_dir: str, keep_versions: int = 2) -> list[str]:
                     os.path.join(_dv_dir(table_dir), n),
                     ignore_errors=True,
                 )
+    # walk-checkpoint GC: keep only the newest (stale ones are dead
+    # weight; the walks always intersect with live versions anyway)
+    cks = sorted(
+        n for n in get_store().listdir(_manifest_dir(table_dir))
+        if n.startswith("_ckpt-v") and n.endswith(".json")
+        and n[7:-5].isdigit()
+    )
+    for n in cks[:-1]:
+        try:
+            get_store().unlink(os.path.join(_manifest_dir(table_dir), n))
+        except FileNotFoundError:
+            pass
     return sorted(set(removed))
 
 
