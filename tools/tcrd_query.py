@@ -119,6 +119,10 @@ def _lake_cmd(args) -> int:
         )
         print(f"v{v}\tdeleted={n}")
         return 0
+    if args.action == "checkpoint":
+        v = snap.checkpoint_manifests(table)
+        print(f"checkpointed through v{v}")
+        return 0
     if args.action == "restore":
         if args.v_to is None:
             print("--to (version) required for restore", file=sys.stderr)
@@ -208,7 +212,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=["history", "diff", "changes", "optimize", "vacuum",
                  "tag", "tags", "delete", "branch", "branches",
                  "merge-branch", "drop-branch", "repartition",
-                 "clone", "restore", "files", "remove-orphans"],
+                 "clone", "restore", "files", "remove-orphans",
+                 "checkpoint"],
     )
     lk.add_argument("--from", dest="v_from", type=int, default=None)
     lk.add_argument("--to", dest="v_to", type=int, default=None)
