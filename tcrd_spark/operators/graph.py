@@ -429,7 +429,9 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        ranks = spark.createDataFrame(ranks.rdd, ranks.schema)
+        # uncached JVM-side cut: the chain is strictly linear, every
+        # cut is computed exactly once by the terminal action
+        ranks = _truncate(ranks, cache=False)
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))
 
 
