@@ -268,13 +268,19 @@ def _assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) like the SQ/PQ code tables (one cached copy,
     shared by the pair sides, the rep score, and repeated bench/sweep
     invocations)."""
+    from tcrd_spark.operators.lineage import _truncate
     from tcrd_spark.pipeline.similarity import assign_cells
     from tcrd_spark.pipeline.sq import _memo_cached
 
     corpus, cents = _panel(spark, sf_dir)
+    # lineage-cut the memoized assignment: .cache() does not bound
+    # Catalyst analysis, so the argmax-over-centroids tree (64-dim dot
+    # products × 8 cells) was re-analyzed by every reader (pair sides,
+    # rep score, both registered queries) — the cut makes each reader's
+    # plan start from an opaque scan of the cached rows
     return _memo_cached(
         spark, (sf_dir, "semassign"),
-        lambda: assign_cells(corpus, cents, _EMB_DIM),
+        lambda: _truncate(assign_cells(corpus, cents, _EMB_DIM)),
     )
 
 
