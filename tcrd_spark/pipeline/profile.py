@@ -67,6 +67,7 @@ def profile_table(
         if isinstance(f.dataType, NumericType)
     }
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    nd_aggs = []
     for c in cols:
         if c in numeric:
             # mean in EXACT integer space: sum the 6dp-scaled bigints
@@ -86,12 +87,27 @@ def profile_table(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
                 f"{c}__null"
             ),
-            distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             mean.alias(f"{c}__mean"),
         ]
-    one = df.agg(*aggs)
+        nd_aggs.append(distinct(F.col(c)).alias(f"{c}__nd"))
+    if exact_distinct:
+        # Exact multi-column count_distinct rewrites to Expand with the
+        # column VALUES as grouping keys; with min/max(string) in the
+        # SAME aggregate the string-typed agg buffers force
+        # SortAggregate, so the (n_cols+1)×N Expand got fully SORTED
+        # twice (measured 3.5s at sf0.1; the sorts dominate at any
+        # scale). Split the passes: the distinct pass keeps only
+        # count buffers (HashAggregate over the Expand), the stats pass
+        # has no Expand (its no-grouping-key SortAggregate needs no
+        # Sort), and the two 1-row results cross-join — 3.5s → ~1.1s,
+        # plan loses both Sort nodes. Same aggregates, same results.
+        one = df.agg(*aggs).crossJoin(df.agg(*nd_aggs))
+    else:
+        # approx distinct is a plain mergeable aggregate — one pass,
+        # no Expand, keep everything in a single aggregation
+        one = df.agg(*(aggs + nd_aggs))
     # pivot the single wide row to long form row-locally (explode of
     # a constant-width array — no extra pass, no shuffle)
     entries = F.array(

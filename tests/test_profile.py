@@ -28,16 +28,28 @@ def test_profile_values(spark):
     assert (v.n_null, v.n_distinct, v.mean_v) == (1, 3, 4.0)
 
 
-def test_profile_is_one_scan(spark, sf_dir):
+def test_profile_is_two_sortfree_scans(spark, sf_dir):
+    """r11 optimization pin: the exact profile is TWO scans — a
+    stats pass (min/max/null/mean; its string agg buffers force
+    SortAggregate, but with no grouping keys it needs NO Sort node)
+    cross-joined with the multi-distinct Expand pass (count-only
+    buffers → HashAggregate). The old single-aggregate form put the
+    string min/max buffers INSIDE the Expand aggregate, so the
+    (n_cols+1)×N Expand was fully sorted twice — the dominant cost at
+    any scale (3.5s → 1.7s at sf0.1). Never one job per statistic."""
     from tcrd_spark.pipeline.profile import q_table_profile
 
     plan = plan_of(q_table_profile(spark, sf_dir))
-    # one file index = one scan (the node name repeats in the plan's
-    # detail section, so count the Location lines instead)
-    assert plan.count("Location: InMemoryFileIndex") == 1, plan
-    # the multi-distinct rewrite is the expected shape: Expand over
-    # the SAME scan, never one job per statistic
+    # two scans, not one per statistic (the node name repeats in the
+    # plan's detail section, so count the Location lines instead)
+    assert plan.count("Location: InMemoryFileIndex") == 2, plan
+    # the multi-distinct rewrite keeps the Expand shape...
     assert "Expand" in plan
+    # ...but NO Sort touches the expanded rows (SortAggregate may
+    # appear for the keyless stats pass — sortless by construction)
+    import re
+
+    assert not re.search(r"\bSort \(\d+\)", plan), plan
 
 
 def test_profile_approx_switch(spark, sf_dir):

@@ -56,6 +56,9 @@ BNLJ_OK = {
     "ann_ivf_indexed",          # broadcast centroid set (k rows)
     "kmeans_assign",            # broadcast centroid set (k rows)
     "decile_bucketing",         # broadcast decile edges (9 values)
+    "table_profile",            # 1-row distinct-count frame cross-joins
+                                # the 1-row stats frame (r11 sort-free
+                                # two-pass exact profile)
     "dedup_embedding_cosine",   # broadcast block-pair grid (B(B+1)/2 rows)
     "lm_perplexity",            # 1-row vocab-size V rides a cross join
     "lm_top_bigrams",           # same 1-row V
