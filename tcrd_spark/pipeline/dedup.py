@@ -423,7 +423,19 @@ def simhash_pairs(
 # --- Embedding near-dup ------------------------------------------------------
 
 
-def dot(a: Column, b: Column, dim: int) -> Column:
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """The unrolled dot product as ONE Spark-SQL fragment. `a`/`b` are
+    SQL expressions (column names, or lambda-variable field paths like
+    ``x.cell_vec`` inside a higher-order function). ``t1 + t2 + ...``
+    parses left-associative, so the resulting tree — and therefore the
+    double result — is bit-identical to the Column-built form."""
+    return " + ".join(
+        f"(element_at({a}, {i + 1}) * element_at({b}, {i + 1}))"
+        for i in range(dim)
+    )
+
+
+def dot(a: Column | str, b: Column | str, dim: int) -> Column:
     """Unrolled left-associative dot product of two double arrays.
 
     Unrolling (vs F.aggregate over a sequence) keeps the expression in
@@ -431,7 +443,15 @@ def dot(a: Column, b: Column, dim: int) -> Column:
     ~10× slower and paid a large, variable Janino cost. Left-assoc sum
     matches the oracle SQL's explicit (t1 + t2 + ...) exactly, so the
     double result is bit-identical.
+
+    Pass STRINGS (SQL fragments) when you can: the Column form issues
+    ~4·dim py4j calls per use (measured 0.39s at dim=64, and the
+    resulting tree analyzes 3× slower), the string form is one
+    ``F.expr`` parse (3ms) of the SAME tree — query construction was
+    the dominant cost of the ANN/kmeans family at bench scale.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b, dim))
     terms = [
         F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
     ]
@@ -721,12 +741,12 @@ def embedding_near_dups_lsh(
     va = vecs.select(
         F.col("_id").alias("id_a"),
         F.col("v").alias("va"),
-        F.sqrt(dot(F.col("v"), F.col("v"), dim)).alias("na"),
+        F.sqrt(dot("v", "v", dim)).alias("na"),
     )
     vb = vecs.select(
         F.col("_id").alias("id_b"),
         F.col("v").alias("vb"),
-        F.sqrt(dot(F.col("v"), F.col("v"), dim)).alias("nb"),
+        F.sqrt(dot("v", "v", dim)).alias("nb"),
     )
     return (
         candidates.join(va, "id_a")
@@ -735,7 +755,7 @@ def embedding_near_dups_lsh(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb"), dim)
+                dot("va", "vb", dim)
                 / (F.col("na") * F.col("nb")),
                 6,
             ).alias("cos_sim"),

@@ -91,7 +91,7 @@ def _books_row(per: DataFrame, sub: int) -> DataFrame:
     """(code, j, cv) rows → the one-row cbs frame. Codes must be
     0-based and contiguous per subspace."""
     books = (
-        per.withColumn("n2", dot(F.col("cv"), F.col("cv"), sub))
+        per.withColumn("n2", dot("cv", "cv", sub))
         .groupBy("j")
         .agg(
             F.array_sort(

@@ -64,7 +64,7 @@ def semantic_pairs(
         F.col("c_vec_nrm").alias("nb"),
     )
     score = F.round(
-        dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+        dot("va", "vb", dim) / (F.col("na") * F.col("nb")), 6
     )
     return (
         left.join(right, "cell_id")
@@ -205,7 +205,7 @@ def centroid_distance(
         "cell_id",
         F.round(
             F.lit(1.0)
-            - dot(F.col("c_vec"), F.col("cell_vec"), dim)
+            - dot("c_vec", "cell_vec", dim)
             / (F.col("c_vec_nrm") * F.col("cell_vec_nrm")),
             6,
         ).alias("dist"),

@@ -39,13 +39,13 @@ def _with_norm(df: DataFrame, id_out: str, vec_out: str, dim: int) -> DataFrame:
     return df.select(
         F.col(id_out), F.col(vec_out).cast("array<double>").alias(vec_out)
     ).withColumn(
-        f"{vec_out}_nrm", F.sqrt(dot(F.col(vec_out), F.col(vec_out), dim))
+        f"{vec_out}_nrm", F.sqrt(dot(vec_out, vec_out, dim))
     )
 
 
 def _pair_score(qv: str, cv: str, dim: int):
     return F.round(
-        dot(F.col(qv), F.col(cv), dim)
+        dot(qv, cv, dim)
         / (F.col(f"{qv}_nrm") * F.col(f"{cv}_nrm")),
         6,
     )
@@ -87,13 +87,14 @@ def assign_cells(corpus: DataFrame, centroids: DataFrame, dim: int) -> DataFrame
             F.collect_list(F.struct("cell_id", "cell_vec", "cell_vec_nrm"))
         ).alias("cents")
     )
-    scores = F.transform(
-        F.col("cents"),
-        lambda x: F.round(
-            dot(F.col("c_vec"), x["cell_vec"], dim)
-            / (F.col("c_vec_nrm") * x["cell_vec_nrm"]),
-            6,
-        ),
+    from tcrd_spark.pipeline.dedup import dot_sql
+
+    # one F.expr parse instead of ~4·dim py4j Column calls per lambda
+    # body — same tree, same results (see dot())
+    scores = F.expr(
+        "transform(cents, x -> round(("
+        + dot_sql("c_vec", "x.cell_vec", dim)
+        + ") / (c_vec_nrm * x.cell_vec_nrm), 6))"
     )
     return (
         c.crossJoin(F.broadcast(cent_row))
