@@ -94,13 +94,82 @@ def build_bloom(bench_df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# Above this many words the bit array stops being a sensible plan
+# literal (task closures ship the plan); fall back to the broadcast-
+# join probe. The registered query's 1024-word filter is 8 KB.
+_INLINE_MAX_WORDS = 1 << 16
+
+
 def probe_bloom(
     corpus_df: DataFrame, bloom: DataFrame, id_col: str, text_col: str,
     n: int = 5, m_words: int = M_WORDS,
 ) -> DataFrame:
     """(id, bloom_hits, contaminated) — corpus docs whose any shingle
-    has all K bits set. K broadcast left joins, no explode-by-K.
-    m_words must match the build_bloom that produced `bloom`."""
+    has all K bits set. m_words must match the build_bloom that
+    produced `bloom`.
+
+    The bit array is collected once (≤ m_words longs — 8 KB at the
+    default size; the dim-dictionary collect pattern) and inlined as a
+    constant array, so the probe is one row-local expression over each
+    document's shingle array: scan → project, ZERO joins and ZERO
+    shuffles (r11 optimization: the previous K-broadcast-join + explode
+    + groupBy + join-back plan spent 4.0s at sf0.1 on 6 exchanges; this
+    plan has none — guide §2.3 "shuffle fewer bytes" taken to its
+    endpoint, §3.2 manual-bloom's broadcast-variable probe expressed as
+    a plan literal). Each shingle hashes ONCE per probe function (the
+    inner transform binds the 4 bit indexes before the filter reads
+    them twice each). Very large filters keep the old broadcast-join
+    probe (_INLINE_MAX_WORDS): a multi-MB plan literal would bloat
+    every task closure.
+    """
+    from tcrd_spark.pipeline.dedup import hashed_shingles
+
+    if m_words > _INLINE_MAX_WORDS:
+        return _probe_bloom_join(
+            corpus_df, bloom, id_col, text_col, n, m_words
+        )
+    masks = [0] * m_words
+    for r in bloom.collect():  # ≤ m_words rows — bounded by contract
+        masks[int(r["word"])] = int(r["mask"])
+    arr = "array(" + ",".join(f"{m}L" for m in masks) + ")"
+    n_bits = m_words * BITS_PER_WORD
+    hs = [
+        f"cast(conv(substring(md5(concat(cast(g as string), ':{i}')), 1, "
+        f"15), 16, 10) as bigint) % {n_bits}"
+        for i in range(1, K + 1)
+    ]
+    bits = ", ".join(hs)
+    probes = " AND ".join(
+        # element_at(ha, i) is the precomputed bit index — the md5 runs
+        # once per probe function inside the transform, not twice
+        f"(shiftright(element_at({arr}, cast(element_at(ha, {i}) div "
+        f"{BITS_PER_WORD} as int) + 1), cast(element_at(ha, {i}) % "
+        f"{BITS_PER_WORD} as int)) % 2 = 1)"
+        for i in range(1, K + 1)
+    )
+    hit_count = (
+        f"cast(size(filter(transform(hs, g -> array({bits})), "
+        f"ha -> {probes})) as bigint)"
+    )
+    # two projections: bloom_hits is referenced twice below, and
+    # CollapseProject keeps non-cheap expressions single-evaluated
+    return (
+        hashed_shingles(corpus_df, id_col, text_col, n)
+        .select(id_col, F.expr(hit_count).alias("bloom_hits"))
+        .select(
+            id_col,
+            "bloom_hits",
+            (F.col("bloom_hits") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def _probe_bloom_join(
+    corpus_df: DataFrame, bloom: DataFrame, id_col: str, text_col: str,
+    n: int, m_words: int,
+) -> DataFrame:
+    """The pre-r11 K-broadcast-join probe — kept for filters too large
+    to inline as a plan literal."""
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
     probes = hashed_shingles(corpus_df, id_col, text_col, n).select(
