@@ -148,23 +148,135 @@ def dup_ngram_coverage(
 
 
 def gopher_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per doc with every rule's statistic."""
-    out = word_stats(docs, id_col, text_col)
-    for n in sorted(TOP_NGRAM_MAX):
-        out = out.join(
-            top_ngram_frac(docs, id_col, text_col, n).withColumnRenamed(
-                "frac", f"top{n}gram_frac"
-            ),
-            id_col,
+    """One row per doc with every rule's statistic.
+
+    Fused one-pass form (r11 optimization, guide §2.3/§2.4): the naive
+    composition ran `_gram_hashes` once per n (5 tokenize+md5 passes
+    over the corpus), one count shuffle + window per n, plus 5 joins on
+    id. Here every (n, pos, gh) gram of all five n's leaves the row in
+    ONE generate pass, so there is ONE count shuffle keyed (id, n, gh),
+    ONE ranking window over (id, n) for the top-gram rule, ONE
+    semi-join + interval-merge window over (id, n) for the duplicated-
+    coverage rule, and two small pivots joined back to the word stats.
+    Values are bit-identical to the per-n functions (same grams, same
+    arithmetic, same coalesce-to-0.0); tests pin both forms equal.
+    """
+    from tcrd_spark.functions.hashing import hash60
+
+    top_ns = sorted(TOP_NGRAM_MAX)
+    dup_ns = sorted(DUP_NGRAM_MAX)
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
+    # Generate barrier: materialize the token array once per row so the
+    # gram lambdas below never re-inline the tokenizer (the winnow /
+    # _gram_hashes lesson — O(tokens²) otherwise)
+    toked = docs.select(F.col(id_col), F.explode(F.array(toks)).alias("_tk"))
+    tk = F.col("_tk")
+    st = "array<struct<n:int,pos:int,gh:bigint>>"
+
+    # one-arg lambda per k (a two-parameter lambda would be treated as
+    # the (element, index) form by PySpark's HOF binding)
+    def _gram_of(k):
+        return lambda i: F.struct(
+            F.lit(k).alias("n"),
+            i.alias("pos"),
+            hash60(F.concat_ws(" ", F.slice(tk, i, k))).alias("gh"),
         )
-    for n in sorted(DUP_NGRAM_MAX):
-        out = out.join(
-            dup_ngram_coverage(docs, id_col, text_col, n).withColumnRenamed(
-                "frac", f"dup{n}gram_frac"
-            ),
-            id_col,
+
+    per_n = [
+        F.when(
+            F.size(tk) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(tk) - k + 1), _gram_of(k)),
+        ).otherwise(F.expr(f"cast(array() as {st})"))
+        for k in all_ns
+    ]
+    g = (
+        toked.select(
+            F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("_g")
         )
-    return out
+        .select(id_col, "_g.n", "_g.pos", "_g.gh")
+    )
+    counts = g.groupBy(id_col, "n", "gh").agg(F.count("*").alias("c"))
+
+    # top n-gram rule: highest count per (doc, n), ties to smallest gh
+    wtop = Window.partitionBy(id_col, "n").orderBy(F.desc("c"), F.asc("gh"))
+    tops = (
+        counts.filter(F.col("n").isin(top_ns))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("n") == k, F.col("c"))).alias(f"_c{k}")
+                for k in top_ns
+            ]
+        )
+    )
+
+    # duplicated-coverage rule: interval-merge the positions of grams
+    # occurring ≥2 times within the doc, per (doc, n)
+    dups = (
+        counts.filter(F.col("n").isin(dup_ns) & (F.col("c") >= 2))
+        .select(id_col, "n", "gh")
+    )
+    hits = (
+        g.filter(F.col("n").isin(dup_ns))
+        .join(dups, [id_col, "n", "gh"], "left_semi")
+        .select(id_col, "n", "pos")
+    )
+    w = Window.partitionBy(id_col, "n").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.col("n") - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    covs = (
+        hits.select(
+            id_col,
+            "n",
+            "pos",
+            F.sum(is_new)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("_s"),
+        )
+        .groupBy(id_col, "n", "_s")
+        .agg((F.max("pos") + F.col("n") - F.min("pos")).alias("_len"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == k, F.col("_len"))).alias(f"_cov{k}")
+                for k in dup_ns
+            ],
+        )
+    )
+
+    ws = word_stats(docs, id_col, text_col)
+    nw = F.col("n_words")
+    return (
+        ws.join(tops, id_col, "left")
+        .join(covs, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "mean_word_len",
+            "alpha_frac",
+            "n_stopwords",
+            *[
+                F.round(
+                    F.coalesce(F.col(f"_c{k}") * k / nw, F.lit(0.0)), 6
+                ).alias(f"top{k}gram_frac")
+                for k in top_ns
+            ],
+            *[
+                F.round(
+                    F.coalesce(F.col(f"_cov{k}") / nw, F.lit(0.0)), 6
+                ).alias(f"dup{k}gram_frac")
+                for k in dup_ns
+            ],
+        )
+    )
 
 
 def gopher_filter(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
