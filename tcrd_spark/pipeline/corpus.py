@@ -20,11 +20,21 @@ built scale-first:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tcrd_spark.functions.hashing import MERSENNE_P, hash60
 from tcrd_spark.operators.lineage import _truncate
+
+# Size-adaptive threshold for the connected-components driver fast
+# path (see connected_components below) — the CC analogue of
+# spark.sql.autoBroadcastJoinThreshold: edge sets at or below this
+# count (~3 MB of longs at the default) are resolved by driver
+# union-find instead of the O(log n)-round distributed star loop.
+# Parameterised for the cluster regime; 0 disables the fast path.
+_CC_DRIVER_MAX = int(os.environ.get("TCRD_CC_DRIVER_MAX", "200000"))
 
 
 # ------------------------------------------------------- connected components
@@ -66,11 +76,61 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Size-adaptive fast path (r11 optimization, the broadcast-join-
+    # below-threshold principle applied to CC): the deduped edge count
+    # is known from one cheap count job; at or below _CC_DRIVER_MAX
+    # edges (~3 MB of longs) a driver union-find resolves components
+    # in O(α) per edge with ZERO per-round Spark jobs, where the star
+    # loop paid 3 shuffles + a cut + a signature action per round.
+    # Components are identical by construction (min reachable id).
+    # Above the threshold — the 100 TB regime — the alternating-star
+    # loop below runs unchanged; the collect is bounded by the count
+    # test, never speculative.
+    e = e.cache()
+    n_edges = e.count()
+    if n_edges <= _CC_DRIVER_MAX:
+        rows = e.collect()  # bounded: n_edges ≤ _CC_DRIVER_MAX
+        e.unpersist()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            u, v = row[0], row[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        spark = edges.sparkSession
+        # the star loop's fixpoint is a star forest with NO self-edges,
+        # so each component's min (the root) is absent from its output;
+        # match that exactly — callers coalesce missing nodes to self
+        out = [
+            (node, comp)
+            for node in parent
+            if (comp := comp_min[find(node)]) != node
+        ]
+        return spark.createDataFrame(out, schema="node long, component long")
     # superseded round cuts are unpersisted as the loop advances
     # (ADVICE r6: these previously pinned one RDD per round for the
     # session); only the final cut stays pinned — the returned plan
     # reads it — handed to ``_caches`` when given.
-    held: list = []
+    held: list = [e]
     e = _truncate(e, held)
     prev = _sig(e)
     # per-neighborhood minima via an unordered window (min over the

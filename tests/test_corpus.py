@@ -467,11 +467,37 @@ def test_profile_approx_distinct_within_bound(spark, sf_dir):
         assert abs(approx[col] - n) <= max(2, 0.05 * n), (col, n, approx[col])
 
 
-def test_connected_components_raises_on_no_convergence(spark):
+def test_connected_components_raises_on_no_convergence(spark, monkeypatch):
     import pytest as _pytest
 
+    # force the distributed star loop (the guard under test); the
+    # driver fast path needs no iterations so it can never trip it
+    monkeypatch.setattr(corpus, "_CC_DRIVER_MAX", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
     )
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         corpus.connected_components(edges, "id_a", "id_b", max_iter=1)
+
+
+def test_connected_components_fast_path_matches_star_loop(spark, monkeypatch):
+    """r11: the size-adaptive driver union-find fast path must emit
+    exactly the star loop's rows (same nodes, same labels, roots
+    absent) — the two paths are interchangeable by size threshold."""
+    rng = random.Random(23)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    monkeypatch.setattr(corpus, "_CC_DRIVER_MAX", 0)
+    slow = {
+        (r["node"], r["component"])
+        for r in corpus.connected_components(df, "id_a", "id_b").collect()
+    }
+    monkeypatch.setattr(corpus, "_CC_DRIVER_MAX", 10**9)
+    fast = {
+        (r["node"], r["component"])
+        for r in corpus.connected_components(df, "id_a", "id_b").collect()
+    }
+    assert fast == slow
