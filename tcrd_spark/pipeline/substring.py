@@ -104,19 +104,23 @@ def duplicate_spans(
     count). Returns (id, span_start, span_end, span_len) in 1-based
     inclusive token positions.
 
-    Plan: gram-hash shuffle (count per hash, map-side combinable) +
-    semi-join hits + one ordered window per document for the interval
-    merge — two corpus shuffles total, both carrying 8-byte hashes and
-    int positions only.
+    Plan: ONE gram pass + a count-over-gh window + one ordered window
+    per document for the interval merge — two corpus shuffles total,
+    both carrying 8-byte hashes and int positions only. The window
+    formulation (count(*) over partitionBy(gh)) replaces the previous
+    groupBy(gh)+semi-join shape, which re-ran the tokenize→md5 gram
+    stage on BOTH sides of the join (guide §2.2: shuffle/scan once,
+    not twice); at 100 TB the window's sort-by-gh is the same work the
+    sort-merge semi join did on the probe side, with one fewer
+    exchange and half the gram hashing.
     """
     g = _gram_hashes(df, id_col, text_col, k)
-    dup = (
-        g.groupBy("gh")
-        .agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("gh")
+    hits = (
+        g.withColumn("_n", F.count("*").over(w))
         .filter(F.col("_n") >= min_occurrences)
-        .select("gh")
+        .select(id_col, "pos")
     )
-    hits = g.join(dup, "gh", "left_semi").select(id_col, "pos")
     return _merge_hit_spans(hits, id_col, k)
 
 
