@@ -32,13 +32,26 @@ def train_nb(
     docs: DataFrame, id_col: str, text_col: str, label_col: str
 ) -> dict[str, DataFrame]:
     """Closed-form NB fit: token-label counts, per-label totals,
-    label priors, vocabulary size. All lazy, all bounded by
-    vocab × labels."""
+    label priors, vocabulary size. All bounded by vocab × labels.
+
+    The (label, tok, c) table is lineage-cut (JVM-side, guide §2.2):
+    counts, totals and vocab previously sat in the scoring plan as
+    three independent subtrees, each re-running the tokenize→join→agg
+    lineage — three full corpus passes per classify (and in
+    classifier_quality_gate, three passes over the whole CCNet-label
+    lineage). After the cut the model lineage executes once; totals
+    and vocab are exact integer aggregates over the cut's vocab×L
+    cached rows. Vocab over ctl equals vocab over the raw token
+    stream: the label join is on the document's own id, so every
+    token row survives it (null labels form their own ctl group)."""
+    from tcrd_spark.operators.lineage import _truncate
     from tcrd_spark.pipeline.lm import tokenize
 
     toks = tokenize(docs, id_col, text_col)
     labeled = toks.join(docs.select(id_col, label_col), id_col)
-    ctl = labeled.groupBy(label_col, "tok").agg(F.count("*").alias("c"))
+    ctl = _truncate(
+        labeled.groupBy(label_col, "tok").agg(F.count("*").alias("c"))
+    )
     totals = ctl.groupBy(label_col).agg(F.sum("c").alias("tot"))
     priors = (
         docs.groupBy(label_col)
@@ -49,7 +62,7 @@ def train_nb(
             F.log(F.col("n_docs") / F.col("n_all")).alias("log_prior"),
         )
     )
-    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    vocab = ctl.agg(F.countDistinct("tok").alias("v"))
     return {"counts": ctl, "totals": totals, "priors": priors,
             "vocab": vocab, "label_col": label_col}
 
