@@ -243,6 +243,15 @@ def video_near_dup_pairs(
     sit in the clip. Hot-bucket caps drop buckets seen in more than
     that many videos before the self-join (bounded fan-out on
     degenerate corpora; recall note in the module docstring)."""
+    from tcrd_spark.operators.lineage import _truncate
+
+    # the fingerprint frame feeds SIX plan branches (aligned bands ×2
+    # via the self-join, the unaligned tier + its freq cap, fa, fb);
+    # uncut, the dHash expression tree (72 grid samples × 64
+    # comparisons per frame) re-executes once per branch. One JVM
+    # lineage cut of the (id, frame_idx, b0..b3) ints computes it once
+    # (guide §2.2; measured 5.4s → 2.7s at sf0.1, hash-identical).
+    fp = _truncate(fp)
     bands = fp.select(
         id_col,
         F.explode(
