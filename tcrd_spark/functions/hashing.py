@@ -78,6 +78,39 @@ def minhash_signature(tokens: Column, n_perms: int, seed: int = 7) -> Column:
     return F.array(*exprs)
 
 
+def minhash_sig_expr(
+    hashes_col: str, n_perms: int, seed: int = 7
+) -> Column:
+    """The minhash signature over a PRE-HASHED long array column, as
+    ONE Spark-SQL parse. Tree-identical to the Column-built form
+    (``array_min(transform(hs, h -> (a*(h%P)+b)%P))`` per perm), so
+    results are bit-identical — but n_perms transform lambdas built
+    through the Column API cost ~10 py4j calls each per invocation
+    (the ``dot()`` lesson, commit 8cfd3a8); this is a single
+    ``F.expr`` parse."""
+    p = MERSENNE_P
+    terms = ", ".join(
+        f"array_min(transform({hashes_col}, "
+        f"h -> ({a} * (h % {p}) + {b}) % {p}))"
+        for a, b in minhash_params(n_perms, seed)
+    )
+    return F.expr(f"array({terms})")
+
+
+def band_hashes_expr(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """All LSH band keys of a signature column as ONE parsed array
+    expression (explode-ready) — the one-parse twin of ``band_hash``
+    over every band."""
+    parts = ", ".join(
+        "concat_ws(',', '{b}', array_join(transform("
+        "slice({s}, {o}, {r}), x -> cast(x as string)), ','))".format(
+            b=b, s=sig_col, o=b * rows_per_band + 1, r=rows_per_band
+        )
+        for b in range(bands)
+    )
+    return F.expr(f"array({parts})")
+
+
 def band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
     """LSH band key: fingerprint of one signature slice.
 

@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from tcrd_spark.functions.hashing import MERSENNE_P, hash60
+from tcrd_spark.functions.hashing import hash60
 from tcrd_spark.operators.lineage import _truncate
 
 # Size-adaptive threshold for the connected-components driver fast
@@ -473,7 +473,10 @@ def incremental_near_dups_lsh(
     Exact-hash duplicates are still caught exactly (hash join).
     Returns the same (doc_id, exact_src, near_src, verdict) shape.
     """
-    from tcrd_spark.functions.hashing import band_hash, minhash_params
+    from tcrd_spark.functions.hashing import (
+        band_hashes_expr,
+        minhash_sig_expr,
+    )
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
     assert n_perms % bands == 0
@@ -488,30 +491,14 @@ def incremental_near_dups_lsh(
         )
         if _caches is not None:
             _caches.append(sh)
+        # one F.expr parse per frame instead of n_perms Column-API
+        # transform lambdas — tree-identical (hashing.minhash_sig_expr)
         sig = sh.select(
-            out_id,
-            F.array(
-                *[
-                    F.array_min(
-                        F.transform(
-                            F.col("hs"),
-                            (
-                                lambda a, b: lambda h: (
-                                    F.lit(a) * (h % F.lit(MERSENNE_P)) + F.lit(b)
-                                )
-                                % F.lit(MERSENNE_P)
-                            )(a, b),
-                        )
-                    )
-                    for a, b in minhash_params(n_perms)
-                ]
-            ).alias("sig"),
+            out_id, minhash_sig_expr("hs", n_perms).alias("sig")
         )
         buckets = sig.select(
             out_id,
-            F.explode(
-                F.array(*[band_hash(F.col("sig"), i, r) for i in range(bands)])
-            ).alias("bucket"),
+            F.explode(band_hashes_expr("sig", bands, r)).alias("bucket"),
         )
         return sh, buckets
 

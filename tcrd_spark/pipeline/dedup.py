@@ -26,10 +26,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tcrd_spark.functions.hashing import (
-    MERSENNE_P,
-    band_hash,
+    band_hashes_expr,
     hash60,
-    minhash_params,
+    minhash_sig_expr,
 )
 from tcrd_spark.pipeline.text import ws_tokens
 
@@ -268,27 +267,17 @@ def minhash_lsh_pairs(
     )
     # signature from the pre-hashed shingle array: each perm is pure
     # arithmetic over h — the md5 is computed ONCE per shingle, not
-    # once per (shingle, permutation)
+    # once per (shingle, permutation). Built as ONE F.expr parse
+    # (minhash_sig_expr): n_perms Column-API transform lambdas cost
+    # ~10 py4j calls each per invocation, the parse is tree-identical
     sig = sh.select(
         id_col,
         "hs",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("hs"),
-                        (lambda a, b: lambda h: (F.lit(a) * (h % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(MERSENNE_P))(a, b),
-                    )
-                )
-                for a, b in minhash_params(n_perms)
-            ]
-        ).alias("sig"),
+        minhash_sig_expr("hs", n_perms).alias("sig"),
     )
     buckets = sig.select(
         id_col,
-        F.explode(
-            F.array(*[band_hash(F.col("sig"), i, r) for i in range(bands)])
-        ).alias("bucket"),
+        F.explode(band_hashes_expr("sig", bands, r)).alias("bucket"),
     )
     cand = (
         buckets.alias("a")
