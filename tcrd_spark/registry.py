@@ -14,162 +14,134 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = []
 
 PRIORITY = (
-    # ---- the 50-query adjudication cap for round 11, emitted by
-    # tools/rotate_cap.py (obligations first, then strict
-    # oldest-green-first filler):
-    #   (a) 15 never-driver-green — the 13 TPC-H-family queries +
-    #       video_near_dups (registered after the r10 cap was fixed;
-    #       judge-verified at sf0.01 in VERDICT r10) and
-    #       doc_compressibility (now ADJUDICABLE: r11 gave the
-    #       production path a sidecar-join oracle, VERDICT r10 #7);
-    #   (b) 10 closure-churn entries: subqueries.py changed in r11
-    #       (decimal money-sum sweep) after its queries' latest
-    #       greens; snapshots.py/scd.py changed late in r10 after
-    #       theirs;
-    #   (c) filler: the entire remaining r7 tier (oldest greens).
-    # The staleness bound is computed from the LIVE registry size
-    # (tools/rotate_cap.py): 205 queries -> ceil(205/50) = 5 rounds.
-    "doc_compressibility",
-    "tpch_q10_returned",
-    "tpch_q12_priority_lines",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q4_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "video_near_dups",
-    "big_share_parts",
-    "blamed_suppliers",
-    "corr_not_exists_idle",
-    "corr_scalar_below_avg",
-    "excess_share_suppliers",
-    "incremental_join_agg",
-    "min_cost_supplier",
-    "scd2_apply_batch",
-    "scd2_history",
-    "top_revenue_supplier",
-    # registered mid-r11 into a pre-existing module (sources/
-    # snapshots.py): no new-module grace — adjudicate now, displacing
-    # the youngest-green fillers (mmr_rerank, merge_intervals,
-    # hgram_cdf, grouping_sets_mix — r7, back to the tail)
-    "lake_history",
-    "dv_deletes",
-    "dv_updates",
-    "dv_merge",
-    "association_rules",
-    "attribution_touch",
-    "bpe_pair_counts",
-    "chi2_independence",
-    "clique_expansion",
-    "consensus_expression",
-    "corpus_pipeline",
-    "corpus_pipeline_v2",
-    "corpus_shard_assign",
-    "cube_counts",
-    "decontaminate",
-    "dedup_containment",
-    "dedup_groups_cc",
-    "dedup_incremental",
-    "dedup_incremental_indexed",
-    "dedup_incremental_lsh",
-    "dedup_rep_quality",
-    "dsir_sample",
-    "dsir_weights",
-    "event_transitions",
-    "group_ols",
-    # ---- past the driver's 50-query cap (position 51+): every
-    # entry holds a green driver CORRECTNESS row from a prior
-    # round, ordered oldest-green-first so the next rotation
-    # reads straight off this list ----
-    # last green r7
-    "grouping_sets_mix",
-    "hgram_cdf",
-    "merge_intervals",
-    "mmr_rerank",
-    "nearest_flagged",
-    "pagerank",
-    "qualitative_levels",
-    "rolling_anomaly",
-    "rrf_fusion",
-    "semantic_dedup",
-    "semantic_dedup_pairs",
-    "sequence_pack",
-    "tau_continuous",
-    "tau_ordinal",
-    "tdl_classification",
-    "tdl_refresh_delta",
-    "tinx_importance",
-    "tinx_novelty",
-    "tinx_pmid_rankings",
-    "unpivot_metrics",
-    "welch_ttest",
-    "winnow_fingerprints",
-    "winsorize_values",
-    # last green r8
+    # ---- the 50-query adjudication cap for round 12, emitted by
+    # tools/rotate_cap.py (obligations first): CORRECTNESS_r11 landed
+    # after the r11 optimization commits, expiring every one-round
+    # churn grace at once — 81 obligations (the r11 session touched
+    # functions/hashing.py, operators/graph.py and pipeline/dedup.py,
+    # whose import closures cover most of the registry) for 50 slots.
+    # The cap takes the first 50 alphabetically; the remaining 31 are
+    # explicitly deferred ONE round in DEFERRALS.json (they sort first
+    # at the next rotation), and every deferred query is still
+    # re-hash-matched against DuckDB by this round's tools/check.py
+    # sweeps and the pytest oracle sweep — grace never means
+    # unverified. Staleness bound: ceil(209/50) = 5 rounds.
+    "ancestor_closure",
     "ann_bruteforce",
     "ann_ivf",
     "ann_ivf_indexed",
-    "anti_join_notfnd",
-    "asof_forward_events",
-    "chunk_documents",
+    "ann_ivfpq",
+    "ann_ivfsq",
+    "ann_pq_rerank",
+    "ann_pq_topk",
+    "ann_sq_topk",
+    "apsp_min_merge",
+    "bm25_search",
+    "ccnet_buckets",
     "classifier_quality_gate",
-    "date_funcs",
-    "dedup_exact",
-    "dq_expectations",
-    "dq_group_expectations",
-    "embedding_covariance",
-    "embedding_meanpool",
-    "entity_tagging",
-    "fallback_join_cascade",
-    "hard_negatives",
-    "hard_negatives_shortlist",
-    "html_extract",
-    "kmeans_assign",
-    "lang_id",
-    "leakage_safe_split",
-    "line_dedup",
-    "lm_trigram_perplexity",
-    "mean_std_population",
-    "median_per_group",
-    "mixture_token_budget",
-    "profile_documents",
-    "quality_quantile_filter",
-    "sample_stratified",
-    "self_join_common",
-    "session_durations",
-    "shipping_priority",
-    "text_clean_pii",
-    "text_quality",
-    "text_stats",
-    "tfidf_topterms",
-    "tokenizer_fertility",
-    "triangle_counts",
-    "type_histogram",
-    "url_filter",
-    "vocab_topk",
-    "web_pipeline",
-    "web_pipeline_funnel",
-    "window_range_interval",
-    "window_rank_funcs",
-    "window_sliding",
-    # last green r9
-    "asof_join_segmented",
-    "beans_counts",
-    "bridge_m2n_join",
+    "cms_heavy_hitters",
+    "compressibility_buckets",
     "corpus_clean",
-    "decile_bucketing",
-    "dedup_composite_key",
+    "corpus_divergence",
+    "decontaminate_bloom",
     "dedup_embedding_cosine",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "domain_mixture_exact",
+    "domain_mixture_sample",
+    "entity_tagging",
+    "gopher_quality_filter",
+    "gopher_repetition",
+    "hard_negatives",
+    "hard_negatives_shortlist",
+    "hgram_cdf",
+    "html_extract",
+    "image_near_dups",
+    "incremental_orders_agg",
+    "kmeans_assign",
+    "kmv_distinct",
+    "lang_id",
+    "leakage_safe_split",
+    "line_dedup",
+    "lm_trigram_perplexity",
+    "mixture_token_budget",
+    "mixture_weights",
+    "mmr_rerank",
+    "nb_classify",
+    "nearest_flagged",
+    "pagerank",
+    "phrase_search",
+    "qualitative_levels",
+    "quality_quantile_filter",
+    # ---- past the driver's 50-query cap (position 51+) ----
+    # 31 churn-stale obligations DEFERRED one round (81 obligations
+    # > 50 slots; DEFERRALS.json records them; they head the r13 cap)
+    "rrf_fusion",  # green r7 [deferred]
+    "semantic_dedup",  # green r7 [deferred]
+    "semantic_dedup_pairs",  # green r7 [deferred]
+    "sequence_pack",  # green r7 [deferred]
+    "tau_continuous",  # green r7 [deferred]
+    "tau_ordinal",  # green r7 [deferred]
+    "tdl_classification",  # green r7 [deferred]
+    "tdl_refresh_delta",  # green r7 [deferred]
+    "tinx_importance",  # green r7 [deferred]
+    "tinx_novelty",  # green r7 [deferred]
+    "tinx_pmid_rankings",  # green r7 [deferred]
+    "winnow_fingerprints",  # green r7 [deferred]
+    "sample_stratified",  # green r8 [deferred]
+    "text_clean_pii",  # green r8 [deferred]
+    "text_quality",  # green r8 [deferred]
+    "text_stats",  # green r8 [deferred]
+    "tokenizer_fertility",  # green r8 [deferred]
+    "triangle_counts",  # green r8 [deferred]
+    "vocab_topk",  # green r8 [deferred]
+    "web_pipeline",  # green r8 [deferred]
+    "web_pipeline_funnel",  # green r8 [deferred]
+    "quantile_sketch",  # green r10 [deferred]
+    "snapshot_changes",  # green r10 [deferred]
+    "substring_dedup",  # green r10 [deferred]
+    "substring_dedup_incremental",  # green r10 [deferred]
+    "substring_excise",  # green r10 [deferred]
+    "table_profile",  # green r10 [deferred]
+    "theta_sketch_ops",  # green r10 [deferred]
+    "winnow_candidate_pairs",  # green r10 [deferred]
+    "zorder_sampled",  # green r10 [deferred]
+    "zorder_values",  # green r10 [deferred]
+    "grouping_sets_mix",
+    "merge_intervals",
+    "rolling_anomaly",
+    "unpivot_metrics",
+    "welch_ttest",
+    "winsorize_values",
+    "anti_join_notfnd",
+    "asof_forward_events",
+    "chunk_documents",
+    "date_funcs",
+    "dq_expectations",
+    "dq_group_expectations",
+    "embedding_covariance",
+    "embedding_meanpool",
+    "fallback_join_cascade",
+    "mean_std_population",
+    "median_per_group",
+    "profile_documents",
+    "self_join_common",
+    "session_durations",
+    "shipping_priority",
+    "tfidf_topterms",
+    "type_histogram",
+    "url_filter",
+    "window_range_interval",
+    "window_rank_funcs",
+    "window_sliding",
+    "asof_join_segmented",
+    "beans_counts",
+    "bridge_m2n_join",
+    "decile_bucketing",
+    "dedup_composite_key",
     "distinct_projection",
     "dq_drift_gate",
     "drift_psi",
@@ -202,54 +174,70 @@ PRIORITY = (
     "three_way_entity_join",
     "topk_per_group",
     "union_dedup",
-    # last green r10
-    "ancestor_closure",
-    "ann_ivfpq",
-    "ann_ivfsq",
-    "ann_pq_rerank",
-    "ann_pq_topk",
-    "ann_sq_topk",
-    "apsp_min_merge",
     "asof_join_events",
-    "bm25_search",
-    "ccnet_buckets",
-    "cms_heavy_hitters",
     "cohort_retention",
-    "compressibility_buckets",
-    "corpus_divergence",
-    "decontaminate_bloom",
     "dedup_edit_distance",
-    "domain_mixture_exact",
-    "domain_mixture_sample",
     "funnel_stages",
-    "gopher_quality_filter",
-    "gopher_repetition",
-    "image_near_dups",
-    "incremental_orders_agg",
-    "kmv_distinct",
     "lm_perplexity",
     "lm_top_bigrams",
     "lttb_downsample",
     "merge_upsert",
-    "mixture_weights",
-    "nb_classify",
-    "phrase_search",
-    "quantile_sketch",
     "range_join_events",
     "sessionize_events",
     "skyline_parts",
-    "snapshot_changes",
-    "substring_dedup",
-    "substring_dedup_incremental",
-    "substring_excise",
-    "table_profile",
-    "theta_sketch_ops",
     "wide_export",
     "window_session",
     "window_tumbling",
-    "winnow_candidate_pairs",
-    "zorder_sampled",
-    "zorder_values",
+    "association_rules",
+    "attribution_touch",
+    "big_share_parts",
+    "blamed_suppliers",
+    "bpe_pair_counts",
+    "chi2_independence",
+    "clique_expansion",
+    "consensus_expression",
+    "corpus_pipeline",
+    "corpus_pipeline_v2",
+    "corpus_shard_assign",
+    "corr_not_exists_idle",
+    "corr_scalar_below_avg",
+    "cube_counts",
+    "decontaminate",
+    "dedup_containment",
+    "dedup_groups_cc",
+    "dedup_incremental",
+    "dedup_incremental_indexed",
+    "dedup_incremental_lsh",
+    "dedup_rep_quality",
+    "doc_compressibility",
+    "dsir_sample",
+    "dsir_weights",
+    "dv_deletes",
+    "dv_merge",
+    "dv_updates",
+    "event_transitions",
+    "excess_share_suppliers",
+    "group_ols",
+    "incremental_join_agg",
+    "lake_history",
+    "min_cost_supplier",
+    "scd2_apply_batch",
+    "scd2_history",
+    "top_revenue_supplier",
+    "tpch_q10_returned",
+    "tpch_q12_priority_lines",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q16_supplier_cnt",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q4_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "video_near_dups",
 )
 
 
@@ -354,3 +342,44 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracle_sql() -> dict[str, str]:
     return _collect()[1]
+
+
+def clear_session_memos(spark: SparkSession) -> None:
+    """Reset every in-process memo/cache a query family keeps for the
+    session (SQ/PQ code tables, IVF/dedup/HN index markers, kmeans
+    assignment, pagerank/triangle edge frames, MMR panel, the
+    corpus_v2 stage memos) and unpersist all cached data.
+
+    Bench-isolation hook (VERDICT r11 #8): memos are shared across
+    QUERIES (kmeans assignment ↔ semantic_dedup ↔ corpus_pipeline_v2),
+    so one query's min-of-3 can exclude work a sibling already paid
+    for. `SPARK_GRAFT_BENCH_ISOLATE=1` calls this between queries so
+    per-query seconds are attributable. Results are unaffected —
+    memos only ever cache intermediates derived from the inputs.
+    """
+    import importlib
+
+    for modname, attr in (
+        ("pipeline.sq", "_CODE_TABLES"),
+        ("pipeline.corpus_queries", "_DEDUP_INDEX_CACHE"),
+        ("pipeline.negatives", "_HN_INDEX_CACHE"),
+        ("pipeline.testdata_queries", "_IVF_INDEX_CACHE"),
+        ("pipeline.mmr", "_MEMO"),
+        ("operators.graph", "_PR_EDGE_MEMO"),
+        ("operators.triangles", "_TRI_EDGE_MEMO"),
+        ("operators.lineage", "_ROTATING"),
+    ):
+        try:
+            mod = importlib.import_module(f"tcrd_spark.{modname}")
+            getattr(mod, attr).clear()
+        except (ImportError, AttributeError):  # pragma: no cover
+            pass
+    # release every cached DataFrame and RDD (memoized frames above
+    # hold .cache()d plans / cut RDDs; clearing the dicts alone would
+    # leave their blocks pinned in executor storage)
+    spark.catalog.clearCache()
+    # SparkContext.getPersistentRDDs → scala Map[Int, RDD]; walk its
+    # values through py4j and unpersist each (non-blocking)
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)

@@ -127,8 +127,30 @@ def main() -> None:
     cap = obligations + filler[: max(0, CAP - len(obligations))]
     over = len(obligations) - CAP
     if over > 0:
-        print(f"\nWARNING: {over} obligations beyond the cap — defer "
-              "explicitly (one-round grace) and record them.")
+        # more obligations than slots (a shared-helper commit expires
+        # the churn grace of its WHOLE import closure at once): record
+        # the overflow as an explicit one-round deferral. The file is
+        # consumed by tests/test_registry.py (a validly-deferred name
+        # is exempt from the churn invariant for exactly one
+        # adjudication round) and the deferred names sort FIRST at the
+        # next rotation (effective green −1). Deferral never means
+        # unverified: the pytest oracle sweep and the builder's
+        # tools/check.py sweeps hash-match every deferred query anyway.
+        deferred = [n for n in obligations if n not in set(cap[:CAP])]
+        with open(os.path.join(REPO, "DEFERRALS.json"), "w") as f:
+            json.dump(
+                {
+                    "recorded_at_round": cur_round + 1,
+                    "reason": f"{len(obligations)} churn-stale "
+                              f"obligations for a {CAP}-slot cap",
+                    "deferred": deferred,
+                },
+                f,
+                indent=1,
+            )
+        print(f"\nWARNING: {over} obligations beyond the cap — recorded "
+              f"as a one-round deferral in DEFERRALS.json "
+              f"(recorded_at_round={cur_round + 1}).")
     print(f"\nproposed cap ({len(cap[:CAP])}):")
     for n in cap[:CAP]:
         print(f"  {n}")
