@@ -410,6 +410,11 @@ def pagerank(
     # IEEE doubles the old per-iteration aggregate produced (division
     # of the same operands is correctly rounded either way)
     n = nodes.count()
+    if n == 0:
+        # empty edge set: the old crossJoin-with-aggregate form returned
+        # an empty frame; 1.0 / n would raise at plan-build time
+        # (ADVICE r11)
+        return spark.createDataFrame([], schema="node long, pagerank double")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     base = F.lit((1.0 - damping) / n)
     cut_every = 2

@@ -64,3 +64,36 @@ def _truncate(
     if cache and _caches is not None:
         _caches.append(handle)
     return out
+
+
+# one cached-cut handle per (application, slot) — see _truncate_rotating
+_ROTATING: dict = {}
+
+
+def _truncate_rotating(
+    df: DataFrame, slot: str, _caches: list | None = None
+) -> DataFrame:
+    """``_truncate`` with BOUNDED session storage for callers that have
+    no terminal action of their own (registered queries return lazy
+    frames, so they can never unpersist "after the action"): when
+    ``_caches`` is None, the previous cut cached under the same slot is
+    unpersisted first — repeated invocations pin at most ONE cut per
+    slot instead of one per call (ADVICE r11: video/image_near_dup_pairs
+    accumulated a cached RDD per invocation for the session lifetime).
+    Unpersisting the predecessor is a perf decision, never a correctness
+    one: its lineage survives and recomputes on demand if a stale frame
+    is still referenced. With ``_caches`` given, identical to
+    ``_truncate(df, _caches)`` — the caller owns cleanup."""
+    if _caches is not None:
+        return _truncate(df, _caches)
+    held: list = []
+    out = _truncate(df, held)
+    key = (df.sparkSession.sparkContext.applicationId, slot)
+    prev = _ROTATING.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # pragma: no cover — JVM handle already gone
+            pass
+    _ROTATING[key] = held[0]
+    return out

@@ -121,6 +121,13 @@ def probe_bloom(
     them twice each). Very large filters keep the old broadcast-join
     probe (_INLINE_MAX_WORDS): a multi-MB plan literal would bloat
     every task closure.
+
+    NOTE eager semantics (r11, kept deliberately): collecting the bit
+    array executes the `bloom` build at PLAN-CONSTRUCTION time, even
+    if the returned frame is never acted on — the price of the
+    zero-shuffle probe plan. A `bloom` frame built with a different
+    m_words than this probe's is rejected with a clear error instead
+    of a bare IndexError (ADVICE r11).
     """
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
@@ -130,7 +137,15 @@ def probe_bloom(
         )
     masks = [0] * m_words
     for r in bloom.collect():  # ≤ m_words rows — bounded by contract
-        masks[int(r["word"])] = int(r["mask"])
+        w = int(r["word"])
+        if not 0 <= w < m_words:
+            raise ValueError(
+                f"probe_bloom: bloom filter word index {w} out of range "
+                f"for m_words={m_words} — the probe's m_words must match "
+                "the build_bloom that produced the filter (stale or "
+                "differently-sized filter?)"
+            )
+        masks[w] = int(r["mask"])
     arr = "array(" + ",".join(f"{m}L" for m in masks) + ")"
     n_bits = m_words * BITS_PER_WORD
     hs = [

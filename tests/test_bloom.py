@@ -76,3 +76,16 @@ def test_sized_bloom_still_contains_exact(spark, sf_dir):
         ).collect()
     }
     assert exact <= {d for d, c in flagged.items() if c == 1}
+
+
+def test_probe_rejects_mismatched_filter_size(spark, sf_dir):
+    # ADVICE r11: a filter built with a larger m_words than the probe's
+    # must fail with a clear error, not a bare IndexError
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    big = build_bloom(bench, "doc_id", "text", n=5, m_words=4 * M_WORDS)
+    with pytest.raises(ValueError, match="m_words"):
+        probe_bloom(corpus, big, "doc_id", "text", n=5, m_words=M_WORDS)

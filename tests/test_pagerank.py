@@ -51,3 +51,13 @@ def test_plain_sum_matches_sorted_fold(spark):
              for r in pagerank(e, "src", "dst", exact_fold=False).collect()}
     assert exact.keys() == plain.keys()
     assert all(abs(exact[k] - plain[k]) < 1e-6 for k in exact)
+
+
+def test_empty_edges_returns_empty_frame(spark):
+    # ADVICE r11: the literal-1/N rewrite raised ZeroDivisionError at
+    # plan-build time on an empty edge set; the pre-r11 form returned
+    # an empty frame
+    e = _edges(spark, [])
+    out = pagerank(e, "src", "dst")
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0

@@ -218,3 +218,25 @@ def test_image_hot_band_cap(spark):
     assert any(a < 30 and b < 30 for a, b in un)
     assert not any(a < 30 and b < 30 for a, b in cp)
     fp.unpersist()
+
+
+def test_fp_cut_storage_bounded_across_invocations(spark):
+    # ADVICE r11: repeated pair-builds must not accumulate one cached
+    # RDD per invocation — the rotating slot releases the predecessor
+    from tcrd_spark.operators.lineage import _ROTATING
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    rows = [(1, bytearray(b"abcd" * 40)), (2, bytearray(b"abcd" * 40))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = videodup.video_fingerprints(media, "doc_id")
+
+    videodup.video_near_dup_pairs(fp, "doc_id").collect()
+    base = n_persistent()
+    key = (spark.sparkContext.applicationId, "videodup-fp")
+    assert key in _ROTATING
+    for _ in range(3):
+        videodup.video_near_dup_pairs(fp, "doc_id").collect()
+    # the slot rotates: persistent-RDD count does not grow per call
+    assert n_persistent() <= base
