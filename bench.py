@@ -115,25 +115,52 @@ HEADLINE = [
 ]
 
 
-def _run_section(spark, queries, names, sf_dir, reps):
-    """Returns (min-of-reps, first-run) wall per query. min is the
-    noise-robust headline; first (cold plan + cold caches) is the
-    like-for-like basis for scaling ratios against a 1-rep section."""
+def _run_section(spark, queries, names, sf_dir, reps, isolate=False):
+    """Returns (min-of-reps, first-run, detail) wall per query. min is
+    the noise-robust headline; first (cold plan + cold caches) is the
+    like-for-like basis for scaling ratios against a 1-rep section.
+
+    detail (r12, VERDICT r11 #2): per-query {build, first, warm} —
+    build = min DataFrame-construction (driver/py4j) seconds, warm =
+    min noop-execution seconds across reps. Each rep's TIMED TOTAL is
+    still construction+execution measured as one span boundary pair
+    (t_exec ends at the same wall instant the old single span did, and
+    t_build starts at the same instant), so per-query seconds remain
+    methodology-identical to every earlier round.
+
+    isolate (r12, VERDICT r11 #5/#8): clear every session memo/cache
+    BEFORE each query so min-of-reps numbers are attributable to the
+    query alone (memos still warm across reps of the SAME query —
+    that is the memo's documented in-process semantics)."""
     per_query: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
+        if isolate:
+            from tcrd_spark.registry import clear_session_memos
+
+            clear_session_memos(spark)
         best = float("inf")
+        best_build = float("inf")
+        best_exec = float("inf")
         for i in range(reps):
             t0 = time.time()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            dt = time.time() - t0
+            df = queries[name](spark, sf_dir)
+            t1 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.time()
+            dt = t2 - t0
             if i == 0:
                 first_run[name] = round(dt, 3)
             best = min(best, dt)
+            best_build = min(best_build, t1 - t0)
+            best_exec = min(best_exec, t2 - t1)
         per_query[name] = round(best, 3)
-    return per_query, first_run
+        detail[name] = {
+            "build": round(best_build, 3),
+            "warm": round(best_exec, 3),
+        }
+    return per_query, first_run, detail
 
 
 def main():
@@ -163,7 +190,10 @@ def main():
         calib = min(calib, time.time() - t0)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    per_query, first_run = _run_section(spark, queries, names, sf_dir, reps)
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "") == "1"
+    per_query, first_run, detail = _run_section(
+        spark, queries, names, sf_dir, reps, isolate=isolate
+    )
     total = round(sum(per_query.values()), 3)
     # Key ORDER is load-bearing (VERDICT r7 #3): the driver records only
     # the TAIL of this line, so the primary per-query seconds and total
@@ -193,10 +223,28 @@ def main():
     if os.path.isdir(sf1_dir) and os.environ.get(
         "SPARK_GRAFT_SKIP_SF1", ""
     ) != "1":
-        sf1_q, _ = _run_section(spark, queries, names, sf1_dir, 1)
+        # r12 (VERDICT r11 #2): the registry grew to 209 queries, so the
+        # 10×-data section is capped to the TOP-N slowest queries of the
+        # primary section (default 40 ≥ the "30 slowest" the verdict
+        # asked for) — the sub-second tail adds wall, not information.
+        # SPARK_GRAFT_SF1_TOP=0 removes the cap.
+        sf1_top = int(os.environ.get("SPARK_GRAFT_SF1_TOP", "40"))
+        sf1_names = names
+        if sf1_top > 0 and len(names) > sf1_top:
+            sf1_names = sorted(
+                names, key=lambda n: -per_query.get(n, 0.0)
+            )[:sf1_top]
+        if isolate:
+            from tcrd_spark.registry import clear_session_memos
+
+            clear_session_memos(spark)
+        sf1_q, _, _ = _run_section(
+            spark, queries, sf1_names, sf1_dir, 1, isolate=isolate
+        )
         out["sf1"] = {
             "value": round(sum(sf1_q.values()), 3),
             "reps": 1,
+            "top": sf1_top,
             "queries": sf1_q,
             # cold-vs-cold: the sf1 section runs once, so ratio against
             # the primary section's FIRST run — comparing a cold sf1 run
@@ -204,10 +252,27 @@ def main():
             # for cache-heavy plans (minhash/jaccard pair queries)
             "scale_vs_primary": {
                 n: round(sf1_q[n] / first_run[n], 2)
-                for n in names
+                for n in sf1_names
                 if first_run.get(n)
             },
         }
+    # additive r12 keys (printed BEFORE queries/value — the tail-
+    # truncation lesson): per-query build/first/warm decomposition for
+    # the TOP-N slowest (the sub-second tail's split is uninformative
+    # and the one-line JSON must stay well under the driver's capture
+    # budget — the r10 truncation lesson). build = driver plan-
+    # construction floor, warm = repeatable exec; first - (build+warm)
+    # bounds one-off analysis/codegen cost.
+    out["isolate"] = 1 if isolate else 0
+    detail_top = sorted(names, key=lambda n: -per_query.get(n, 0.0))[:40]
+    out["detail"] = {
+        n: {
+            "build": detail[n]["build"],
+            "first": first_run[n],
+            "warm": detail[n]["warm"],
+        }
+        for n in detail_top
+    }
     # last keys survive the driver's tail truncation
     out["queries"] = per_query
     out["value"] = total
