@@ -149,6 +149,14 @@ def sql_hash60(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def spark_hash60(expr: str) -> str:
+    """Spark-SQL string twin of ``hash60`` for one-parse F.expr
+    construction (the minhash_sig_expr lesson: Column-API lambdas cost
+    ~10 py4j round-trips each per invocation; a single parse costs
+    one). Produces the identical expression tree as ``hash60``."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
 def sql_minhash_sig(tokens_expr: str, n_perms: int, seed: int = 7) -> str:
     """DuckDB SQL producing the identical minhash signature array."""
     parts = [

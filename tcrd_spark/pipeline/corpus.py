@@ -77,19 +77,23 @@ def connected_components(
         .distinct()
     )
     # Size-adaptive fast path (r11 optimization, the broadcast-join-
-    # below-threshold principle applied to CC): the deduped edge count
-    # is known from one cheap count job; at or below _CC_DRIVER_MAX
-    # edges (~3 MB of longs) a driver union-find resolves components
-    # in O(α) per edge with ZERO per-round Spark jobs, where the star
-    # loop paid 3 shuffles + a cut + a signature action per round.
-    # Components are identical by construction (min reachable id).
-    # Above the threshold — the 100 TB regime — the alternating-star
-    # loop below runs unchanged; the collect is bounded by the count
-    # test, never speculative.
+    # below-threshold principle applied to CC): at or below
+    # _CC_DRIVER_MAX edges (~3 MB of longs) a driver union-find
+    # resolves components in O(α) per edge with ZERO per-round Spark
+    # jobs, where the star loop paid 3 shuffles + a cut + a signature
+    # action per round. Components are identical by construction (min
+    # reachable id). Above the threshold — the 100 TB regime — the
+    # alternating-star loop below runs unchanged. The size test IS the
+    # collect (r12, guide §1/§2: the separate count job doubled the
+    # AQE stage cascade of the upstream pair plan — 16 jobs → 8 in
+    # corpus_pipeline_v2's stage 4): limit(MAX+1) bounds the driver
+    # memory exactly like the count test did, and the extra row, when
+    # present, proves the edge set is over threshold without counting
+    # it. Union-find labels are row-order-independent, so the limit's
+    # partition order does not matter.
     e = e.cache()
-    n_edges = e.count()
-    if n_edges <= _CC_DRIVER_MAX:
-        rows = e.collect()  # bounded: n_edges ≤ _CC_DRIVER_MAX
+    rows = e.limit(_CC_DRIVER_MAX + 1).collect()
+    if len(rows) <= _CC_DRIVER_MAX:
         e.unpersist()
         parent: dict[int, int] = {}
 
@@ -244,6 +248,54 @@ def dedup_groups(
     ).select("group_id", (-F.col("m.negid")).alias("rep_id"))
     return out.join(reps, "group_id").select(
         id_col, "group_id", "group_sz", "rep_id"
+    )
+
+
+def dedup_group_reps(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    rep_by: str | None = None, _caches: list | None = None,
+) -> DataFrame:
+    """The REPRESENTATIVE ids only — exactly the set
+    ``dedup_groups(...).filter(id == rep_id)`` (or ``== group_id`` when
+    ``rep_by`` is None) selects, without computing what that
+    composition throws away (r12, guide §2.3/§2.4): the group-size
+    aggregate and the two join-backs onto every member row existed
+    only to build the full per-doc frame. Keep-one gates (the corpus
+    pipelines) consume the rep SET alone, so this form stops at the
+    election aggregate: min-id reps are simply the distinct group
+    labels; rep_by reps are the same max-of-(score, -id) struct
+    aggregate dedup_groups runs, minus sizes and join-backs — 3 fewer
+    exchanges per gate in the composed pipelines' plans.
+    """
+    cc = connected_components(pairs, "id_a", "id_b", _caches=_caches)
+    labeled = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            *([F.col(rep_by)] if rep_by else []),
+        )
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("group_id"),
+            *([rep_by] if rep_by else []),
+        )
+    )
+    if rep_by is None:
+        # the min-id representative IS the group label
+        return labeled.select(
+            F.col("group_id").alias(id_col)
+        ).distinct()
+    return (
+        labeled.groupBy("group_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(rep_by).alias("s"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select((-F.col("m.negid")).alias(id_col))
     )
 
 

@@ -218,22 +218,18 @@ def q_corpus_pipeline(
         F.col("keep_id").alias("doc_id")
     )
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    # reps-only election (r12): the keep-one gate consumes the rep SET,
+    # so the full dedup_groups frame's size agg + join-backs drop out
     if rep_by_quality:
         scored = docs.select(
             "doc_id",
             F.round(text.quality_score(F.col("text")), 6).alias("quality"),
         )
-        cc_reps = (
-            corpus.dedup_groups(scored, pairs, "doc_id", rep_by="quality")
-            .filter(F.col("doc_id") == F.col("rep_id"))
-            .select("doc_id")
+        cc_reps = corpus.dedup_group_reps(
+            scored, pairs, "doc_id", rep_by="quality"
         )
     else:
-        cc_reps = (
-            corpus.dedup_groups(docs, pairs, "doc_id")
-            .filter(F.col("doc_id") == F.col("group_id"))
-            .select("doc_id")
-        )
+        cc_reps = corpus.dedup_group_reps(docs, pairs, "doc_id")
     # 3: decontamination (corpus side excludes the benchmark docs)
     decon = corpus.decontaminate(
         docs.filter(F.col("doc_id") >= 10),

@@ -77,7 +77,7 @@ from tcrd_spark.pipeline.dsir import (
     dsir_log_weights,
     gumbel_key,
 )
-from tcrd_spark.pipeline.semdedup import _EMB_DIM, semantic_dedup
+from tcrd_spark.pipeline.semdedup import _EMB_DIM, semantic_dedup_reps
 from tcrd_spark.pipeline.sq import _memo_cached
 from tcrd_spark.pipeline.substring import _split_docs, excise_duplicate_spans
 from tcrd_spark.sources.lake import load_table
@@ -176,10 +176,10 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.select(
         "doc_id", text.quality_score(F.col("text")).alias("quality")
     )
-    cc_reps = (
-        corpus.dedup_groups(scored, pairs, "doc_id", rep_by="quality")
-        .filter(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id")
+    # reps-only election (r12): the gate consumes the rep SET — the
+    # full dedup_groups frame's size agg + join-backs drop out
+    cc_reps = corpus.dedup_group_reps(
+        scored, pairs, "doc_id", rep_by="quality"
     )
     exact_reps = dedup.exact_dedup(c, "doc_id", "text").select(
         F.col("keep_id").alias("doc_id")
@@ -192,7 +192,10 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5. SemDeDup over the survivors' embeddings (first-8 global
     # centroid contract; assignment shared with the standalone
     # semantic_dedup queries via the same session memo)
-    from tcrd_spark.pipeline.semdedup import _assigned_cached
+    from tcrd_spark.pipeline.semdedup import (
+        _assigned_cached,
+        _assigned_count_cached,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     keep_vec = d.select(F.col("doc_id").alias("c_id"))
@@ -203,13 +206,16 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cell_vec")
     )
-    sem_reps = (
-        semantic_dedup(
-            corpus_vec, cents, _EMB_DIM, threshold=SEM_T, _assigned=assigned
-        )
-        .filter(F.col("c_id") == F.col("rep_id"))
-        .select(F.col("c_id").alias("doc_id"))
-    )
+    sem_reps = semantic_dedup_reps(
+        corpus_vec, cents, _EMB_DIM, threshold=SEM_T, _assigned=assigned,
+        # adaptive pair blocks sized from the FULL corpus count (a
+        # memoized upper bound on the gated survivor count — block
+        # memory only shrinks when n overestimates): the survivors
+        # here are ~10² docs, and the fixed 16-block grid spent
+        # ~5s/rep launching 136 block-pair Python tasks per cell
+        # for matmuls of a few rows
+        n_rows=_assigned_count_cached(spark, sf_dir),
+    ).select(F.col("c_id").alias("doc_id"))
     e = d.join(sem_reps, "doc_id", "semi")
 
     # 6. benchmark decontamination: clean corpus text vs the RAW

@@ -76,17 +76,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_hashes_sql(text_expr: str, n: int) -> str:
+    """Spark-SQL string producing ``hashed_shingles``'s hs column over
+    a text expression — the identical zip_with/filter/transform tree
+    the Column form builds, as ONE parse (r12, guide §4: the chain cost
+    ~500 py4j round-trips per call site per invocation; hashed_shingles
+    is constructed by a dozen query families)."""
+    from tcrd_spark.functions.hashing import spark_hash60
+
+    toks = f"split({text_expr}, '\\\\s+')"
+    grams = toks
+    for j in range(1, n):
+        grams = (
+            f"zip_with({grams}, slice({toks}, {j + 1}, "
+            f"greatest(size({toks}) - {j}, 0)), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    sh = f"array_distinct(filter({grams}, x -> x is not null))"
+    return f"array_distinct(transform({sh}, s -> {spark_hash60('s')}))"
+
+
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, hs): distinct 60-bit hashes of the word n-gram shingles.
 
     Joining/grouping on 8-byte longs instead of n-word strings cuts
     shuffle width ~5×; the oracle hashes shingles identically, so any
     (cosmically unlikely) collision affects both engines equally.
+    Built as one SQL parse (shingle_hashes_sql); values identical to
+    the Column form ``array_distinct(transform(shingles(...), hash60))``
+    (pinned by tests/test_dedup.py).
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
-    return sh.select(
-        id_col,
-        F.array_distinct(F.transform(F.col("sh"), hash60)).alias("hs"),
+    return df.select(
+        F.col(id_col),
+        F.expr(shingle_hashes_sql(f"`{text_col}`", n)).alias("hs"),
     )
 
 

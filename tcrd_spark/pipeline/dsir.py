@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tcrd_spark.functions.hashing import hash60
-from tcrd_spark.pipeline.text import ws_tokens
 
 B = 1024  # hashed feature buckets (paper: 10^4; small here for sf dirs)
 TARGET_SOURCES = ("src0", "src1")  # registered query's "domain" corpus
@@ -41,28 +40,33 @@ SAMPLE_K = 100
 _U_DEN = float((1 << 60) + 1)  # hash60 ∈ [0, 2^60) → u ∈ (0, 1)
 
 
-def _grams(text_col) -> F.Column:
+def _grams_sql(text_expr: str) -> str:
     """Unigrams + space-joined bigrams of the lowercased, empty-filtered
-    whitespace tokens — row-local, whole-stage-codegen'd."""
-    toks = F.transform(
-        F.filter(ws_tokens(text_col), lambda t: t != ""), F.lower
+    whitespace tokens — row-local, whole-stage-codegen'd. ONE SQL parse
+    (r12, guide §4): the Column-built chain cost ~700 py4j round-trips
+    per construction; the parsed tree and values are identical (pinned
+    by tests/test_dsir.py)."""
+    t = f"transform(filter(split({text_expr}, '\\\\s+'), t -> t != ''), t -> lower(t))"
+    bigrams = (
+        f"CASE WHEN size({t}) >= 2 THEN "
+        f"zip_with(slice({t}, 1, size({t}) - 1), "
+        f"slice({t}, 2, size({t}) - 1), (a, b) -> concat(a, ' ', b)) "
+        f"ELSE cast(array() as array<string>) END"
     )
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bigrams)
+    return f"concat({t}, {bigrams})"
 
 
 def feature_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, bucket) — one row per gram occurrence, bucket ∈ [0, B)."""
+    from tcrd_spark.functions.hashing import spark_hash60
+
     return docs.select(
-        F.col(id_col), F.explode(_grams(F.col(text_col))).alias("_gram")
-    ).select(id_col, F.pmod(hash60("_gram"), F.lit(B)).alias("bucket"))
+        F.col(id_col),
+        F.explode(F.expr(_grams_sql(f"`{text_col}`"))).alias("_gram"),
+    ).select(
+        id_col,
+        F.expr(f"pmod({spark_hash60('_gram')}, {B})").alias("bucket"),
+    )
 
 
 def bucket_log_ratio(

@@ -161,7 +161,7 @@ def gopher_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Values are bit-identical to the per-n functions (same grams, same
     arithmetic, same coalesce-to-0.0); tests pin both forms equal.
     """
-    from tcrd_spark.functions.hashing import hash60
+    from tcrd_spark.functions.hashing import spark_hash60
 
     top_ns = sorted(TOP_NGRAM_MAX)
     dup_ns = sorted(DUP_NGRAM_MAX)
@@ -172,28 +172,25 @@ def gopher_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # gram lambdas below never re-inline the tokenizer (the winnow /
     # _gram_hashes lesson — O(tokens²) otherwise)
     toked = docs.select(F.col(id_col), F.explode(F.array(toks)).alias("_tk"))
-    tk = F.col("_tk")
     st = "array<struct<n:int,pos:int,gh:bigint>>"
 
-    # one-arg lambda per k (a two-parameter lambda would be treated as
-    # the (element, index) form by PySpark's HOF binding)
-    def _gram_of(k):
-        return lambda i: F.struct(
-            F.lit(k).alias("n"),
-            i.alias("pos"),
-            hash60(F.concat_ws(" ", F.slice(tk, i, k))).alias("gh"),
-        )
-
-    per_n = [
-        F.when(
-            F.size(tk) >= k,
-            F.transform(F.sequence(F.lit(1), F.size(tk) - k + 1), _gram_of(k)),
-        ).otherwise(F.expr(f"cast(array() as {st})"))
+    # the five per-n gram arrays as ONE SQL parse (r12, guide §4 / the
+    # minhash_sig_expr lesson): the Column-API form — a transform
+    # lambda + struct + hash60 chain per n — cost ~2k py4j round-trips
+    # per invocation; the parsed tree and values are identical
+    # (tests pin both the per-n equivalence and the composed stats)
+    per_n_sql = ", ".join(
+        f"CASE WHEN size(_tk) >= {k} THEN "
+        f"transform(sequence(1, size(_tk) - {k} + 1), "
+        f"i -> named_struct('n', {k}, 'pos', i, 'gh', "
+        f"{spark_hash60(f'''concat_ws(' ', slice(_tk, i, {k}))''')})) "
+        f"ELSE cast(array() as {st}) END"
         for k in all_ns
-    ]
+    )
     g = (
         toked.select(
-            F.col(id_col), F.explode(F.flatten(F.array(*per_n))).alias("_g")
+            F.col(id_col),
+            F.explode(F.expr(f"flatten(array({per_n_sql}))")).alias("_g"),
         )
         .select(id_col, "_g.n", "_g.pos", "_g.gh")
     )

@@ -26,12 +26,33 @@ tests/test_semdedup.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tcrd_spark.pipeline.dedup import dot
 
 _EMB_DIM = 64
+
+# Adaptive block sizing for the BLAS pair scorer (r12, guide §2.6/§4):
+# n_blocks exists to bound one applyInPandas task at ~2 blocks of
+# ROWS_PER_BLOCK vectors — but a FIXED n_blocks=16 means a tiny corpus
+# (the gated survivors inside corpus_pipeline_v2 are ~10² docs) pays
+# 16·17/2 = 136 block-pair Python-task launches per cell for matmuls of
+# a few rows: measured 7.2s vs 1.2s at 100 survivors, 1.5s vs 0.6s at
+# the full 2000-vector panel (min-of-5, pair sets asserted identical).
+# When the caller knows the corpus row count, blocks are sized so one
+# block holds ~this many vectors (hash-uniform, so the per-task bound
+# 2·ROWS_PER_BLOCK·dim·8 holds REGARDLESS of cell skew), capped at the
+# caller's n_blocks so the large-corpus plan is unchanged. Env-tunable
+# like TCRD_CC_DRIVER_MAX; production can raise it for bigger BLAS
+# tiles per task.
+_SEM_BLOCK_ROWS = int(os.environ.get("TCRD_SEM_BLOCK_ROWS", "2048"))
+
+
+def _adaptive_blocks(n_rows: int, n_blocks: int) -> int:
+    return max(1, min(n_blocks, -(-int(n_rows) // _SEM_BLOCK_ROWS)))
 
 
 def semantic_pairs(
@@ -78,6 +99,7 @@ def semantic_pairs_blocked(
     corpus: DataFrame, centroids: DataFrame, dim: int,
     threshold: float = 0.4, n_blocks: int = 16,
     _assigned: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The SCALE form of semantic_pairs — identical output, BLAS
     execution. The plain equi-join scores each candidate with an
@@ -91,7 +113,14 @@ def semantic_pairs_blocked(
     cluster skew, every pair meets in exactly one task, and
     cross-cluster pairs still cannot exist (cell_id is in the grouping
     key). Rounded cosines are bit-identical to the join scorer and the
-    DuckDB oracle (the dedup_embedding_cosine precedent)."""
+    DuckDB oracle (the dedup_embedding_cosine precedent).
+
+    ``n_rows`` (r12): the corpus row count when the caller knows it —
+    blocks are then sized to ~TCRD_SEM_BLOCK_ROWS vectors each (capped
+    at ``n_blocks``), so a small corpus doesn't pay n_blocks²/2
+    Python-task launches per cell for tiny matmuls; see
+    _adaptive_blocks. Output is identical for every block count by
+    construction (every pair meets in exactly one task)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -108,6 +137,8 @@ def semantic_pairs_blocked(
         if _assigned is not None
         else assign_cells(corpus, centroids, dim)
     )
+    if n_rows is not None:
+        n_blocks = _adaptive_blocks(n_rows, n_blocks)
     spark = corpus.sparkSession
     vecs = a.select(
         "cell_id",
@@ -217,6 +248,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     _caches: list | None = None,
     _assigned: DataFrame | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(c_id, group_id, group_sz, rep_id): cluster-scoped near-dup
     pairs → CC groups → representative = the member FARTHEST from its
@@ -238,12 +270,42 @@ def semantic_dedup(
         if _caches is not None:
             _caches.append(a)
     pairs = semantic_pairs_blocked(
-        corpus, centroids, dim, threshold, _assigned=a
+        corpus, centroids, dim, threshold, _assigned=a, n_rows=n_rows
     )
     scored = centroid_distance(corpus, centroids, dim, _assigned=a).select(
         "c_id", "dist"
     )
     return dedup_groups(scored, pairs, "c_id", rep_by="dist")
+
+
+def semantic_dedup_reps(
+    corpus: DataFrame, centroids: DataFrame, dim: int,
+    threshold: float = 0.4,
+    _caches: list | None = None,
+    _assigned: DataFrame | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """The kept c_ids only — the set ``semantic_dedup(...)
+    .filter(c_id == rep_id)`` selects, via the reps-only election
+    (corpus.dedup_group_reps): keep-one consumers (corpus_pipeline_v2
+    stage 5) don't need group ids/sizes per member, so the size
+    aggregate and both join-backs drop out of the composed plan."""
+    from tcrd_spark.pipeline.corpus import dedup_group_reps
+    from tcrd_spark.pipeline.similarity import assign_cells
+
+    if _assigned is not None:
+        a = _assigned
+    else:
+        a = assign_cells(corpus, centroids, dim).cache()
+        if _caches is not None:
+            _caches.append(a)
+    pairs = semantic_pairs_blocked(
+        corpus, centroids, dim, threshold, _assigned=a, n_rows=n_rows
+    )
+    scored = centroid_distance(corpus, centroids, dim, _assigned=a).select(
+        "c_id", "dist"
+    )
+    return dedup_group_reps(scored, pairs, "c_id", rep_by="dist")
 
 
 # ------------------------------------------------- registered queries
@@ -284,6 +346,19 @@ def _assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assigned_count_cached(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the memoized assignment — one cheap job over the
+    cached cut, memoized alongside it; sizes the adaptive pair blocks."""
+    from tcrd_spark.pipeline.sq import _CODE_TABLES
+
+    key = (spark.sparkContext.applicationId, sf_dir, "semassign-n")
+    n = _CODE_TABLES.get(key)
+    if n is None:
+        n = _assigned_cached(spark, sf_dir).count()
+        _CODE_TABLES[key] = n
+    return n
+
+
 def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-scoped cosine ≥ 0.4 pairs over the embeddings table
     (first-8 centroid contract), via the blocked BLAS scorer."""
@@ -291,6 +366,7 @@ def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_pairs_blocked(
         corpus, cents, _EMB_DIM, threshold=0.4,
         _assigned=_assigned_cached(spark, sf_dir),
+        n_rows=_assigned_count_cached(spark, sf_dir),
     )
 
 
@@ -300,6 +376,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         corpus, cents, _EMB_DIM, threshold=0.4,
         _assigned=_assigned_cached(spark, sf_dir),
+        n_rows=_assigned_count_cached(spark, sf_dir),
     )
 
 

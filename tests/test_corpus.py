@@ -501,3 +501,39 @@ def test_connected_components_fast_path_matches_star_loop(spark, monkeypatch):
         for r in corpus.connected_components(df, "id_a", "id_b").collect()
     }
     assert fast == slow
+
+
+def test_dedup_group_reps_matches_filter_form(spark):
+    """r12 reps-only election: dedup_group_reps returns exactly the set
+    the dedup_groups filter composition selects, for both the min-id
+    and the rep_by election."""
+    from tcrd_spark.pipeline.corpus import dedup_group_reps, dedup_groups
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 7) % 5)) for i in range(1, 12)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10)],
+        "id_a long, id_b long",
+    )
+    full = dedup_groups(docs, pairs, "doc_id", rep_by="quality")
+    want = {
+        r["doc_id"]
+        for r in full.filter("doc_id = rep_id").select("doc_id").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in dedup_group_reps(docs, pairs, "doc_id", rep_by="quality").collect()
+    }
+    assert got == want
+
+    full_min = dedup_groups(docs, pairs, "doc_id")
+    want_min = {
+        r["doc_id"]
+        for r in full_min.filter("doc_id = group_id").select("doc_id").collect()
+    }
+    got_min = {
+        r["doc_id"] for r in dedup_group_reps(docs, pairs, "doc_id").collect()
+    }
+    assert got_min == want_min

@@ -71,3 +71,39 @@ def test_dsir_plans_are_scale_shaped(spark, sf_dir):
     assert wplan.count("HashAggregate") >= 2, wplan
     splan = plan_of(q_dsir_sample(spark, sf_dir))
     assert "TakeOrderedAndProject" in splan, splan
+
+
+def test_grams_sql_matches_column_form(spark, sf_dir):
+    """r12 one-parse DSIR grams: the SQL-parsed gram array is
+    value-identical to the Column-built chain."""
+    from pyspark.sql import functions as F
+
+    from tcrd_spark.pipeline.dsir import _grams_sql
+    from tcrd_spark.pipeline.text import ws_tokens
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.filter(ws_tokens(F.col("text")), lambda t: t != ""), F.lower
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    want = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", F.concat(toks, bigrams).alias("g")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", F.expr(_grams_sql("`text`")).alias("g")
+        ).collect()
+    }
+    assert got == want
