@@ -362,6 +362,8 @@ def pagerank(
     cache_inputs: bool = True,
     _caches: list | None = None,
     prebuilt: tuple | None = None,
+    cut_every: int = 3,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (node,
     pagerank). Simplified variant: dangling nodes keep their (1-d)/N
@@ -381,10 +383,12 @@ def pagerank(
     per-iteration count-aggregate + broadcast-exchange pair it
     replaces was 2 jobs × iters for the same scalar).
 
-    ``cut_every`` (r11, measured): cutting every iteration spends a
-    job wave per cut; letting 2 iterations fuse into one cut halves
-    that while Catalyst analysis of a 2-deep chain stays trivial —
-    4.25s vs 5.69s at sf0.1, bit-identical output.
+    ``cut_every`` (r11/r12, measured): cutting every iteration spends
+    a job wave per cut; letting iterations fuse into one cut trades
+    that against Catalyst analysis of the deeper chain. Measured
+    bit-identical at sf0.1: every-1 5.69s → every-2 4.25s (r11) →
+    every-3 4.18s (r12, the new default); every-6 regressed to 4.67s
+    (the analysis cost crossing over).
 
     ``exact_fold=True`` sums each node's incoming contributions by a
     sorted fold (collect_list → array_sort → aggregate) so Spark and
@@ -408,8 +412,10 @@ def pagerank(
                 _caches.extend([e, deg, nodes])
     # one bounded driver long; the literals below reproduce the exact
     # IEEE doubles the old per-iteration aggregate produced (division
-    # of the same operands is correctly rounded either way)
-    n = nodes.count()
+    # of the same operands is correctly rounded either way). Callers
+    # holding a memoized node frame pass the count along (r12): the
+    # count job otherwise re-runs per invocation for the same frame.
+    n = nodes.count() if n_nodes is None else n_nodes
     if n == 0:
         # empty edge set: the old crossJoin-with-aggregate form returned
         # an empty frame; 1.0 / n would raise at plan-build time
@@ -417,7 +423,6 @@ def pagerank(
         return spark.createDataFrame([], schema="node long, pagerank double")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     base = F.lit((1.0 - damping) / n)
-    cut_every = 2
     for i in range(iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -468,10 +473,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, deg, nodes = graph_frames(
             _order_chain_edges(spark, sf_dir), "src", "dst"
         )
-        triple = (e.cache(), deg.cache(), nodes.cache())
+        # the node count is memoized WITH the frames (r12): it is a
+        # property of the memoized node frame, and the separate count
+        # job otherwise re-ran on every invocation
+        triple = (e.cache(), deg.cache(), nodes.cache(), nodes.count())
         _PR_EDGE_MEMO[key] = triple
     return pagerank(
-        triple[0], "src", "dst", PR_ITERS, PR_DAMPING, prebuilt=triple
+        triple[0], "src", "dst", PR_ITERS, PR_DAMPING,
+        prebuilt=triple[:3], n_nodes=triple[3],
     )
 
 

@@ -79,9 +79,11 @@ def containment_pairs(
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle-containment pairs (≥ 0.5) over documents —
     the subsumed-fragment detector Jaccard resemblance misses."""
-    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.sources.lake import load_table, split_for_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # split guard (r12): the single-row-group test table pinned the
+    # md5 shingle pass to one task — 2.17 → 1.52s at sf0.1
+    docs = split_for_scan(spark, load_table(spark, sf_dir, "documents"))
     return containment_pairs(docs, "doc_id", "text", N_SHINGLE, THRESHOLD, MAX_DF)
 
 

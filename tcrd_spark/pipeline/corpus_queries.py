@@ -153,7 +153,11 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs (doc_id ≥ 10) sharing any
     word 5-gram with the benchmark set (doc_id < 10)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from tcrd_spark.sources.lake import split_for_scan
+
+    # split guard (r12): the single-row-group test table pinned the
+    # md5 shingle pass to one task — 3.08 → 1.49s at sf0.1
+    docs = split_for_scan(spark, load_table(spark, sf_dir, "documents"))
     return corpus.decontaminate(
         docs.filter(F.col("doc_id") >= 10),
         docs.filter(F.col("doc_id") < 10),

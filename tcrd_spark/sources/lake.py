@@ -57,6 +57,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def split_for_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive input-split guard (r12; the substring._split_docs
+    pattern promoted to a shared helper, guide §2.5/§6): the test-scale
+    documents table arrives as ONE parquet row group, which pins every
+    md5-heavy gram/shingle stage to a single task. When the scan has
+    fewer files than cores, one up-front round-robin exchange buys a
+    full-width map stage (measured: decontaminate 3.08 → 1.49s,
+    dedup_containment 2.17 → 1.52s at sf0.1, rows identical). At 100 TB
+    inputs come pre-split and the guard is a no-op — inputFiles() is
+    metadata-only."""
+    want = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < want:
+        return df.repartition(want)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every lake table as a temp view for the SQL surface."""
     for name in TABLES:
