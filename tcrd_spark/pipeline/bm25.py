@@ -97,9 +97,11 @@ def bm25_scores(
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against the fixed 3-term
     query; only matching documents survive."""
-    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.sources.lake import load_table, split_for_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # split guard (r12): the single-row-group test table pinned the
+    # tokenize/score pass to one task — 0.95 → 0.43s at sf0.1
+    docs = split_for_scan(spark, load_table(spark, sf_dir, "documents"))
     return bm25_scores(docs, "doc_id", "text")
 
 

@@ -275,9 +275,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min estimates for the exact top-20 partkeys by lineitem
     occurrence: (partkey, exact_cnt, cms_est); cms_est ≥ exact_cnt
     always (collisions only inflate)."""
-    from tcrd_spark.sources.lake import load_table
+    from tcrd_spark.sources.lake import load_table, split_for_scan
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # split guard (r12): the CMS cell explode does one md5 per row ×
+    # one 600k-row single-row-group scan — 4.90 → 3.19s at sf0.1
+    li = split_for_scan(spark, load_table(spark, sf_dir, "lineitem"))
     item = F.col("l_partkey").cast("string")
     grid = cms_build(li, item, CMS_DEPTH, CMS_WIDTH, CMS_SEED)
     top = (

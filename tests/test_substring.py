@@ -154,3 +154,28 @@ def test_substring_plan_shuffles_hashes_not_text(spark, sf_dir):
     plan = q_substring_dedup(spark, sf_dir)._jdf.queryExecution().toString()
     # the aggregate over gh reads only (gh) — no text in its exchange
     assert "hashpartitioning(gh" in plan
+
+
+def test_skew_safe_shape_matches_window_on_hot_gram(spark):
+    """ADVICE r11 / r12: the skew-safe groupBy+semi shape must produce
+    identical spans to the window shape, including on a degenerate
+    corpus where one k-gram is mass-pasted across every document (the
+    hot-gram case the window funnels into one task)."""
+    from tcrd_spark.pipeline.substring import duplicate_spans
+
+    hot = "x1 x2 x3 x4 x5 x6 x7 x8"  # one hot 8-gram, everywhere
+    rows = [
+        (i, f"u{i}a u{i}b {hot} u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(60)
+    ] + [(100, "lone doc with no duplicated content at all here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        map(tuple, duplicate_spans(docs, "doc_id", "text", 8, 2,
+                                   skew_safe=False).collect())
+    )
+    b = sorted(
+        map(tuple, duplicate_spans(docs, "doc_id", "text", 8, 2,
+                                   skew_safe=True).collect())
+    )
+    assert a == b
+    assert len(a) == 60  # every hot-gram carrier has exactly one span
