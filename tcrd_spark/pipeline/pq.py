@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tcrd_spark.pipeline.dedup import dot
+from tcrd_spark.pipeline.dedup import dot, dot_sql
 
 # m subspaces over the 64-dim synthetic embeddings (TESTDATA.md)
 _EMB_DIM = 64
@@ -149,6 +149,40 @@ def pq_train_codebooks(
     return _books_row(per, sub)
 
 
+def _l2_sql(a_of, b_of, sub: int) -> str:
+    """Unrolled left-assoc squared L2 as a SQL fragment; ``a_of``/
+    ``b_of`` map a 1-based element index to an element expression."""
+    return " + ".join(
+        f"(({a_of(i)}) - ({b_of(i)})) * (({a_of(i)}) - ({b_of(i)}))"
+        for i in range(1, sub + 1)
+    )
+
+
+def _codes_sql(vec_sql: str, dim: int, m: int) -> str:
+    """The m per-subspace argmin codes as ONE Spark-SQL parse (r12,
+    the dot() lesson): the Column-built form — a transform lambda over
+    each book with an unrolled _l2 per entry — cost ~5k py4j
+    round-trips per pq_encode construction. Sub-vector elements index
+    the full vector directly (element_at(v, j·sub+i) instead of
+    slicing first): identical doubles, flatter tree."""
+    sub = dim // m
+    parts = []
+    for j in range(m):
+        dists = (
+            f"transform(element_at(cbs, {j + 1}), e -> "
+            + _l2_sql(
+                lambda i, j=j: f"element_at({vec_sql}, {j * sub + i})",
+                lambda i: f"element_at(e.v, {i})",
+                sub,
+            )
+            + ")"
+        )
+        parts.append(
+            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
 def pq_encode(
     corpus: DataFrame, cb_row: DataFrame, dim: int, m: int,
     extra_cols: tuple[str, ...] = (),
@@ -159,21 +193,12 @@ def pq_encode(
     norm — the one scalar ADC needs that depends only on the codes.
     Row-local against the broadcast one-row codebook; this is the
     table that persists as the index (8 bytes of codes + 8 of norm)."""
-    sub = dim // m
-    v = F.col("c_vec").cast("array<double>")
-
-    def code_j(j: int):
-        subv = F.slice(v, j * sub + 1, sub)
-        book = F.element_at(F.col("cbs"), j + 1)
-        dists = F.transform(book, lambda e: _l2(subv, e["v"], sub))
-        return (
-            F.array_position(dists, F.array_min(dists)) - 1
-        ).cast("int")
-
     coded = corpus.crossJoin(F.broadcast(cb_row)).select(
         "c_id",
         *extra_cols,
-        F.array(*[code_j(j) for j in range(m)]).alias("codes"),
+        F.expr(
+            _codes_sql("cast(c_vec as array<double>)", dim, m)
+        ).alias("codes"),
         F.col("cbs"),
     )
     # zip_with references `codes` ONCE (the unrolled form would clone
@@ -199,20 +224,24 @@ def _query_luts(
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(q_id, *carry, q_nrm, lut array[m] of array[ksub] double): the
-    per-query ADC table — lut[j][k] = dot(q_sub_j, codebook_j[k])."""
+    per-query ADC table — lut[j][k] = dot(q_sub_j, codebook_j[k]).
+    One SQL parse like _codes_sql (same sub-vector flattening)."""
     sub = dim // m
-    v = F.col("q_vec").cast("array<double>")
-
-    def lut_j(j: int):
-        subv = F.slice(v, j * sub + 1, sub)
-        book = F.element_at(F.col("cbs"), j + 1)
-        return F.transform(book, lambda e: dot(subv, e["v"], sub))
-
+    vq = "cast(q_vec as array<double>)"
+    luts = ", ".join(
+        f"transform(element_at(cbs, {j + 1}), e -> "
+        + " + ".join(
+            f"(element_at({vq}, {j * sub + i}) * element_at(e.v, {i}))"
+            for i in range(1, sub + 1)
+        )
+        + ")"
+        for j in range(m)
+    )
     return queries.crossJoin(F.broadcast(cb_row)).select(
         "q_id",
         *carry,
-        F.sqrt(dot(v, v, dim)).alias("q_nrm"),
-        F.array(*[lut_j(j) for j in range(m)]).alias("lut"),
+        F.sqrt(F.expr(dot_sql(vq, vq, dim))).alias("q_nrm"),
+        F.expr(f"array({luts})").alias("lut"),
     )
 
 
