@@ -241,20 +241,16 @@ def main():
         sf1_q, _, _ = _run_section(
             spark, queries, sf1_names, sf1_dir, 1, isolate=isolate
         )
+        # scale ratios are NOT emitted: they are derivable as
+        # sf1.queries[n] / detail[n].first (cold-vs-cold — comparing a
+        # cold sf1 run to the min-of-3 warm time overstates scaling ~3×
+        # for cache-heavy plans), and the one-line JSON must stay small
+        # enough for the driver's capture (the r10 truncation lesson)
         out["sf1"] = {
             "value": round(sum(sf1_q.values()), 3),
             "reps": 1,
             "top": sf1_top,
             "queries": sf1_q,
-            # cold-vs-cold: the sf1 section runs once, so ratio against
-            # the primary section's FIRST run — comparing a cold sf1 run
-            # to the min-of-3 warm-cache time overstates scaling ~3×
-            # for cache-heavy plans (minhash/jaccard pair queries)
-            "scale_vs_primary": {
-                n: round(sf1_q[n] / first_run[n], 2)
-                for n in sf1_names
-                if first_run.get(n)
-            },
         }
     # additive r12 keys (printed BEFORE queries/value — the tail-
     # truncation lesson): per-query build/first/warm decomposition for
@@ -264,7 +260,10 @@ def main():
     # construction floor, warm = repeatable exec; first - (build+warm)
     # bounds one-off analysis/codegen cost.
     out["isolate"] = 1 if isolate else 0
-    detail_top = sorted(names, key=lambda n: -per_query.get(n, 0.0))[:40]
+    # default 40 = the sf1 cap, so sf1 scale ratios stay derivable as
+    # sf1.queries[n] / detail[n].first for every sf1 entry
+    n_detail = int(os.environ.get("SPARK_GRAFT_DETAIL_TOP", "40"))
+    detail_top = sorted(names, key=lambda n: -per_query.get(n, 0.0))[:n_detail]
     out["detail"] = {
         n: {
             "build": detail[n]["build"],
