@@ -23,15 +23,19 @@ Semantics (per key):
    observations (both always exist: the grid is bounded by
    observations on each end). On observed rows both equal `v`.
 
-100 TB shape: the rollup and span are ONE key-hash exchange each
-(map-side partial aggs); the grid is minted row-locally by
-`sequence()` + `explode` on the already-key-partitioned span (grid
-size is range/width per key — bounded, never data-volume); the
-grid↔obs join and both fill windows are key-partitioned. Nothing is
-global, nothing is quadratic; key cardinality is the parallelism.
-AQE coalesces the sparse-key exchanges. Skewed keys (one device with
-a year of data) cost grid_len rows, not events² — gapfill is immune
-to event-count skew by construction.
+100 TB shape (r12 array form, guide §2.4): the rollup is ONE
+map-side-combinable key-hash exchange; a second groupBy(key) folds
+each key's (bucket, v, n_obs) rollup rows into one sorted array, and
+the dense grid, LOCF and lerp are all minted ROW-LOCALLY from that
+array by higher-order functions, exploded once — TWO exchanges total
+where the join-plus-two-windows form paid six (span agg, grid↔obs
+join, fill windows). Per-key memory is grid-length-bounded (the
+array holds one struct per observed bucket, the built grid one per
+grid slot — range/width, never event volume), so skewed keys (one
+device with a year of data) cost grid_len rows, not events² —
+gapfill stays immune to event-count skew by construction. Key
+cardinality is the parallelism; AQE coalesces the sparse-key
+exchanges.
 
 Cross-engine determinism: bucket boundaries are date_trunc (engine-
 exact); averages round to 6dp before interpolation so both engines
@@ -44,11 +48,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 BUCKET = "hour"
 _INTERVALS = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY",
               "minute": "INTERVAL 1 MINUTE"}
+_STEP_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+_TS_UNITS = {"hour": "HOUR", "day": "DAY", "minute": "MINUTE"}
 
 
 def bucket_rollup(
@@ -75,81 +80,166 @@ def gapfill(
     each key's observed span, with LOCF and linear-interpolation fill.
 
     Output: (key, bucket, n_obs, v, locf_v, interp_v, is_gap).
+
+    Array form (r12, guide §2.4 — remove shuffles outright): the
+    previous shape was span-agg → grid explode → grid↔obs left join →
+    two fill windows — four key-partitioned operators behind the
+    rollup, six Exchanges and as many serial AQE stage waves in the
+    plan. Each key's rollup rows instead fold into ONE sorted array
+    (a second groupBy(key) exchange), and everything downstream is
+    row-local higher-order functions over that array:
+
+    - the dense (v, n_obs) grid is built from consecutive OBSERVATION
+      pairs (one struct per grid slot — a gap slot is (NULL, 0)),
+    - LOCF/lerp coefficients come from consecutive NON-NULL-v
+      observation pairs (the window form's `last/first ignorenulls`
+      bracketing, made explicit: rows before the first endpoint get
+      NULL fills, rows at/after the last get LOCF only),
+    - the two dense arrays zip and explode once; the grid position
+      rebuilds the bucket timestamp (UTC session, whole-unit buckets,
+      so `timestampadd` is exact epoch arithmetic — identical values
+      to the old `sequence(b0, b1, interval)`).
+
+    Per-key memory is grid-length-bounded, exactly the bound the old
+    window partition had. Values are row-identical to the window form
+    for every input (gaps, single-obs keys, NULL-v rollup rows at the
+    head/middle/tail of a span, all-NULL keys) — pinned by
+    tests/test_timeseries.py::test_gapfill_array_matches_window_form.
+    NULL-bucket rollup rows are dropped up front; the old form also
+    never emitted them (a NULL bucket can't match the minted grid and
+    min/max ignore it), so the filter is equivalence-preserving.
+
+    Fixed-point lerp (unchanged arithmetic, now in the segment
+    builder): floating-point interpolation lands EXACTLY on round-half
+    edges (6dp endpoints × terminating k/m fractions), and the engines
+    break halves differently (Spark re-decimalizes then HALF_UPs;
+    DuckDB rounds the raw double). So interpolate in 6dp integer space
+    and FLOOR-divide — bit-identical in both engines. The positivity
+    shift `off` is DERIVED per row from the two endpoints
+    (greatest(0, -least(iv, jv))): with k in [0, m] the numerator is
+    ≥ m·min(iv, jv), so shifting both endpoints by that amount makes
+    it provably non-negative — where trunc (Spark `div`) and floor
+    (DuckDB `//`) agree — with NO assumed value range. Shift
+    linearity: (iv+o)(m-k) + (jv+o)k = iv(m-k) + jv·k + o·m, so the
+    shifted floor-div is exactly the original quotient + o.
     """
-    step = _INTERVALS[bucket]
-    span = obs.groupBy(key_col).agg(
-        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
-    )
-    grid = span.select(
-        key_col,
-        F.explode(
-            F.sequence("_b0", "_b1", F.expr(step))
-        ).alias("bucket"),
-    )
-    g = grid.join(obs, [key_col, "bucket"], "left").select(
-        key_col,
-        "bucket",
-        F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
-        "v",
-    )
-    w_back = (
-        Window.partitionBy(key_col)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_fwd = (
-        Window.partitionBy(key_col)
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
-    g = g.select(
-        key_col,
-        "bucket",
-        "n_obs",
-        "v",
-        F.last("v", ignorenulls=True).over(w_back).alias("locf_v"),
-        F.last(obs_bucket, ignorenulls=True).over(w_back).alias("_pt"),
-        F.first("v", ignorenulls=True).over(w_fwd).alias("_nv"),
-        F.first(obs_bucket, ignorenulls=True).over(w_fwd).alias("_nt"),
-    )
-    # Fixed-point lerp: floating-point interpolation lands EXACTLY on
-    # round-half edges (6dp endpoints × terminating k/m fractions), and
-    # the engines break halves differently (Spark re-decimalizes then
-    # HALF_UPs; DuckDB rounds the raw double). So interpolate in 6dp
-    # integer space and FLOOR-divide — bit-identical in both engines.
-    # The positivity shift `_off` is DERIVED per row from the two
-    # endpoints (greatest(0, -least(iv, jv))): with k in [0, m] the
-    # numerator is ≥ m·min(iv, jv), so shifting both endpoints by that
-    # amount makes it provably non-negative — where trunc (Spark `div`)
-    # and floor (DuckDB `//`) agree — with NO assumed value range (a
-    # fixed 1e9 shift silently diverged 1 ulp for values ≤ -1000).
-    # Shift linearity: (iv+o)(m-k) + (jv+o)k = iv(m-k) + jv·k + o·m,
-    # so the shifted floor-div is exactly the original quotient + o.
-    ep = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
-    g = (
-        g.withColumn("_iv", F.round(F.col("locf_v") * 1e6).cast("long"))
-        .withColumn("_jv", F.round(F.col("_nv") * 1e6).cast("long"))
-        .withColumn(
-            "_off", F.greatest(F.lit(0), -F.least("_iv", "_jv"))
+    step = _STEP_SECONDS[bucket]
+    unit = _TS_UNITS[bucket]
+    a = (
+        obs.where(F.col("bucket").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "v", "n_obs"))
+            ).alias("_a")
         )
-        .withColumn("_k", ep("bucket") - ep("_pt"))
-        .withColumn("_m", ep("_nt") - ep("_pt"))
     )
-    lerp = (
-        F.expr("((_iv + _off) * (_m - _k) + (_jv + _off) * _k) div _m")
-        - F.col("_off")
-    ) / F.lit(1e6)
-    return g.select(
+    # observations as (grid offset, v, n_obs); offsets are exact whole
+    # steps because buckets are date_trunc'd to the step unit (UTC)
+    oa_sql = f"""transform(_a, x -> named_struct(
+        'off', (unix_seconds(x.bucket)
+                - unix_seconds(element_at(_a, 1).bucket)) DIV {step}L,
+        'v', x.v, 'n', x.n_obs))"""
+    g = (
+        a.select(
+            key_col,
+            F.expr("element_at(_a, 1).bucket").alias("_b0"),
+            F.expr(oa_sql).alias("_oa"),
+        )
+        .select(
+            key_col,
+            "_b0",
+            "_oa",
+            # lerp endpoints = observations with a non-NULL rollup value
+            # (`last/first ignorenulls` in the window form)
+            F.expr("filter(_oa, x -> x.v IS NOT NULL)").alias("_ea"),
+            F.expr("CAST(element_at(_oa, -1).off AS INT) + 1").alias("_n"),
+        )
+    )
+    # dense (v, n_obs) per grid slot: each consecutive-observation pair
+    # emits its left observation + the gap slots up to (excluding) the
+    # right one; the final observation closes the grid. zip_with over
+    # the two slices pairs neighbours without a 1-element/descending-
+    # sequence edge case (slice length 0 is an empty array).
+    dense_vn = """concat(
+      flatten(zip_with(
+        slice(_oa, 1, size(_oa) - 1),
+        slice(_oa, 2, size(_oa) - 1),
+        (x, y) -> transform(sequence(0, CAST(y.off - x.off AS INT) - 1),
+          j -> IF(j = 0,
+                  named_struct('v', x.v, 'n', x.n),
+                  named_struct('v', CAST(NULL AS DOUBLE),
+                               'n', CAST(0 AS BIGINT)))))),
+      array(named_struct('v', element_at(_oa, -1).v,
+                         'n', element_at(_oa, -1).n)))"""
+    _nf = (
+        "named_struct('locf', CAST(NULL AS DOUBLE), "
+        "'iv', CAST(NULL AS BIGINT), 'jv', CAST(NULL AS BIGINT), "
+        "'k', CAST(NULL AS BIGINT), 'm', CAST(NULL AS BIGINT))"
+    )
+    # dense fill coefficients per grid slot: NULLs before the first
+    # endpoint (no LOCF source yet), lerp coefficients between
+    # consecutive endpoints, LOCF-only at/after the last endpoint —
+    # NULL m keeps the lerp NULL there, exactly as the window form's
+    # NULL next-endpoint did
+    dense_fill = f"""IF(size(_ea) = 0,
+      transform(sequence(1, _n), x -> {_nf}),
+      concat(
+        CASE WHEN CAST(element_at(_ea, 1).off AS INT) > 0
+             THEN transform(
+                    sequence(1, CAST(element_at(_ea, 1).off AS INT)),
+                    x -> {_nf})
+             ELSE array() END,
+        flatten(zip_with(
+          slice(_ea, 1, size(_ea) - 1),
+          slice(_ea, 2, size(_ea) - 1),
+          (x, y) -> transform(sequence(0, CAST(y.off - x.off AS INT) - 1),
+            j -> named_struct(
+              'locf', x.v,
+              'iv', CAST(round(x.v * 1e6) AS BIGINT),
+              'jv', CAST(round(y.v * 1e6) AS BIGINT),
+              'k', CAST(j AS BIGINT) * {step}L,
+              'm', (y.off - x.off) * {step}L)))),
+        transform(sequence(CAST(element_at(_ea, -1).off AS INT), _n - 1),
+          x -> named_struct('locf', element_at(_ea, -1).v,
+                            'iv', CAST(NULL AS BIGINT),
+                            'jv', CAST(NULL AS BIGINT),
+                            'k', CAST(NULL AS BIGINT),
+                            'm', CAST(NULL AS BIGINT)))))"""
+    z = g.select(
         key_col,
-        "bucket",
-        "n_obs",
-        "v",
-        "locf_v",
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .otherwise(lerp)
-        .alias("interp_v"),
-        F.when(F.col("v").isNull(), F.lit(1))
+        "_b0",
+        F.expr(dense_vn).alias("_dv"),
+        F.expr(dense_fill).alias("_df"),
+    ).select(key_col, "_b0", F.posexplode(F.arrays_zip("_dv", "_df")))
+    lerp = """(
+        ((_iv + greatest(0L, -least(_iv, _jv))) * (_m - _k)
+         + (_jv + greatest(0L, -least(_iv, _jv))) * _k) DIV _m
+        - greatest(0L, -least(_iv, _jv))) / 1e6"""
+    lerp = (
+        lerp.replace("_iv", "col._df.iv")
+        .replace("_jv", "col._df.jv")
+        .replace("_k", "col._df.k")
+        .replace("_m", "col._df.m")
+    )
+    return z.select(
+        key_col,
+        # coalesce-to-literal only pins the non-nullable schema flag the
+        # old explode(sequence(...)) carried; the fallback never fires
+        # (_b0/pos are never NULL on an emitted row)
+        F.expr(
+            f"coalesce(timestampadd({unit}, pos, _b0), "
+            "timestamp'1970-01-01 00:00:00')"
+        ).alias("bucket"),
+        F.expr("coalesce(col._dv.n, 0L)").alias("n_obs"),
+        F.col("col._dv.v").alias("v"),
+        F.col("col._df.locf").alias("locf_v"),
+        F.expr(
+            "CASE WHEN col._dv.v IS NOT NULL THEN col._dv.v ELSE "
+            + lerp
+            + " END"
+        ).alias("interp_v"),
+        F.when(F.col("col._dv.v").isNull(), F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_gap"),
     )

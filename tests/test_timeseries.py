@@ -92,3 +92,85 @@ def test_gapfill_accepts_prebucketed_rollup(spark):
     obs = bucket_rollup(_events(spark), "key", "ts", "v", "hour")
     out = gapfill(obs, "key", "hour")
     assert out.count() == 5  # 4 grid rows for a + 1 for b
+
+
+def _gapfill_window_form(obs, key_col):
+    """The pre-r12 window-form gapfill, kept as the reference
+    implementation for the array-form equivalence pin (hourly grid)."""
+    from pyspark.sql.window import Window
+
+    span = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.sequence("_b0", "_b1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    g = grid.join(obs, [key_col, "bucket"], "left").select(
+        key_col, "bucket",
+        F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"), "v",
+    )
+    w_back = (
+        Window.partitionBy(key_col).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col).orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ob = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    g = g.select(
+        key_col, "bucket", "n_obs", "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("locf_v"),
+        F.last(ob, ignorenulls=True).over(w_back).alias("_pt"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("_nv"),
+        F.first(ob, ignorenulls=True).over(w_fwd).alias("_nt"),
+    )
+    ep = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    g = (
+        g.withColumn("_iv", F.round(F.col("locf_v") * 1e6).cast("long"))
+        .withColumn("_jv", F.round(F.col("_nv") * 1e6).cast("long"))
+        .withColumn("_off", F.greatest(F.lit(0), -F.least("_iv", "_jv")))
+        .withColumn("_k", ep("bucket") - ep("_pt"))
+        .withColumn("_m", ep("_nt") - ep("_pt"))
+    )
+    lerp = (
+        F.expr("((_iv + _off) * (_m - _k) + (_jv + _off) * _k) div _m")
+        - F.col("_off")
+    ) / F.lit(1e6)
+    return g.select(
+        key_col, "bucket", "n_obs", "v", "locf_v",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(lerp)
+        .alias("interp_v"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .alias("is_gap"),
+    )
+
+
+def test_gapfill_array_matches_window_form(spark):
+    """The r12 array-form gapfill is row-identical (values AND column
+    nullability) to the window form it replaced, across the edge cases
+    the window semantics produced implicitly: gaps, single-observation
+    keys, NULL-v rollup rows at the head/middle/tail of a span, and
+    keys whose every rollup value is NULL."""
+    rows = [
+        ("a", _ts(0, 10), 10.0), ("a", _ts(0, 40), 20.0),
+        ("a", _ts(3, 5), 45.0),
+        ("b", _ts(7, 30), 5.0),
+        ("n", _ts(0), -5000.0), ("n", _ts(3), -2000.0),
+        ("m", _ts(0), -3000.0), ("m", _ts(2), 3000.0),
+        # NULL-v rollup rows: leading, trailing, and interleaved
+        ("x", _ts(0), None), ("x", _ts(2), 7.0), ("x", _ts(4), None),
+        ("x", _ts(3), 9.0), ("x", _ts(6), None),
+        # every value NULL: grid still spans the buckets, all fills NULL
+        ("z", _ts(1), None), ("z", _ts(3), None),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    obs = bucket_rollup(df, "key", "ts", "v", "hour")
+    old, new = _gapfill_window_form(obs, "key"), gapfill(obs, "key", "hour")
+    assert old.schema == new.schema
+    assert sorted(map(repr, old.collect())) == sorted(
+        map(repr, new.collect())
+    )
