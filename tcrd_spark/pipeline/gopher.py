@@ -147,133 +147,129 @@ def dup_ngram_coverage(
     )
 
 
+def _gram_hashes_sql(k: int) -> str:
+    """Spark-SQL array of the row's k-gram hash60s over `_tk` (empty
+    when the doc is shorter than k) — same grams, same hash as
+    `_gram_hashes`."""
+    from tcrd_spark.functions.hashing import spark_hash60
+
+    gh = spark_hash60(f"concat_ws(' ', slice(_tk, i, {k}))")
+    return (
+        f"IF(size(_tk) >= {k}, "
+        f"transform(sequence(1, size(_tk) - {k} + 1), i -> {gh}), "
+        f"CAST(array() AS ARRAY<BIGINT>))"
+    )
+
+
+def _gram_structs_sql(k: int) -> str:
+    """Like `_gram_hashes_sql` but (gh, pos) structs, for the
+    positional duplicated-coverage rule."""
+    from tcrd_spark.functions.hashing import spark_hash60
+
+    gh = spark_hash60(f"concat_ws(' ', slice(_tk, i, {k}))")
+    return (
+        f"IF(size(_tk) >= {k}, "
+        f"transform(sequence(1, size(_tk) - {k} + 1), "
+        f"i -> named_struct('gh', {gh}, 'pos', i)), "
+        f"CAST(array() AS ARRAY<STRUCT<gh: BIGINT, pos: INT>>))"
+    )
+
+
+def _top_frac_sql(k: int) -> str:
+    """top{k}gram_frac, fully row-local: c = the longest run in the
+    SORTED gram-hash array (the old ranking window's tie-break to the
+    smallest gh only chose WHICH gram won; the emitted fraction uses
+    the count alone, so max run length is exactly the same c)."""
+    run = f"""aggregate(array_sort({_gram_hashes_sql(k)}),
+        named_struct('best', 0L, 'cur', 0L, 'prev', CAST(NULL AS BIGINT)),
+        (a, x) -> IF(x = a.prev,
+            named_struct('best', greatest(a.best, a.cur + 1L),
+                         'cur', a.cur + 1L, 'prev', x),
+            named_struct('best', greatest(a.best, 1L), 'cur', 1L,
+                         'prev', x)),
+        a -> a.best)"""
+    # transform(array(x), c -> ...)[1] binds the run count to a lambda
+    # variable so it is computed once (no let-binding in Spark SQL)
+    return (
+        f"element_at(transform(array({run}), c -> "
+        f"IF(c = 0, 0.0, round(c * {k} / CAST(size(_tk) AS BIGINT), 6))"
+        f"), 1) AS top{k}gram_frac"
+    )
+
+
+def _dup_frac_sql(k: int) -> str:
+    """dup{k}gram_frac, fully row-local: positions of grams occurring
+    ≥2 times (neighbour equality on the (gh, pos)-sorted array), then
+    the same interval merge the old window pass ran — a new segment
+    starts when pos > prev_pos + k (strictly past the previous gram's
+    covered span + 1), each segment covers last + k - first tokens."""
+    dp = f"""array_sort(transform(filter(sequence(1, size(g)), i ->
+        (i > 1 AND element_at(g, i).gh = element_at(g, i - 1).gh)
+        OR (i < size(g) AND element_at(g, i).gh = element_at(g, i + 1).gh)),
+        i -> element_at(g, i).pos))"""
+    cov = f"""aggregate({dp},
+        named_struct('tot', 0L, 'st', CAST(NULL AS INT),
+                     'pe', CAST(NULL AS INT)),
+        (a, p) -> IF(a.st IS NULL,
+            named_struct('tot', 0L, 'st', p, 'pe', p),
+            IF(p > a.pe + {k},
+               named_struct('tot', a.tot + CAST(a.pe + {k} - a.st AS BIGINT),
+                            'st', p, 'pe', p),
+               named_struct('tot', a.tot, 'st', a.st, 'pe', p))),
+        a -> IF(a.st IS NULL, CAST(NULL AS BIGINT),
+                a.tot + CAST(a.pe + {k} - a.st AS BIGINT)))"""
+    return (
+        f"element_at(transform(array(element_at(transform("
+        f"array(array_sort({_gram_structs_sql(k)})), g -> "
+        f"IF(size(g) = 0, CAST(NULL AS BIGINT), {cov})), 1)), cv -> "
+        f"IF(cv IS NULL, 0.0, round(cv / CAST(size(_tk) AS BIGINT), 6))"
+        f"), 1) AS dup{k}gram_frac"
+    )
+
+
 def gopher_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per doc with every rule's statistic.
 
-    Fused one-pass form (r11 optimization, guide §2.3/§2.4): the naive
-    composition ran `_gram_hashes` once per n (5 tokenize+md5 passes
-    over the corpus), one count shuffle + window per n, plus 5 joins on
-    id. Here every (n, pos, gh) gram of all five n's leaves the row in
-    ONE generate pass, so there is ONE count shuffle keyed (id, n, gh),
-    ONE ranking window over (id, n) for the top-gram rule, ONE
-    semi-join + interval-merge window over (id, n) for the duplicated-
-    coverage rule, and two small pivots joined back to the word stats.
-    Values are bit-identical to the per-n functions (same grams, same
-    arithmetic, same coalesce-to-0.0); tests pin both forms equal.
-    """
-    from tcrd_spark.functions.hashing import spark_hash60
+    Row-local form (r12, guide §2.4 — remove shuffles outright; §4 —
+    one SQL parse): every Gopher statistic is INTRA-document, so
+    nothing here needs a shuffle at all. The r11 fused form still
+    shuffled (id, n, gh) gram rows through one count exchange, two
+    ranking/merge windows and two join-backs (26 Exchanges in the
+    gopher_repetition plan); this form tokenizes once behind a
+    Generate barrier (so the five gram lambdas never re-inline the
+    tokenizer — CollapseProject would otherwise duplicate it per
+    column) and computes each rule with array higher-order functions:
 
+    - top n-gram count = longest run in the sorted gram-hash array;
+    - duplicated coverage = neighbour-equality dup positions on the
+      (gh, pos)-sorted array + the identical linear interval merge;
+    - word stats were always row-local.
+
+    The whole operator is ONE projection — zero Exchanges, zero
+    joins; per-row cost is O(L log L) in document tokens, the same
+    bound the shuffled form had per document. Values are bit-identical
+    to the per-n functions (same grams, same hash, same arithmetic,
+    same coalesce-to-0.0); tests pin both forms equal.
+    """
     top_ns = sorted(TOP_NGRAM_MAX)
     dup_ns = sorted(DUP_NGRAM_MAX)
-    all_ns = sorted(set(top_ns) | set(dup_ns))
 
     toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
-    # Generate barrier: materialize the token array once per row so the
-    # gram lambdas below never re-inline the tokenizer (the winnow /
-    # _gram_hashes lesson — O(tokens²) otherwise)
     toked = docs.select(F.col(id_col), F.explode(F.array(toks)).alias("_tk"))
-    st = "array<struct<n:int,pos:int,gh:bigint>>"
-
-    # the five per-n gram arrays as ONE SQL parse (r12, guide §4 / the
-    # minhash_sig_expr lesson): the Column-API form — a transform
-    # lambda + struct + hash60 chain per n — cost ~2k py4j round-trips
-    # per invocation; the parsed tree and values are identical
-    # (tests pin both the per-n equivalence and the composed stats)
-    per_n_sql = ", ".join(
-        f"CASE WHEN size(_tk) >= {k} THEN "
-        f"transform(sequence(1, size(_tk) - {k} + 1), "
-        f"i -> named_struct('n', {k}, 'pos', i, 'gh', "
-        f"{spark_hash60(f'''concat_ws(' ', slice(_tk, i, {k}))''')})) "
-        f"ELSE cast(array() as {st}) END"
-        for k in all_ns
-    )
-    g = (
-        toked.select(
-            F.col(id_col),
-            F.explode(F.expr(f"flatten(array({per_n_sql}))")).alias("_g"),
-        )
-        .select(id_col, "_g.n", "_g.pos", "_g.gh")
-    )
-    counts = g.groupBy(id_col, "n", "gh").agg(F.count("*").alias("c"))
-
-    # top n-gram rule: highest count per (doc, n), ties to smallest gh
-    wtop = Window.partitionBy(id_col, "n").orderBy(F.desc("c"), F.asc("gh"))
-    tops = (
-        counts.filter(F.col("n").isin(top_ns))
-        .withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") == 1)
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.max(F.when(F.col("n") == k, F.col("c"))).alias(f"_c{k}")
-                for k in top_ns
-            ]
-        )
-    )
-
-    # duplicated-coverage rule: interval-merge the positions of grams
-    # occurring ≥2 times within the doc, per (doc, n)
-    dups = (
-        counts.filter(F.col("n").isin(dup_ns) & (F.col("c") >= 2))
-        .select(id_col, "n", "gh")
-    )
-    hits = (
-        g.filter(F.col("n").isin(dup_ns))
-        .join(dups, [id_col, "n", "gh"], "left_semi")
-        .select(id_col, "n", "pos")
-    )
-    w = Window.partitionBy(id_col, "n").orderBy("pos")
-    prev_end = F.max(F.col("pos") + F.col("n") - 1).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    is_new = F.when(
-        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
-    ).otherwise(0)
-    covs = (
-        hits.select(
-            id_col,
-            "n",
-            "pos",
-            F.sum(is_new)
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .alias("_s"),
-        )
-        .groupBy(id_col, "n", "_s")
-        .agg((F.max("pos") + F.col("n") - F.min("pos")).alias("_len"))
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.sum(F.when(F.col("n") == k, F.col("_len"))).alias(f"_cov{k}")
-                for k in dup_ns
-            ],
-        )
-    )
-
-    ws = word_stats(docs, id_col, text_col)
-    nw = F.col("n_words")
-    return (
-        ws.join(tops, id_col, "left")
-        .join(covs, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            "mean_word_len",
-            "alpha_frac",
-            "n_stopwords",
-            *[
-                F.round(
-                    F.coalesce(F.col(f"_c{k}") * k / nw, F.lit(0.0)), 6
-                ).alias(f"top{k}gram_frac")
-                for k in top_ns
-            ],
-            *[
-                F.round(
-                    F.coalesce(F.col(f"_cov{k}") / nw, F.lit(0.0)), 6
-                ).alias(f"dup{k}gram_frac")
-                for k in dup_ns
-            ],
-        )
-    )
+    stops = ", ".join(f"'{s}'" for s in REQUIRED_STOPWORDS)
+    cols = [
+        id_col,
+        "CAST(size(_tk) AS BIGINT) AS n_words",
+        "round(IF(size(_tk) > 0, aggregate(_tk, 0L, (a, t) -> a + length(t))"
+        " / size(_tk), 0.0), 6) AS mean_word_len",
+        "round(IF(size(_tk) > 0, size(filter(_tk, t -> t rlike '[A-Za-z]'))"
+        " / size(_tk), 0.0), 6) AS alpha_frac",
+        f"CAST(size(array_intersect(transform(_tk, t -> lower(t)), "
+        f"array({stops}))) AS BIGINT) AS n_stopwords",
+    ]
+    cols += [_top_frac_sql(k) for k in top_ns]
+    cols += [_dup_frac_sql(k) for k in dup_ns]
+    return toked.selectExpr(*cols)
 
 
 def gopher_filter(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
