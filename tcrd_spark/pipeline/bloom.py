@@ -58,10 +58,14 @@ def build_bloom(bench_df: DataFrame, id_col: str, text_col: str,
     trade against the exact operator."""
     from tcrd_spark.pipeline.dedup import hashed_shingles
 
-    g = (
-        hashed_shingles(bench_df, id_col, text_col, n)
-        .select(F.explode("hs").alias("g"))
-        .distinct()
+    # No distinct on the shingle stream (r12, guide §2.4): bit_or is
+    # idempotent, so duplicate shingles across benchmark docs fold into
+    # the same mask bits — the distinct's two-stage exchange bought
+    # nothing. The one remaining exchange (groupBy word) map-side
+    # combines to ≤ m_words rows per partition, strictly less shuffle
+    # than distinct-ing the raw shingle set ever was.
+    g = hashed_shingles(bench_df, id_col, text_col, n).select(
+        F.explode("hs").alias("g")
     )
     # the probe side uses _probe_hash with a literal i (one join per
     # hash function); the build side explodes i, so inline the hash
@@ -116,9 +120,10 @@ def probe_bloom(
     + groupBy + join-back plan spent 4.0s at sf0.1 on 6 exchanges; this
     plan has none — guide §2.3 "shuffle fewer bytes" taken to its
     endpoint, §3.2 manual-bloom's broadcast-variable probe expressed as
-    a plan literal). Each shingle hashes ONCE per probe function (the
-    inner transform binds the 4 bit indexes before the filter reads
-    them twice each). Very large filters keep the old broadcast-join
+    a plan literal). Probe functions evaluate in short-circuit order
+    (r12): a shingle that misses bit 1 never computes md5s 2..K, so the
+    common non-contaminated case pays ~1 probe hash instead of K.
+    Very large filters keep the old broadcast-join
     probe (_INLINE_MAX_WORDS): a multi-MB plan literal would bloat
     every task closure.
 
@@ -148,24 +153,22 @@ def probe_bloom(
         masks[w] = int(r["mask"])
     arr = "array(" + ",".join(f"{m}L" for m in masks) + ")"
     n_bits = m_words * BITS_PER_WORD
-    hs = [
-        f"cast(conv(substring(md5(concat(cast(g as string), ':{i}')), 1, "
-        f"15), 16, 10) as bigint) % {n_bits}"
-        for i in range(1, K + 1)
-    ]
-    bits = ", ".join(hs)
+    # Short-circuit probe (r12, guide §1.2 per-task work): AND skips its
+    # right side once a bit misses, so at ~10% fill ~90% of shingles pay
+    # ONE probe md5 instead of all K — the old form precomputed all K
+    # bit indexes per shingle up front (the probe md5s, not the shingle
+    # hashing, dominated the scan's per-task cost). Each probe's md5 is
+    # bound once via transform(array(h), ...)[1] because the bit test
+    # reads it twice (word index + bit offset).
     probes = " AND ".join(
-        # element_at(ha, i) is the precomputed bit index — the md5 runs
-        # once per probe function inside the transform, not twice
-        f"(shiftright(element_at({arr}, cast(element_at(ha, {i}) div "
-        f"{BITS_PER_WORD} as int) + 1), cast(element_at(ha, {i}) % "
-        f"{BITS_PER_WORD} as int)) % 2 = 1)"
+        f"(element_at(transform(array("
+        f"cast(conv(substring(md5(concat(cast(g as string), ':{i}')), 1, "
+        f"15), 16, 10) as bigint) % {n_bits}), h -> "
+        f"shiftright(element_at({arr}, cast(h div {BITS_PER_WORD} as int)"
+        f" + 1), cast(h % {BITS_PER_WORD} as int)) % 2), 1) = 1)"
         for i in range(1, K + 1)
     )
-    hit_count = (
-        f"cast(size(filter(transform(hs, g -> array({bits})), "
-        f"ha -> {probes})) as bigint)"
-    )
+    hit_count = f"cast(size(filter(hs, g -> {probes})) as bigint)"
     # two projections: bloom_hits is referenced twice below, and
     # CollapseProject keeps non-cheap expressions single-evaluated
     return (
