@@ -68,26 +68,17 @@ def _gram_hash_array(toks_col, k: int):
     ).otherwise(F.array().cast("array<long>"))
 
 
-def winnow_fingerprints(
+def _winnow_sel(
     docs: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = GRAM_K,
-    w: int = WIN_W,
-    spread: int | None = None,
+    k: int,
+    w: int,
+    spread: int | None,
 ) -> DataFrame:
-    """(id, pos, fp): the winnowed fingerprint set of each document.
-
-    pos is the 1-based token position of the selected gram. Documents
-    with fewer than k tokens emit nothing; documents with fewer than w
-    grams emit the minimum of what they have (one degenerate window).
-
-    ``spread``: repartition the input to N tasks first. The operator
-    itself is exchange-free (plan-tested) and at 100 TB the scan's own
-    splits provide the parallelism — but a SMALL corpus arrives as one
-    split, serializing the md5-heavy gram hashing into a single task
-    Leave None when the scan is already split.
-    """
+    """(id, _sel): per-document array of winnowed per-window (h, p)
+    minima, BEFORE dedup — the shared row-local core of
+    `winnow_fingerprints` and `winnow_fp_values`."""
     if spread:
         docs = docs.repartition(spread, F.col(id_col))
     # explode(array(...)) wraps each materialization in a Generate node:
@@ -126,15 +117,63 @@ def winnow_fingerprints(
         )
 
     sel = F.transform(F.sequence(F.lit(1), n_win), win_min)
-    return (
-        grammed.filter(F.size(F.col("_grams")) >= 1)
-        .select(F.col(id_col), F.explode(F.array_distinct(sel)).alias("_f"))
-        .select(id_col, F.col("_f.p").alias("pos"), F.col("_f.h").alias("fp"))
+    return grammed.filter(F.size(F.col("_grams")) >= 1).select(
+        F.col(id_col), sel.alias("_sel")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = GRAM_K,
+    w: int = WIN_W,
+    spread: int | None = None,
+) -> DataFrame:
+    """(id, pos, fp): the winnowed fingerprint set of each document.
+
+    pos is the 1-based token position of the selected gram. Documents
+    with fewer than k tokens emit nothing; documents with fewer than w
+    grams emit the minimum of what they have (one degenerate window).
+
+    ``spread``: repartition the input to N tasks first. The operator
+    itself is exchange-free (plan-tested) and at 100 TB the scan's own
+    splits provide the parallelism — but a SMALL corpus arrives as one
+    split, serializing the md5-heavy gram hashing into a single task
+    Leave None when the scan is already split.
+    """
+    s = _winnow_sel(docs, id_col, text_col, k, w, spread)
+    return s.select(
+        F.col(id_col), F.explode(F.array_distinct("_sel")).alias("_f")
+    ).select(id_col, F.col("_f.p").alias("pos"), F.col("_f.h").alias("fp"))
+
+
+def winnow_fp_values(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = GRAM_K,
+    w: int = WIN_W,
+    spread: int | None = None,
+) -> DataFrame:
+    """(id, fp): each document's DISTINCT fingerprint values — exactly
+    ``winnow_fingerprints(...).select(id, fp).distinct()``, computed
+    row-locally (r12, guide §2.4): the per-doc value set is
+    array_distinct over the window minima's hashes, and ids are unique
+    per exploded group, so the global distinct exchange the pair join
+    paid disappears. Feed it to ``fingerprint_pairs(pre_distinct=True)``."""
+    s = _winnow_sel(docs, id_col, text_col, k, w, spread)
+    return s.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform("_sel", lambda f: f["h"]))
+        ).alias("fp"),
     )
 
 
 def fingerprint_pairs(
-    fps: DataFrame, id_col: str, max_df: int = MAX_DF
+    fps: DataFrame, id_col: str, max_df: int = MAX_DF,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, shared): candidate pairs by shared fingerprint
     VALUES, rare-fingerprint blocked.
@@ -142,16 +181,30 @@ def fingerprint_pairs(
     Distinct (id, fp) first; fingerprints seen in more than max_df
     documents are dropped before the self-join (stopword grams —
     quadratic fan-out, zero discrimination), bounding the join output
-    at max_df² rows per fingerprint.
+    at max_df² rows per fingerprint. ``pre_distinct`` skips the
+    distinct when the input is already one row per (id, fp) — the
+    `winnow_fp_values` row-local form.
     """
-    d = fps.select(id_col, "fp").distinct()
+    d = (
+        fps.select(id_col, "fp")
+        if pre_distinct
+        else fps.select(id_col, "fp").distinct()
+    )
     df_ok = (
         d.groupBy("fp")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_df)
         .select("fp")
     )
-    dd = d.join(df_ok, "fp")
+    # Cut before the self-join (r12 — the video_near_dups lesson): both
+    # join sides carry the md5-heavy fingerprint pipeline ABOVE its
+    # repartition exchange, and exchange reuse only dedups the shuffle
+    # write below it, so the hashing executed twice per action. The cut
+    # materializes the df-capped (fp, id) table once; the rotating slot
+    # bounds session storage to one cached cut (ADVICE r11 discipline).
+    from tcrd_spark.operators.lineage import _truncate_rotating
+
+    dd = _truncate_rotating(d.join(df_ok, "fp"), "winnow-dd")
     a = dd.select(F.col("fp"), F.col(id_col).alias("id_a"))
     b = dd.select(F.col("fp"), F.col(id_col).alias("id_b"))
     return (
@@ -184,8 +237,8 @@ def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    fps = winnow_fingerprints(docs, "doc_id", "text", GRAM_K, WIN_W, spread=par)
-    pairs = fingerprint_pairs(fps, "doc_id", MAX_DF)
+    fps = winnow_fp_values(docs, "doc_id", "text", GRAM_K, WIN_W, spread=par)
+    pairs = fingerprint_pairs(fps, "doc_id", MAX_DF, pre_distinct=True)
     return pairs.orderBy(
         F.desc("shared"), F.asc("id_a"), F.asc("id_b")
     ).limit(TOP_PAIRS)

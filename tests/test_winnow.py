@@ -87,3 +87,33 @@ def test_pair_join_is_df_capped(spark, sf_dir):
     pairs = winnow.fingerprint_pairs(fps, "doc_id")
     # shared count per pair can never exceed the number of kept fps
     assert pairs.agg(F.max("shared")).collect()[0][0] <= kept.count()
+
+
+def test_fp_values_matches_fingerprints_distinct(spark, sf_dir):
+    """The row-local distinct-value form equals
+    winnow_fingerprints(...).select(id, fp).distinct() — and the
+    composed candidate pairs are identical through either path."""
+    from tcrd_spark.pipeline.winnow import (
+        GRAM_K, MAX_DF, WIN_W, fingerprint_pairs, winnow_fingerprints,
+        winnow_fp_values,
+    )
+    from tcrd_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_rows = (
+        winnow_fingerprints(docs, "doc_id", "text", GRAM_K, WIN_W)
+        .select("doc_id", "fp").distinct()
+    )
+    via_values = winnow_fp_values(docs, "doc_id", "text", GRAM_K, WIN_W)
+    assert sorted(map(tuple, via_rows.collect())) == sorted(
+        map(tuple, via_values.collect())
+    )
+    p_old = fingerprint_pairs(
+        winnow_fingerprints(docs, "doc_id", "text", GRAM_K, WIN_W),
+        "doc_id", MAX_DF,
+    )
+    p_new = fingerprint_pairs(via_values, "doc_id", MAX_DF,
+                              pre_distinct=True)
+    assert sorted(map(tuple, p_old.collect())) == sorted(
+        map(tuple, p_new.collect())
+    )
