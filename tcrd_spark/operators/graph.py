@@ -26,7 +26,9 @@ a single graph exceeds task memory. Depth caps bound both.
 
 from __future__ import annotations
 
+import os
 from collections import deque
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterable
 
 import pandas as pd
@@ -338,6 +340,76 @@ def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_ITERS = 6
 PR_DAMPING = 0.85
 
+# Size-adaptive threshold for the PageRank driver fast path (the
+# corpus.connected_components precedent, r12): edge lists at or below
+# this count (~8 MB of longs at the default) iterate driver-side with
+# bit-identical arithmetic instead of paying Catalyst analysis +
+# planning of every cut segment (measured: the distributed loop's wall
+# at sf0.1 is ~98% driver plan work, 2% execution). Parameterised for
+# the cluster regime; 0 disables the fast path — the distributed
+# star-shaped loop below runs unchanged at scale.
+_PR_DRIVER_MAX = int(os.environ.get("TCRD_PR_DRIVER_MAX", "500000"))
+
+
+def _pagerank_driver(spark, src_vals, dst_vals, node_type, iters, damping):
+    """Driver-side PageRank over a BOUNDED edge list, replicating the
+    distributed exact_fold loop's arithmetic bit-for-bit:
+
+    - contributions pr/outdeg are IEEE divisions of the same doubles
+      (numpy elementwise == JVM scalar);
+    - each node's incoming contributions fold LEFT in ascending value
+      order (lexsort by (dst, value) + a linear segment fold == the
+      collect_list → array_sort → aggregate chain);
+    - round(x, 9)/round(x, 6) replicate Spark's Round-on-double code
+      path: java BigDecimal parses Double.toString's shortest decimal
+      representation and HALF_UPs — python's repr() produces the same
+      shortest string, so Decimal(repr(x)).quantize(HALF_UP) yields the
+      identical double (pinned by tests + the DuckDB oracle at 3 SFs).
+    """
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    ids = np.unique(np.concatenate([src_vals, dst_vals]))
+    n = len(ids)
+    m = len(src_vals)
+    src_i = np.searchsorted(ids, src_vals)
+    dst_i = np.searchsorted(ids, dst_vals)
+    outdeg = np.bincount(src_i, minlength=n).astype(np.float64)
+    pr = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    q9, q6 = Decimal("1e-9"), Decimal("1e-6")
+
+    def rnd(x, q):
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    for _ in range(iters):
+        c = pr[src_i] / outdeg[src_i]
+        perm = np.lexsort((c, dst_i))
+        cs = c[perm].tolist()
+        ds = dst_i[perm].tolist()
+        s9 = [0.0] * n
+        i = 0
+        while i < m:
+            d = ds[i]
+            acc = 0.0
+            while i < m and ds[i] == d:
+                acc = acc + cs[i]
+                i += 1
+            s9[d] = rnd(acc, q9)
+        pr = np.asarray([rnd(base + damping * s, q9) for s in s9])
+    schema = T.StructType([
+        T.StructField("node", node_type, True),
+        T.StructField("pagerank", T.DoubleType(), True),
+    ])
+    out = pd.DataFrame({
+        "node": ids,
+        "pagerank": [rnd(float(x), q6) for x in pr],
+    })
+    # pandas + explicit schema rides the Arrow path (guide §6: driver
+    # transfers); values are exact int64/float64 either way
+    return spark.createDataFrame(out, schema)
+
 
 def graph_frames(edges: DataFrame, src: str, dst: str):
     """(e, deg, nodes): the distinct edge list, out-degrees, and node
@@ -402,6 +474,32 @@ def pagerank(
         e, deg, nodes = prebuilt
     else:
         e, deg, nodes = graph_frames(edges, src, dst)
+    # Driver fast path (r12 — the CC size-adaptive precedent): at or
+    # below _PR_DRIVER_MAX edges the whole iteration runs driver-side
+    # with bit-identical arithmetic (see _pagerank_driver), skipping
+    # per-cut Catalyst planning entirely. The size test IS the bounded
+    # transfer (limit + Arrow toPandas, guide §6); exact_fold=False
+    # (nondeterministic partial-sum order) and any NULL endpoint (the
+    # distributed join semantics drop/keep them asymmetrically) fall
+    # through to the distributed loop, as does everything at scale.
+    if exact_fold and _PR_DRIVER_MAX > 0:
+        pdf = e.limit(_PR_DRIVER_MAX + 1).toPandas()
+        if len(pdf) <= _PR_DRIVER_MAX:
+            s_col, d_col = pdf[pdf.columns[0]], pdf[pdf.columns[1]]
+            if not (s_col.isna().any() or d_col.isna().any()):
+                if len(pdf) == 0:
+                    return spark.createDataFrame(
+                        [], schema="node long, pagerank double"
+                    )
+                return _pagerank_driver(
+                    spark,
+                    s_col.to_numpy(),
+                    d_col.to_numpy(),
+                    e.schema[0].dataType,
+                    iters,
+                    damping,
+                )
+    if prebuilt is None:
         if cache_inputs:
             # e/deg/nodes appear in EVERY iteration's plan; uncached
             # they re-run the upstream scan+window+distinct once per

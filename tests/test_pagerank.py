@@ -61,3 +61,25 @@ def test_empty_edges_returns_empty_frame(spark):
     out = pagerank(e, "src", "dst")
     assert out.columns == ["node", "pagerank"]
     assert out.count() == 0
+
+
+def test_driver_fast_path_matches_distributed(spark, monkeypatch):
+    """The size-adaptive driver fast path is bit-identical (values and
+    schema) to the distributed cut loop — same IEEE divisions, same
+    ascending-order left fold, same HALF_UP roundings."""
+    import random
+
+    from tcrd_spark.operators import graph as G
+
+    random.seed(42)
+    rows = list({(random.randrange(1, 60), random.randrange(1, 60))
+                 for _ in range(150)})
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    fast = pagerank(e, "src", "dst")            # default: fast path
+    monkeypatch.setattr(G, "_PR_DRIVER_MAX", 0)  # force distributed
+    slow = pagerank(e, "src", "dst")
+    assert fast.schema == slow.schema
+    assert sorted(map(repr, fast.collect())) == sorted(
+        map(repr, slow.collect())
+    )
