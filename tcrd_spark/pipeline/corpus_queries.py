@@ -214,7 +214,16 @@ def q_corpus_pipeline(
     VERDICT r5 #7 asked for; the adjudicated default is unchanged and
     the flag is covered by tests/test_corpus.py.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from tcrd_spark.sources.lake import split_for_scan
+
+    # split guard (r12, guide §2.5/§6): the pipeline stacks FIVE
+    # md5/regex-heavy row-local passes (exact hash, jaccard shingles,
+    # decon shingles both sides, lang+quality) on this one scan, and at
+    # test scale it arrives as a single row group — one task ran them
+    # all. The identical repartition subtree is exchange-reused across
+    # the consumers; no-op at scale (the r11-rejected per-query sweep
+    # tested single-pass queries, where the exchange didn't amortize)
+    docs = split_for_scan(spark, load_table(spark, sf_dir, "documents"))
     # 1-2: duplicate-cluster representatives (exact groups collapse
     # inside CC groups for shingled docs; the exact stage additionally
     # catches <n-token duplicates that have no shingles)

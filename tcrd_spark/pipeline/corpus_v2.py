@@ -219,7 +219,10 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = d.join(sem_reps, "doc_id", "semi")
 
     # 6. benchmark decontamination: clean corpus text vs the RAW
-    # benchmark docs (benchmarks are external — never excised)
+    # benchmark docs (benchmarks are external — never excised).
+    # NO split guard here (r12, measured): the DSIR target gram pass is
+    # this scan's only heavy consumer and the guard's full-text
+    # repartition doubled that stage (0.94 → 1.87s interleaved min-of-5)
     raw = load_table(spark, sf_dir, "documents")
     corpus_side = e.filter(F.col("doc_id") >= BENCH_MAX_ID)
     decon_keep = (
