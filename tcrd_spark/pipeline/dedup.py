@@ -297,9 +297,19 @@ def minhash_lsh_pairs(
         "hs",
         minhash_sig_expr("hs", n_perms).alias("sig"),
     )
-    buckets = sig.select(
-        id_col,
-        F.explode(band_hashes_expr("sig", bands, r)).alias("bucket"),
+    # cut before the bucket self-join (r12 — the winnow/video lesson):
+    # the signature + band-hash arithmetic sits ABOVE the shingle cache
+    # on both join sides, so it executed twice per action; the cut
+    # materializes the bands-per-doc (id, bucket) table once. Rotating
+    # slot bounds session storage.
+    from tcrd_spark.operators.lineage import _truncate_rotating
+
+    buckets = _truncate_rotating(
+        sig.select(
+            id_col,
+            F.explode(band_hashes_expr("sig", bands, r)).alias("bucket"),
+        ),
+        "minhash-buckets",
     )
     cand = (
         buckets.alias("a")
@@ -394,23 +404,32 @@ def simhash_pairs(
     without the O(n²) scan. Verify with bit_count(xor).
     """
     sig = simhash_signatures(df, id_col, text_col)
-    chunks = sig.select(
-        id_col,
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(j)),
-                        F.shiftright(F.col("simhash"), 8 * j)
-                        .bitwiseAND(F.lit(255))
-                        .cast("string"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("chunk"),
+    # cut before the chunk self-join (r12 — the winnow/video lesson):
+    # the full simhash bit-vote pipeline otherwise executes on BOTH
+    # sides of the join (map-side work above any reusable exchange).
+    # 4 rows per doc, two longs each — bounded; rotating slot.
+    from tcrd_spark.operators.lineage import _truncate_rotating
+
+    chunks = _truncate_rotating(
+        sig.select(
+            id_col,
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(j)),
+                            F.shiftright(F.col("simhash"), 8 * j)
+                            .bitwiseAND(F.lit(255))
+                            .cast("string"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("chunk"),
+        ),
+        "simhash-chunks",
     )
     cand = (
         chunks.alias("a")
