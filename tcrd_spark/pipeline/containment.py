@@ -45,6 +45,12 @@ def containment_pairs(
     ngram_jaccard_pairs' max_df mode).
     """
     sh = hashed_shingles(df, id_col, text_col, n)
+    # NO lineage cut of the exploded (id, g) list (r12, measured): it
+    # feeds four branches, but cutting full-shingle-cardinality rows
+    # through the RDD round-trip measured 2.7 → 5.4s at sf0.1 — the
+    # cut only pays for LOW-cardinality derived tables (winnow
+    # fingerprints, LSH bands, simhash chunks), never for raw explode
+    # output (same negative result as the LM token-row cut).
     inv = sh.select(id_col, F.explode("hs").alias("g"))
     rare = (
         inv.groupBy("g")
