@@ -271,11 +271,23 @@ from pyspark.sql import SparkSession  # noqa: E402
 from tcrd_spark.sources.lake import load_table  # noqa: E402
 
 
-def _order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _order_chain_edges(
+    spark: SparkSession, sf_dir: str, order_mod: int | None = None
+) -> DataFrame:
     """Per-order directed chains: lineitems sorted by linenumber form
     edges part[i] → part[i+1] — thousands of small DAGs, the KEGG
-    pathway shape."""
+    pathway shape.
+
+    ``order_mod`` filters to orders with l_orderkey % order_mod == 0
+    BEFORE the chain window (r12, guide §2.3): Catalyst does not push
+    a predicate through a Window even when it references only the
+    partition key, so the callers' post-hoc `g % 50` filter shuffled
+    and sorted the WHOLE lineitem table to discard 98% of it. Filtering
+    whole partitions below the window is value-identical — lead() never
+    crosses an l_orderkey boundary."""
     li = load_table(spark, sf_dir, "lineitem")
+    if order_mod is not None:
+        li = li.filter(F.col("l_orderkey") % order_mod == 0)
     # (orderkey, linenumber) is NOT unique in the testdata — order by
     # partkey too so lead() is deterministic across engines
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
@@ -292,7 +304,7 @@ def _order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_apsp_min_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEGG-distances analogue: APSP per order chain, min across
     graphs. Restricted to 2% of orders to bound the compare set."""
-    edges = _order_chain_edges(spark, sf_dir).filter(F.col("g") % 50 == 0)
+    edges = _order_chain_edges(spark, sf_dir, order_mod=50)
     apsp = apsp_local(edges, "g", "src", "dst", max_hops=8)
     return min_distance_merge(apsp, "g", "src", "dst")
 
@@ -300,7 +312,7 @@ def q_apsp_min_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nearest_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-Tclin analogue over the merged distances: flagged set =
     parts with partkey % 10 == 0; ties kept."""
-    edges = _order_chain_edges(spark, sf_dir).filter(F.col("g") % 50 == 0)
+    edges = _order_chain_edges(spark, sf_dir, order_mod=50)
     apsp = apsp_local(edges, "g", "src", "dst", max_hops=8)
     dist = min_distance_merge(apsp, "g", "src", "dst")
     part = load_table(spark, sf_dir, "part")

@@ -116,7 +116,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # frame from a dead application: nothing to release
     o = _TRI_EDGE_MEMO.get(key)
     if o is None:
-        edges = _order_chain_edges(spark, sf_dir).filter(F.col("g") % 50 == 0)
+        edges = _order_chain_edges(spark, sf_dir, order_mod=50)
         o = oriented_edges(edges, "src", "dst").cache()
         _TRI_EDGE_MEMO[key] = o
     return triangle_counts(None, "src", "dst", prebuilt=o)
