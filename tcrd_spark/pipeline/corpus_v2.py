@@ -146,11 +146,17 @@ def corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted table or localCheckpoint.
     d2 = _docs2(spark, sf_dir)
 
-    # 2. Gopher structural/repetition gate over the excised text
-    b = _truncate(d2.join(
+    # 2. Gopher structural/repetition gate over the excised text.
+    # NO cut here since r12's row-local gopher_stats: the gate is one
+    # shuffle-free projection + semi-join over the d2 cut, so its
+    # analysis is shallow and the cut's materialization wave cost more
+    # than it saved (interleaved min-of-4, outputs identical:
+    # with-cut 11.4s vs without 10.4s; dropping the d cut too REGRESSED
+    # to 12.1s — d still fans out to three semdedup consumers)
+    b = d2.join(
         _gopher_keep(gopher.gopher_stats(d2, "doc_id", "text")),
         "doc_id", "semi",
-    ))
+    )
 
     # 3. CCNet perplexity buckets over the gate-2 survivors (LM is
     # trained on the survivors — self-contained, like the standalone
