@@ -357,14 +357,21 @@ def incremental_near_dups(
         .agg(F.min("c_id").alias("exact_src"))
     )
 
-    b_sh = hashed_shingles(batch, id_col, text_col, n).select(
-        F.col(id_col).alias("b_id"), F.col("hs").alias("hs_b")
-    ).cache()
-    c_sh = hashed_shingles(corpus, id_col, text_col, n).select(
-        F.col(id_col).alias("c_id"), F.col("hs").alias("hs_c")
-    ).cache()
-    if _caches is not None:
-        _caches.extend([b_sh, c_sh])
+    from tcrd_spark.operators.lineage import _cache_rotating
+
+    # rotating cache slots (r12): registered queries pass no _caches,
+    # and a plain .cache() pinned two shingle frames per invocation
+    # for the session lifetime
+    b_sh = _cache_rotating(
+        hashed_shingles(batch, id_col, text_col, n).select(
+            F.col(id_col).alias("b_id"), F.col("hs").alias("hs_b")
+        ), "incr-bsh", _caches,
+    )
+    c_sh = _cache_rotating(
+        hashed_shingles(corpus, id_col, text_col, n).select(
+            F.col(id_col).alias("c_id"), F.col("hs").alias("hs_c")
+        ), "incr-csh", _caches,
+    )
     b_inv = b_sh.select("b_id", F.explode("hs_b").alias("g"))
     c_inv = c_sh.select("c_id", F.explode("hs_c").alias("g"))
     cand = b_inv.join(c_inv, "g").select("b_id", "c_id").distinct()
@@ -472,11 +479,13 @@ def incremental_near_dups_indexed(
         .groupBy("b_id")
         .agg(F.min("c_id").alias("exact_src"))
     )
-    b_sh = hashed_shingles(batch, id_col, text_col, n).select(
-        F.col(id_col).alias("b_id"), F.col("hs").alias("hs_b")
-    ).cache()
-    if _caches is not None:
-        _caches.append(b_sh)
+    from tcrd_spark.operators.lineage import _cache_rotating
+
+    b_sh = _cache_rotating(
+        hashed_shingles(batch, id_col, text_col, n).select(
+            F.col(id_col).alias("b_id"), F.col("hs").alias("hs_b")
+        ), "incridx-bsh", _caches,
+    )
     cand = (
         b_sh.select("b_id", F.explode("hs_b").alias("g"))
         .join(c_inv, "g")
@@ -549,14 +558,14 @@ def incremental_near_dups_lsh(
     r = n_perms // bands
 
     def _sig_and_buckets(df: DataFrame, out_id: str):
-        sh = (
+        from tcrd_spark.operators.lineage import _cache_rotating
+
+        sh = _cache_rotating(
             hashed_shingles(df, id_col, text_col, n)
             .filter(F.size("hs") > 0)
-            .select(F.col(id_col).alias(out_id), "hs")
-            .cache()
+            .select(F.col(id_col).alias(out_id), "hs"),
+            f"incrlsh-{out_id}", _caches,
         )
-        if _caches is not None:
-            _caches.append(sh)
         # one F.expr parse per frame instead of n_perms Column-API
         # transform lambdas — tree-identical (hashing.minhash_sig_expr)
         sig = sh.select(

@@ -167,9 +167,15 @@ def ngram_jaccard_pairs(
 
     max_df additionally drops ultra-common shingles from consideration
     entirely (changes results; off by default)."""
+    from tcrd_spark.operators.lineage import _cache_rotating
+
     # sh feeds both the df-frequency agg and the canonical-order join
-    # below; cache so tokenize→md5 runs once (one row per doc)
-    sh = hashed_shingles(df, id_col, text_col, n).cache()
+    # below; cache so tokenize→md5 runs once (one row per doc).
+    # Rotating slots (r12): no caller unpersists, and every invocation
+    # previously pinned a new materialized frame for the session
+    sh = _cache_rotating(
+        hashed_shingles(df, id_col, text_col, n), "jaccard-sh"
+    )
     inv = sh.select(id_col, F.explode("hs").alias("g"))
     if max_df is not None:
         common = (
@@ -191,12 +197,12 @@ def ngram_jaccard_pairs(
             F.transform(F.col("sarr"), lambda x: x["g"]).alias("hs"),
             F.size("sarr").alias("n_sh"),
         )
-        # referenced by 3 branches below (prefix index + both verify
-        # sides); without this the tokenize→md5→sort lineage re-executes
-        # per branch — 5× wall on the bench corpus. One row per doc
-        # (id + sorted hash array), so the cache is small at any SF.
-        .cache()
     )
+    # referenced by 3 branches below (prefix index + both verify
+    # sides); without this the tokenize→md5→sort lineage re-executes
+    # per branch — 5× wall on the bench corpus. One row per doc
+    # (id + sorted hash array), so the cache is small at any SF.
+    grouped = _cache_rotating(grouped, "jaccard-grouped")
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     # prefix inverted index WITH positions: PPJoin's positional filter
     # (Xiao et al. '08) prunes a g-match at 1-based positions (pa, pb)
@@ -282,10 +288,11 @@ def minhash_lsh_pairs(
     # docs (< n tokens) are excluded: they cannot be near-dups, and
     # their all-null signatures would otherwise co-bucket every such
     # doc and divide 0/0 in the Jaccard verify.
-    sh = (
-        hashed_shingles(df, id_col, text_col, n)
-        .filter(F.size("hs") > 0)
-        .cache()
+    from tcrd_spark.operators.lineage import _cache_rotating
+
+    sh = _cache_rotating(
+        hashed_shingles(df, id_col, text_col, n).filter(F.size("hs") > 0),
+        "minhash-sh",
     )
     # signature from the pre-hashed shingle array: each perm is pure
     # arithmetic over h — the md5 is computed ONCE per shingle, not
